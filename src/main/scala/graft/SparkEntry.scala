@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.pipeline._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2.B, one entry per
+  * operator; `oracleSql` holds the DuckDB-equivalent ANSI SQL for every
+  * query whose semantics are SQL-expressible (hash-dependent LSH ops and
+  * approximate sketches are rows-only checked).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: a DPP-orchestrated multi-step pipeline (scan → fan-in
+    * join → filter → agg → sort), proving the pipeline layer drives real
+    * relational work. Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = flagship(spark, "/root/testdata/sf0.001")
+
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val p = DPP(
+      "lineitem" -> Tables.lineitem(s, d),
+      "orders" -> Tables.orders(s, d))
+    p.sequence(
+      V(p.lineitem, p.orders) >> fanIn1("joinOrders") { case Seq(l, o) =>
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+      } >> p.joined,
+      Prev >> fn("keepOpen")(_.filter(col("o_orderstatus") =!= "F")) >> p.kept,
+      Prev >> fn("revenueByPriority")(
+        _.groupBy("o_orderpriority")
+          .agg(
+            Relational.dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")) >> p.result,
+    )
+    p("result")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // projection / filter
+    "q_project_cast" -> (Relational.q_project_cast _),
+    "q_filter_pred" -> (Relational.q_filter_pred _),
+    // joins
+    "q_join_inner" -> (Relational.q_join_inner _),
+    "q_join_left" -> (Relational.q_join_left _),
+    "q_join_semi" -> (Relational.q_join_semi _),
+    "q_join_anti" -> (Relational.q_join_anti _),
+    "q_join_range" -> (Relational.q_join_range _),
+    "q_join_asof" -> (Relational.q_join_asof _),
+    // aggregation
+    "q_agg_group" -> (Relational.q_agg_group _),
+    "q_agg_distinct" -> (Relational.q_agg_distinct _),
+    "q_agg_approx" -> (Relational.q_agg_approx _),
+    "q_agg_rollup" -> (Relational.q_agg_rollup _),
+    // windows
+    "q_window_rank" -> (Relational.q_window_rank _),
+    "q_window_lag" -> (Relational.q_window_lag _),
+    "q_window_running" -> (Relational.q_window_running _),
+    // sort / limit / top-k
+    "q_sort_limit" -> (Relational.q_sort_limit _),
+    "q_topk_group" -> (Relational.q_topk_group _),
+    // set ops
+    "q_union" -> (Relational.q_union _),
+    "q_union_all" -> (Relational.q_union_all _),
+    "q_intersect" -> (Relational.q_intersect _),
+    "q_except" -> (Relational.q_except _),
+    // scalar function families
+    "q_string_funcs" -> (Relational.q_string_funcs _),
+    "q_date_funcs" -> (Relational.q_date_funcs _),
+    "q_math_funcs" -> (Relational.q_math_funcs _),
+    "q_cond_funcs" -> (Relational.q_cond_funcs _),
+    "q_array_funcs" -> (Relational.q_array_funcs _),
+    "q_json_funcs" -> (Relational.q_json_funcs _),
+    "q_pivot" -> (Relational.q_pivot _),
+    // LLM: dedup
+    "q_dedup_exact" -> (Llm.q_dedup_exact _),
+    "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
+    "q_dedup_simhash" -> (Llm.q_dedup_simhash _),
+    "q_dedup_ngram" -> (Llm.q_dedup_ngram _),
+    "q_dedup_embed" -> (Llm.q_dedup_embed _),
+    // LLM: similarity search
+    "q_sim_topk" -> (Llm.q_sim_topk _),
+    // LLM: text analysis
+    "q_text_stats" -> (Llm.q_text_stats _),
+    "q_lang_filter" -> (Llm.q_lang_filter _),
+    "q_lang_id" -> (Llm.q_lang_id _),
+    "q_quality_score" -> (Llm.q_quality_score _),
+    "q_token_count" -> (Llm.q_token_count _),
+    "q_fingerprint" -> (Llm.q_fingerprint _),
+    // multimodal
+    "q_mm_binary" -> (Multimodal.q_mm_binary _),
+    "q_mm_features" -> (Multimodal.q_mm_features _),
+    // time windows (streaming operators, batch-verified)
+    "q_stream_tumbling" -> (Windows.q_stream_tumbling _),
+    "q_stream_sliding" -> (Windows.q_stream_sliding _),
+    "q_stream_session" -> (Windows.q_stream_session _),
+    // UDAF
+    "q_udaf_custom" -> (Udafs.q_udaf_custom _),
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
+    * in both engines; exact-DECIMAL accumulation for float sums; BIGINT
+    * casts where the engines' integer widths differ).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_project_cast" ->
+      """SELECT p_partkey, p_name AS part_name,
+        |  CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(p_size AS BIGINT) AS size_l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND NOT (l_discount < 0.02) AND l_linestatus IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p.p_partkey, count(*) AS n_close,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part p JOIN lineitem l
+        |  ON l.l_partkey = p.p_partkey
+        | AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |      FROM lineitem
+        |      WINDOW w AS (PARTITION BY l_returnflag
+        |                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fval
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS low_brand,
+        |  substring(p_name, 1, 8) AS pre8,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '#', p_type) AS brand_type, trim(p_name) AS trimmed,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_us,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dy,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS BIGINT) AS days_to_96,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
+        |  abs(l_discount - 0.05) AS ad,
+        |  CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(ln(l_extendedprice + 1), 6) AS lg,
+        |  round(pow(l_discount, 2), 8) AS p2,
+        |  CAST(l_quantity AS BIGINT) % 7 AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS vsum,
+        |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS vmax,
+        |  round(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |        (a, b) -> a + b), 4) AS sq_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_epoch,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, text
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+        |        / len(list_distinct(list_concat(string_split(a.text, ' '),
+        |                                        string_split(b.text, ' ')))), 6) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT qid, cid,
+        |        round(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9) AS cos_raw
+        |      FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, cid, cos_raw,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+        |      FROM s)
+        |SELECT qid, CAST(rn AS BIGINT) AS rn, cid, round(cos_raw, 6) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lang_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('es','de','zh') AND n_chars >= 200 ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, s_en, s_es, s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) AS avg_wlen,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tok + 1e-9, 4) AS stop_ratio,
+        |  round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5
+        |        + round(CAST(stop_hits AS DOUBLE) / n_tok + 1e-9, 4) * 0.5 + 1e-9, 4) AS score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        |  list_aggregate(list_transform(string_split(text, ' '), w -> md5(w)), 'min') AS fp_minword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_binary" ->
+      """SELECT doc_id, encode(text) AS payload,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start_epoch,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT CAST(floor((epoch(ts) - off)/600)*600 + off AS BIGINT) AS window_start_epoch,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (300)) AS t(off)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_epoch""".stripMargin,
+
+    "q_udaf_custom" ->
+      """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
 }

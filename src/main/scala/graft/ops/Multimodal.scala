@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata riding alongside. The Spark-side
+  * mechanics — schema, batch shape, partition-parallel decode — are real;
+  * the actual media decode is STUBBED (no codec libs in this container)
+  * behind a deterministic fake, clearly marked below.
+  *
+  * At 100 TB: payload bytes stay columnar in parquet, the decode is a
+  * per-partition map (no shuffle), and feature extraction emits small
+  * fixed-width vectors so downstream shuffles move features, not media.
+  */
+object Multimodal {
+  import Tables._
+
+  /** Binary payload carry-through + metadata: cast → byte length →
+    * content digest. DuckDB-verifiable (BLOB + sha256 parity).
+    */
+  def q_mm_binary(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .orderBy("doc_id")
+
+  /** ====== STUBBED DECODER ======
+    * A real pipeline would decode image/audio bytes here (e.g. JPEG →
+    * pixel tensor → resize → embed). The codec libraries are not in this
+    * container, so `fakeDecode` stands in: a deterministic 16-bin byte
+    * histogram, normalized — same signature, same batch shape, same
+    * partition-parallel execution as a real decoder.
+    */
+  private[ops] def fakeDecode(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1.0; i += 1 }
+    val n = math.max(1, bytes.length).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction over binary payloads via typed mapPartitions:
+    * the decode runs once per row inside a partition iterator (mirrors
+    * a vectorized/batched UDF's execution shape: per-partition setup cost
+    * amortized, no driver involvement, no shuffle). Rows-only check (the
+    * fake decoder is engine-internal).
+    */
+  def q_mm_features(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec init" would go here
+        it.map { case (id, payload) =>
+          (id, fakeDecode(payload), payload.length.toLong, "fake-decoder-v1")
+        }
+      }
+      .toDF("doc_id", "features", "n_bytes", "decoder")
+      .orderBy("doc_id")
+  }
+}

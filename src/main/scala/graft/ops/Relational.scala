@@ -1,0 +1,331 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface (SURVEY.md §2.B): projection, filter, the
+  * join family, aggregation, windows, sort/limit, set ops, scalar
+  * functions. All declarative `DataFrame` transforms — Catalyst provides
+  * pushdown/pruning/join-selection/whole-stage-codegen; AQE re-plans
+  * shuffles at runtime.
+  *
+  * Determinism-for-oracle conventions (DuckDB hash-compare parity):
+  *   - every query ends in a total-order `orderBy`;
+  *   - floating sums go through an exact DECIMAL accumulation
+  *     (`dsum`) then back to DOUBLE, so partial-aggregation order can
+  *     never change the result;
+  *   - averages are computed as exact-decimal-sum / count in double;
+  *   - int-width functions (`length`, `year`, `size`, …) are cast to
+  *     BIGINT to match DuckDB's wider defaults.
+  */
+object Relational {
+  import Tables._
+
+  /** Order-insensitive exact sum of a ≤`scale`-decimal double expression:
+    * accumulate as DECIMAL (exact, associative), surface as DOUBLE.
+    * At 100 TB this matters double: same plan, but results stay stable
+    * under AQE partition coalescing / skew splits / speculative re-runs.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  // ---- projection / filter -------------------------------------------
+
+  def q_project_cast(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        col("p_name").as("part_name"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("price_dec"),
+        col("p_size").cast("long").as("size_l"))
+      .orderBy("p_partkey")
+
+  def q_filter_pred(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          !(col("l_discount") < 0.02) &&
+          col("l_linestatus").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in this dataset — add
+      // the remaining columns for a total order the oracle can match.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  // ---- joins ----------------------------------------------------------
+
+  /** Inner equi-join + agg. lineitem⨝orders is the big/big case: both
+    * sides shuffle on orderkey (sort-merge or shuffled-hash — AQE
+    * picks); at 100 TB co-locate by bucketing both tables on orderkey.
+    */
+  def q_join_inner(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  def q_join_left(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Broadcast the filtered fact-side probe list is wrong at scale — the
+    * semi join keeps supplier small and streams lineitem; supplier is the
+    * broadcast side.
+    */
+  def q_join_semi(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(
+        lineitem(s, d).filter(col("l_quantity") > 45),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  def q_join_anti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Equi + band predicate: Catalyst keys the join on l_partkey=p_partkey
+    * (hash join) and applies the range as a post-join filter — NOT a
+    * BNLJ, so it scales like a normal equi-join.
+    */
+  def q_join_range(s: SparkSession, d: String): DataFrame =
+    part(s, d).as("p")
+      .join(
+        lineitem(s, d).as("l"),
+        col("l.l_partkey") === col("p.p_partkey") &&
+          col("l.l_quantity").between(col("p.p_size") - 5, col("p.p_size") + 5))
+      .groupBy(col("p.p_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_close"), dsum(col("l.l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_partkey")
+
+  /** As-of join (nearest earlier purchase per user) — no Spark built-in.
+    * Composed as ONE window pass instead of a range join: shuffle events
+    * once by user_id, running MAX of purchase-ts in event-time order.
+    * The default RANGE frame includes ts-peers, matching DuckDB
+    * `ASOF JOIN ... ON e.ts >= p.ts` semantics. O(n log n) per
+    * partition, no join blow-up — the 100 TB-safe formulation.
+    */
+  def q_join_asof(s: SparkSession, d: String): DataFrame = {
+    // µs precision on both sides: DuckDB surfaces the ns-parquet ts as a
+    // µs TIMESTAMP, so the as-of comparison and the emitted value are
+    // both truncated to micros (floor-div matches DuckDB's truncation).
+    val w = Window.partitionBy("user_id").orderBy("ts_us") // default frame: RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included = ts-equality allowed)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("pus", when(col("event_type") === "purchase", col("ts_us")))
+      .withColumn("last_purchase_ns", max("pus").over(w) * 1000L)
+      .select("event_id", "user_id", "last_purchase_ns")
+      .orderBy("event_id")
+  }
+
+  // ---- aggregation ----------------------------------------------------
+
+  def q_agg_group(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // whole-number doubles: exact
+        dsum(col("l_extendedprice"), 2).as("sum_base"),
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("sum_disc"),
+        count(lit(1)).as("n"),
+        davg(col("l_quantity"), 2).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q_agg_distinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("uniq_cust"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** HLL sketch — approximate, so no DuckDB oracle (driver rows-only). */
+  def q_agg_approx(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  def q_agg_rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ---- window functions ----------------------------------------------
+
+  def q_window_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .filter(col("rn") <= 5)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  def q_window_lag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        first("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("fval"))
+      .orderBy("event_id")
+  }
+
+  def q_window_running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- sort / limit / top-k ------------------------------------------
+
+  /** Global top-N: Spark plans TakeOrderedAndProject — each partition
+    * keeps N rows, single reduce; no full sort at any scale.
+    */
+  def q_sort_limit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  def q_topk_group(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- set operations -------------------------------------------------
+
+  private def custNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nk"))
+  private def suppNations(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).select(col("s_nationkey").as("nk"))
+
+  def q_union(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).union(suppNations(s, d)).distinct().orderBy("nk")
+
+  def q_union_all(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).unionByName(suppNations(s, d))
+      .groupBy("nk").agg(count(lit(1)).as("n")).orderBy("nk")
+
+  def q_intersect(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).intersect(suppNations(s, d)).orderBy("nk")
+
+  def q_except(s: SparkSession, d: String): DataFrame =
+    custNations(s, d).except(suppNations(s, d)).orderBy("nk")
+
+  // ---- scalar function families --------------------------------------
+
+  def q_string_funcs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("low_brand"),
+        substring(col("p_name"), 1, 8).as("pre8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("trimmed"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  def q_date_funcs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1996-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_96"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  def q_math_funcs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast(DecimalType(18, 2)), 1).cast("double").as("r1"),
+        abs(col("l_discount") - 0.05).as("ad"),
+        floor(col("l_quantity")).as("fl"),
+        ceil(col("l_quantity") / 7.0).as("ce"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice") + 1), 6).as("lg"),
+        round(pow(col("l_discount"), 2), 8).as("p2"),
+        (col("l_quantity").cast("long") % 7).as("md"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def q_cond_funcs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"))
+      .orderBy("o_orderkey")
+
+  def q_array_funcs(s: SparkSession, d: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        emb.getItem(0).as("first_val"),
+        round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
+        round(array_max(emb), 6).as("vmax"),
+        round(aggregate(emb, lit(0.0), (acc, x) => acc + x * x), 4).as("sq_sum"))
+      .orderBy("vec_id")
+  }
+
+  def q_json_funcs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+      .orderBy("event_type")
+
+  /** Pivot (conditional aggregation): per-day event-type counts. */
+  def q_pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(s, d)
+      .withColumn("day_epoch", floor(col("ts").cast("long") / 86400) * 86400)
+      .groupBy("day_epoch")
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("day_epoch")
+  }
+}

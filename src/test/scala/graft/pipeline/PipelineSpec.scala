@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's executable spec — test.py:1-7 and every README
+  * worked example (/root/reference/README.md:23-57, 120-128, 137-171,
+  * 196-204) — over 1-row DataFrames, plus the SURVEY.md §1.3 edge cases.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  /** A scalar slot = a 1-row, 1-col DataFrame named `value`. */
+  def scalarS(v: String): DataFrame = Seq(v).toDF("value")
+  def scalarI(v: Int): DataFrame = Seq(v).toDF("value")
+  def readInt(df: DataFrame): Int = df.head().get(0).toString.toInt
+
+  /** int(v) cast — README.md:26-43. */
+  val toInt: StepFn = fn("toInt")(_.select(col("value").cast("int").as("value")))
+  /** int(v) + 1 — test.py:4-6. */
+  val intInc: StepFn = fn("intInc")(_.select((col("value").cast("int") + 1).as("value")))
+  /** int(v) - 1. */
+  val intDec: StepFn = fn("intDec")(_.select((col("value").cast("int") - 1).as("value")))
+  val identityFn: StepFn = fn("id")(df => df)
+
+  def p3: DPP = DPP("x" -> scalarS("4"), "y" -> scalarS("2"), "z" -> scalarS("42"))
+
+  // ---- test.py:1-7 ----------------------------------------------------
+  test("test.py: common(ALL >> int+1 >> ALL) increments every initial var in place") {
+    val p = p3
+    p.common(All >> intInc >> All)
+    assert(readInt(p("x")) == 5)
+    assert(readInt(p("y")) == 3)
+    assert(readInt(p("z")) == 43)
+  }
+
+  // ---- README.md:26-43 basic tuple syntax -----------------------------
+  test("README basic: common((x,y,z), int, (x,y,z)) casts in place") {
+    val p = p3
+    p.common(Seq(p.x, p.y, p.z), toInt, Seq(p.x, p.y, p.z))
+    assert(readInt(p("x")) == 4)
+    assert(readInt(p("y")) == 2)
+    assert(readInt(p("z")) == 42)
+  }
+
+  // ---- README.md:49-57 expression syntax ------------------------------
+  test("README >>: common(V(x,y,z) >> int >> V(x,y,z))") {
+    val p = p3
+    p.common(V(p.x, p.y, p.z) >> toInt >> V(p.x, p.y, p.z))
+    assert(readInt(p("y")) == 2)
+  }
+
+  // ---- README.md:149-155 fan-in: result = add(x, y) -------------------
+  test("README all: x=10, y=20 => result=30") {
+    val p = DPP("x" -> scalarI(10), "y" -> scalarI(20))
+    val add = fanIn1("add") { case Seq(a, b) =>
+      a.crossJoin(b.withColumnRenamed("value", "v2"))
+        .select((col("value") + col("v2")).as("value"))
+    }
+    p.all(V(p.x, p.y) >> add >> p.result)
+    assert(readInt(p("result")) == 30)
+    assert(readInt(p("x")) == 10)
+    assert(readInt(p("y")) == 20)
+  }
+
+  // ---- README.md:98-114 sequence + PREV -------------------------------
+  test("sequence threads PREV through steps") {
+    val p = DPP("data" -> scalarI(1))
+    p.sequence(
+      p.data >> intInc >> p.cleaned,
+      Prev >> intInc >> p.features,
+      Prev >> intInc >> p.result,
+    )
+    assert(readInt(p("cleaned")) == 2)
+    assert(readInt(p("features")) == 3)
+    assert(readInt(p("result")) == 4)
+  }
+
+  test("PREV resolves to the previous step's output list") {
+    val p = p3
+    p.common(V(p.x, p.y) >> intInc >> V(p.a, p.b))
+    p.common(Prev >> intInc >> V(p.c, p.d))
+    assert(readInt(p("c")) == 6)  // x=4 -> a=5 -> c=6
+    assert(readInt(p("d")) == 4)  // y=2 -> b=3 -> d=4
+  }
+
+  // ---- SURVEY §1.3-1: ALL = initial vars only -------------------------
+  test("ALL expands to INITIAL variables only (preserved reference quirk)") {
+    val p = DPP("x" -> scalarI(1))
+    p.common(p.x >> intInc >> p.fresh) // creates 'fresh' mid-pipeline
+    p.common(All >> intInc >> All)     // must touch only x
+    assert(readInt(p("x")) == 2)
+    assert(readInt(p("fresh")) == 2)   // untouched (would be 3 if ALL saw it)
+  }
+
+  // ---- SURVEY §1.3-2: ALL as output = write back to inputs ------------
+  test("ALL as output writes back to the resolved inputs") {
+    val p = DPP("x" -> scalarI(7))
+    p.common(p.x >> intInc >> All)
+    assert(readInt(p("x")) == 8)
+  }
+
+  // ---- errors ---------------------------------------------------------
+  test("PREV before any step raises") {
+    val p = p3
+    val e = intercept[IllegalStateException] { p.common(Prev >> intInc >> p.out) }
+    assert(e.getMessage.contains("PREV used but there is no previous outputs"))
+  }
+
+  test("map arity mismatch raises with the reference's message") {
+    val p = p3
+    val e = intercept[IllegalArgumentException] {
+      p.common(V(p.x, p.y) >> intInc >> p.onlyOne)
+    }
+    assert(e.getMessage.contains("the parameter number is not match"))
+  }
+
+  test("fan-in output count mismatch raises") {
+    val p = p3
+    val e = intercept[IllegalArgumentException] {
+      p.all(V(p.x, p.y) >> fanIn("two") { case Seq(a, b) => Seq(a, b) } >> p.one)
+    }
+    assert(e.getMessage.contains("the parameter number is not match"))
+  }
+
+  test("equal-arity fan-in is unreachable in sequence (reference quirk §1.3-5)") {
+    val p = p3
+    // 2 in, 2 out → sequence dispatches to MAP mode, which rejects a fan-in fn,
+    // mirroring the reference where fn(*values) would crash on a single arg.
+    intercept[IllegalArgumentException] {
+      p.sequence(V(p.x, p.y) >> fanIn("swap") { case Seq(a, b) => Seq(b, a) } >> V(p.x, p.y))
+    }
+  }
+
+  // ---- branch ---------------------------------------------------------
+  test("branch Merge.Last: later branch overwrites") {
+    val p = DPP("x" -> scalarI(1))
+    p.branch(
+      p.x >> intInc >> p.w,  // w = 2
+      p.x >> intDec >> p.w,  // w = 0 overwrites
+    )
+    assert(readInt(p("w")) == 0)
+  }
+
+  test("branch Merge.First keeps the first write (fixed vs broken reference 'first')") {
+    val p = DPP("x" -> scalarI(1))
+    p.branch(Merge.First)(
+      p.x >> intInc >> p.w,  // w = 2 — kept
+      p.x >> intDec >> p.w,  // executed but write dropped
+    )
+    assert(readInt(p("w")) == 2)
+  }
+
+  test("branch Merge.Error raises on conflict") {
+    val p = DPP("x" -> scalarI(1))
+    val e = intercept[IllegalStateException] {
+      p.branch(Merge.Error)(
+        p.x >> intInc >> p.w,
+        p.x >> intDec >> p.w,
+      )
+    }
+    assert(e.getMessage.contains("Variable conflict"))
+  }
+
+  test("branch with unequal arity dispatches to fan-in per branch") {
+    val p = DPP("x" -> scalarI(10), "y" -> scalarI(20))
+    val add = fanIn1("add") { case Seq(a, b) =>
+      a.crossJoin(b.withColumnRenamed("value", "v2"))
+        .select((col("value") + col("v2")).as("value"))
+    }
+    p.branch(
+      V(p.x, p.y) >> add >> p.sum,   // 2-in 1-out → fan-in
+      p.x >> intInc >> p.xi,         // 1-in 1-out → map
+    )
+    assert(readInt(p("sum")) == 30)
+    assert(readInt(p("xi")) == 11)
+    // PREV after branch = concatenated branch outputs
+    p.common(Prev >> intInc >> V(p.s2, p.x2))
+    assert(readInt(p("s2")) == 31)
+    assert(readInt(p("x2")) == 12)
+  }
+
+  // ---- select ---------------------------------------------------------
+  test("select runs the first true branch only") {
+    val p = p3
+    p.select(
+      (V(p.x, p.y) >> intInc >> V(p.x, p.y), (_: CtxView) => false),
+      (p.z >> intInc >> p.z, (_: CtxView) => true),
+      (p.x >> intInc >> p.x, (_: CtxView) => true), // never reached
+    )
+    assert(readInt(p("x")) == 4)  // untouched (still the string "4" cast)
+    assert(readInt(p("z")) == 43)
+  }
+
+  test("select falls through to default") {
+    val p = p3
+    p.select(
+      Seq((p.z >> intInc >> p.z, (_: CtxView) => false)),
+      default = V(p.x, p.y) >> intDec >> V(p.x, p.y))
+    assert(readInt(p("x")) == 3)
+    assert(readInt(p("y")) == 1)
+    assert(readInt(p("z")) == 42)
+  }
+
+  test("select conditions see a pre-select snapshot and can run Spark actions") {
+    val p = DPP("x" -> scalarI(5))
+    p.select(
+      (p.x >> intInc >> p.x, (ctx: CtxView) => ctx("x").head().getInt(0) > 3),
+    )
+    assert(readInt(p("x")) == 6)
+  }
+
+  test("select with no true branch and no default is a no-op") {
+    val p = DPP("x" -> scalarI(5))
+    p.select((p.x >> intInc >> p.x, (_: CtxView) => false))
+    assert(readInt(p("x")) == 5)
+  }
+
+  // ---- chaining + debug + dynamic access ------------------------------
+  test("operators chain (README.md:192-204)") {
+    val p = p3
+    p.common(All >> intInc >> All)
+      .select(
+        (p.z >> intInc >> p.z, (_: CtxView) => true),
+      )
+    assert(readInt(p("z")) == 44)
+  }
+
+  test("unknown context variable read raises") {
+    val p = p3
+    intercept[NoSuchElementException] { p("nope") }
+  }
+
+  test("dynamic ref access mints stable placeholders") {
+    val p = p3
+    assert(p.x eq p.ref("x"))
+    assert(p.brandNew == Ref("brandNew"))
+  }
+}
