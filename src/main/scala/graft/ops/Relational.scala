@@ -168,12 +168,45 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  def q_agg_cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explicit grouping sets (Spark 4 Dataset.groupingSets API): totals by
+    * returnflag and by linestatus in one pass over the fact table —
+    * one shuffle, Expand feeds both groupings.
+    */
+  def q_agg_groupingsets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ---- window functions ----------------------------------------------
 
+  /** Top-5 per l_returnflag with rank functions. l_returnflag has ~3
+    * distinct values, so a direct `Window.partitionBy(l_returnflag)`
+    * funnels the whole fact table through 3 tasks — the classic skewed
+    * window. Two-phase instead: salted local top-5 (96 parallel
+    * partitions, each keeps ≤5 rows) then the real window over the ≤480
+    * survivors. The salt is a deterministic hash, the final result is
+    * bit-identical to the direct plan (the order key is a total order, so
+    * any global-top-5 row is a salted-local-top-5 row).
+    */
   def q_window_rank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(order: _*)
+    val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
     lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= 5)
+      .drop("salt", "lrn")
       .select(
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         row_number().over(w).cast("long").as("rn"),
@@ -192,6 +225,20 @@ object Relational {
         lead("value", 1).over(w).as("next_value"),
         first("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("fval"))
       .orderBy("event_id")
+  }
+
+  /** Distribution window functions: quartile bucket + percentile position
+    * per partition.
+    */
+  def q_window_ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_orderkey")
   }
 
   def q_window_running(s: SparkSession, d: String): DataFrame = {
@@ -316,6 +363,17 @@ object Relational {
         count(lit(1)).as("n"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
       .orderBy("event_type")
+
+  /** Generator / UDTF surface: explode a split column into rows, then
+    * re-aggregate (word frequencies). Generate runs inside codegen; the
+    * only shuffle is the groupBy on the exploded key.
+    */
+  def q_explode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("word")
 
   /** Pivot (conditional aggregation): per-day event-type counts. */
   def q_pivot(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet source/sink surface (SURVEY.md §2.B Sources): CSV and
+  * JSON(-lines) read/write with explicit schemas. Each query round-trips
+  * a parquet table through the format and back, so the DuckDB oracle over
+  * the original parquet verifies the full write→read path (quoting,
+  * escaping, type mapping).
+  *
+  * Scale note: both writers emit one file per partition (no driver
+  * funnel) and both readers split files across executors; schemas are
+  * explicit — `inferSchema` burns a full extra pass over 100 TB and is
+  * only for exploration (see SourcesSpec).
+  */
+object Sources {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** parquet → csv (quoted, headered) → csv scan with explicit schema. */
+  def q_source_csv(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_csv_")
+    Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(nationSchema).option("header", "true").csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  /** parquet → json-lines → json scan with explicit schema. */
+  def q_source_json(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_json_")
+    Tables.customer(s, d).write.mode("overwrite").json(out)
+    s.read.schema(customerSchema).json(out)
+      .orderBy("c_custkey")
+  }
+
+  /** Parse a JSON string column into typed fields (`from_json`) — the
+    * streaming-ingest pattern (Kafka value → struct) run over
+    * `events.props`.
+    */
+  def q_source_from_json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k"))
+      .orderBy("event_id")
+}

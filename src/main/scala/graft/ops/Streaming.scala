@@ -1,0 +1,119 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A single event row for typed stateful streaming ops (mirrors the
+  * `events` table, FIXTURES.md).
+  */
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts: Timestamp)
+
+/** Emitted session record from stateful sessionization. */
+case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                      n_events: Long, value_sum: Double)
+
+/** Open-session accumulator kept in `GroupState` between micro-batches. */
+case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+/** Structured Streaming operator surface (SURVEY.md §2.B streaming rows):
+  * watermarked windowed aggregation, session windows, stateful dedup, and
+  * custom sessionization via `flatMapGroupsWithState`.
+  *
+  * Every transform here takes a (possibly streaming) `DataFrame` and
+  * returns one — the same code path runs under `readStream` (exercised in
+  * StreamingSpec with `MemoryStream`) and in batch where the operator
+  * allows it. State scale design: all state is keyed (windows by
+  * `(window, event_type)`, sessions by `user_id`), so at 100 TB/day the
+  * state store shards across executors on the grouping key; watermarks
+  * bound state size by evicting windows/sessions older than the allowed
+  * lateness.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window counts. In append mode a window emits
+    * only once the watermark passes its end — late events beyond the
+    * watermark are dropped, bounding state.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+
+  /** Watermarked session windows (built-in `session_window`): a session
+    * closes when the watermark passes last-event-ts + gap.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  /** Stateful exact dedup on event_id with bounded state: duplicates are
+    * dropped as long as they arrive within the watermark delay of the
+    * first occurrence; state for older keys is evicted. The streaming
+    * twin of `q_dedup_exact`.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom sessionization with explicit state — the
+    * `flatMapGroupsWithState` escape hatch for semantics the built-in
+    * `session_window` can't express (e.g. emitting per-session aggregates
+    * with custom close rules). Event-time timeout: an open session is
+    * flushed when the watermark passes session_end + gap.
+    *
+    * Semantics (append output): for each user, events are folded in
+    * event-time order into an open session; an event with
+    * `ts >= end + gap` closes the current session (emitted immediately)
+    * and opens a new one; on timeout the open session is emitted and
+    * state cleared.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n, s.sum))
+          } else {
+            val sorted = evs.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var open: Option[SessionState] = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t < s.endMs + gapMs =>
+                  open = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.endMs), s.n, s.sum)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of operators whose full results are checked by the
+  * driver's DuckDB oracle — plus the hash-dependent ops that have NO
+  * oracle (minhash/simhash/embedding-LSH), which are validated here
+  * against ground truth computable on sf0.001.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q_join_asof matches a driver-side reference on sf0.001") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_ns")
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = events.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    val expected: Map[Long, Option[Long]] = events.map { case (id, uid, _, ts) =>
+      val last = purchases.getOrElse(uid, Array.empty[Long]).takeWhile(_ <= ts).lastOption
+      // engine truncates to µs then scales back (DuckDB TIMESTAMP parity)
+      id -> last.map(ns => ns / 1000 * 1000)
+    }.toMap
+    val got: Map[Long, Option[Long]] = Relational.q_join_asof(spark, sf)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.size == expected.size)
+    val diffs = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5).toSeq}")
+  }
+
+  test("minhash LSH: exact dups always collide (est_jaccard=1); near-dups found; disjoint texts absent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val nearDup = base.replace("lazy", "sleepy") // one word of ~40 changed
+    val unrelated = "completely different words about spark shuffle partitions and catalyst optimizer rules everywhere"
+    val docs = Seq(
+      (1L, base), (2L, base),        // exact duplicate pair
+      (3L, nearDup),                 // near duplicate of 1 and 2
+      (4L, unrelated)                // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Llm.minhashPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical sigs → every band collides
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup caught
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L }) // unrelated absent
+  }
+
+  test("minhash output is well-formed: id1 < id2, est_jaccard in [0.5, 1]") {
+    val bad = Llm.q_dedup_minhash(spark, sf)
+      .filter(col("id1") >= col("id2") ||
+        col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: identical → equal sigs; near-dup hamming < unrelated hamming") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("lazy", "sleepy")),
+      (4L, "completely different words about spark shuffle partitions and catalyst rules")
+    ).toDF("doc_id", "text")
+    val sig = Llm.simhashSigs(docs).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("q_sim_topk: 5 neighbors per query, cos in [-1,1], descending") {
+    import spark.implicits._
+    val rows = Llm.q_sim_topk(spark, sf)
+      .select("qid", "rn", "cos").as[(Long, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 20)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      assert(g.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
+      val sorted = g.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embedding LSH candidates: exact duplicates of a vector always collide") {
+    // a vector is its own LSH bucket-mate: verify pairs returned satisfy
+    // the cosine threshold and ordering invariant
+    val out = Llm.q_dedup_embed(spark, sf)
+    assert(out.filter(col("id1") >= col("id2") || col("cos") < 0.95).count() == 0)
+  }
+
+  test("multimodal fakeDecode: 16-bin normalized histogram") {
+    val h = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
+    assert(h.length == 16)
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+    assert(h.forall(_ >= 0.0))
+  }
+
+  test("q_mm_features: schema and feature shape") {
+    val df = Multimodal.q_mm_features(spark, sf)
+    assert(df.columns.toSeq == Seq("doc_id", "features", "n_bytes", "decoder"))
+    val r = df.head()
+    assert(r.getSeq[Double](1).size == 16)
+    assert(r.getLong(2) > 0)
+  }
+
+  test("csv and json round-trips preserve schema and values") {
+    val csv = Sources.q_source_csv(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    assert(csv.schema == Sources.nationSchema)
+    assert(csv.except(nat).isEmpty && nat.except(csv).isEmpty)
+
+    val json = Sources.q_source_json(spark, sf)
+    val cust = Tables.customer(spark, sf).select(Sources.customerSchema.fieldNames.map(col): _*)
+    assert(json.except(cust).isEmpty && cust.except(json).isEmpty)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics that have no DuckDB oracle
+  * (SURVEY.md §5.5): watermark + late-data handling, stateful dedup
+  * within watermark, and flatMapGroupsWithState sessionization — all
+  * exercised with MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
+  lazy val spark = graft.TestSpark.spark
+
+  private var queries: List[StreamingQuery] = Nil
+
+  override def afterEach(): Unit = {
+    queries.foreach(q => if (q.isActive) q.stop())
+    queries = Nil
+  }
+
+  def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  def startQuery(df: org.apache.spark.sql.DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    queries = q :: queries
+    q
+  }
+
+  test("watermarked tumbling window drops late data and finalizes windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startQuery(Streaming.tumblingCounts(in.toDF(), "10 minutes", "10 minutes"), "tumbling")
+
+    // batch 1: two events in [00:00,00:10), one in [00:10,00:20)
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 2.0, ts(9)), Ev(3, 2, "click", 4.0, ts(11)))
+    q.processAllAvailable()
+    // nothing finalized yet (watermark = 00:11 - 10min = 00:01 < 00:10)
+    assert(spark.table("tumbling").count() == 0)
+
+    // batch 2: event at 00:31 advances watermark to 00:21 → first two windows close
+    in.addData(Ev(4, 2, "click", 8.0, ts(31)))
+    q.processAllAvailable()
+    val closed = spark.table("tumbling").as[(Timestamp, String, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(closed.map(r => (r._1, r._3, r._4)).toSeq ==
+      Seq((ts(0), 2L, 3.0), (ts(10), 1L, 4.0)))
+
+    // batch 3: a LATE event for the already-closed first window → dropped
+    in.addData(Ev(5, 1, "click", 99.0, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("tumbling").count() == 2) // unchanged — late data discarded
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startQuery(Streaming.dedupWithinWatermark(in.toDF(), "10 minutes"), "dedup")
+
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "view", 2.0, ts(2)))
+    q.processAllAvailable()
+    // duplicate event_id=1 arriving within the watermark window → dropped
+    in.addData(Ev(1, 1, "click", 1.0, ts(3)), Ev(3, 2, "click", 3.0, ts(4)))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").as[Ev].collect().map(_.event_id).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("session_window streaming: sessions close when watermark passes end+gap") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startQuery(Streaming.sessionCounts(in.toDF(), "30 minutes", "10 minutes"), "sessions")
+
+    // user 1: events at 00:00 and 00:10 (one session [00:00, 00:40))
+    in.addData(Ev(1, 1, "click", 1.0, ts(0)), Ev(2, 1, "click", 2.0, ts(10)))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // still open
+
+    // far-future event advances watermark beyond 00:40 → session emitted
+    in.addData(Ev(3, 2, "click", 1.0, ts(120)))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, ts(0), ts(40), 2L, 3.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization: gap split + event-time timeout flush") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDS().withWatermark("ts", "10 minutes").as[Ev]
+    val q = startQuery(Streaming.sessionize(events, gapMs = 30 * 60 * 1000L).toDF(), "fmgws")
+
+    // user 1: two events 10min apart (one open session)
+    in.addData(Ev(1, 1, "click", 1.0, ts(0)), Ev(2, 1, "click", 2.0, ts(10)))
+    q.processAllAvailable()
+    assert(spark.table("fmgws").count() == 0)
+
+    // user 1 event at 01:00 (>= 00:10+30min) closes session [00:00,00:10]
+    // immediately; user 2's first event opens its own session.
+    in.addData(Ev(3, 1, "click", 4.0, ts(60)), Ev(4, 2, "view", 1.0, ts(60)))
+    q.processAllAvailable()
+    val afterSplit = spark.table("fmgws").as[SessionOut].collect().toSeq
+    assert(afterSplit == Seq(SessionOut(1, ts(0), ts(10), 2, 3.0)))
+
+    // far-future event advances watermark past 01:00+gap → both open
+    // sessions flushed by event-time timeout.
+    in.addData(Ev(5, 3, "click", 0.0, ts(240)))
+    q.processAllAvailable()
+    val all = spark.table("fmgws").as[SessionOut].collect().sortBy(r => (r.user_id, r.session_start.getTime)).toSeq
+    assert(all.contains(SessionOut(1, ts(60), ts(60), 1, 4.0)))
+    assert(all.contains(SessionOut(2, ts(60), ts(60), 1, 1.0)))
+  }
+
+  test("batch and streaming tumbling windows agree on on-time data") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 2.0, ts(9)),
+      Ev(3, 2, "view", 4.0, ts(11))).toDF()
+    val out = Streaming.tumblingCounts(batch, "10 minutes", "10 minutes")
+      .as[(Timestamp, String, Long, Double)].collect().sortBy(r => (r._1.getTime, r._2)).toSeq
+    assert(out == Seq((ts(0), "click", 2L, 3.0), (ts(10), "view", 1L, 4.0)))
+  }
+}
