@@ -48,6 +48,8 @@ object SparkEntry {
     // joins
     "q_join_inner" -> (Relational.q_join_inner _),
     "q_join_left" -> (Relational.q_join_left _),
+    "q_join_right" -> (Relational.q_join_right _),
+    "q_join_full" -> (Relational.q_join_full _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
@@ -57,6 +59,8 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx" -> (Relational.q_agg_approx _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
+    "q_agg_stats" -> (Relational.q_agg_stats _),
+    "q_agg_collect" -> (Relational.q_agg_collect _),
     "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
@@ -187,6 +191,38 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT p_partkey, count(l_orderkey) AS li_cnt,
+        |  coalesce(sum(l_quantity), 0.0) AS qty
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_orderpriority,
+        |  list_sort(list(o_orderkey)) AS big_orders,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  count(*) AS n
+        |FROM orders WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty

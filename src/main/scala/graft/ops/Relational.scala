@@ -100,6 +100,30 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  def q_join_right(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"), "right")
+      .groupBy("p_partkey")
+      .agg(
+        count(col("l_orderkey")).as("li_cnt"),
+        coalesce(sum(col("l_quantity")), lit(0.0)).as("qty"))
+      .orderBy("p_partkey")
+
+  /** Full outer over two pre-aggregated sides: per-nation customer vs
+    * supplier counts. Aggregating BEFORE the outer join keeps the join
+    * inputs tiny (distinct-key-sized) — the at-scale shape for
+    * reconciliation joins.
+    */
+  def q_join_full(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nk")
+  }
+
   /** Equi + band predicate: Catalyst keys the join on l_partkey=p_partkey
     * (hash join) and applies the range as a post-join filter — NOT a
     * BNLJ, so it scales like a normal equi-join.
@@ -186,6 +210,34 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Statistical aggregates (one-pass co-moment computation, partial+final
+    * like any hash agg). Rounded in both engines — co-moment accumulation
+    * is float-order-sensitive at the 1e-12 level.
+    */
+  def q_agg_stats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(median(col("l_quantity")), 4).as("med_qty"))
+      .orderBy("l_returnflag")
+
+  /** Array-building aggregates; sorted so the result is deterministic. */
+  def q_agg_collect(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_sort(collect_list(col("o_orderkey"))).as("big_orders"),
+        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // ---- window functions ----------------------------------------------
 
   /** Top-5 per l_returnflag with rank functions. l_returnflag has ~3
@@ -199,20 +251,17 @@ object Relational {
     */
   def q_window_rank(s: SparkSession, d: String): DataFrame = {
     val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val wLocal = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(order: _*)
     val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
-    lineitem(s, d)
-      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
-      .withColumn("lrn", row_number().over(wLocal))
-      .filter(col("lrn") <= 5)
-      .drop("salt", "lrn")
+    val top5 = Scale.topKPerGroup(
+      lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      groupCols = Seq(col("l_returnflag")), orderCols = order, k = 5,
+      saltSrc = Seq(col("l_orderkey"), col("l_linenumber")))
+    top5
       .select(
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         row_number().over(w).cast("long").as("rn"),
         rank().over(w).cast("long").as("rk"),
         dense_rank().over(w).cast("long").as("drk"))
-      .filter(col("rn") <= 5)
       .orderBy("l_returnflag", "rn")
   }
 

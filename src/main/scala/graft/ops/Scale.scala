@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable at-scale operator patterns. Each transform documents its
+  * shuffle behavior — the unit of reasoning for a 1000-executor plan.
+  */
+object Scale {
+
+  /** Rows belonging to the global top-k of their group, for LOW-cardinality
+    * groups (the skewed-window case: `Window.partitionBy(few_values)`
+    * funnels the whole table through that many tasks).
+    *
+    * Two-phase: salted local top-k (groups × salts parallel partitions,
+    * each keeps ≤k rows) then exact top-k over the survivors. Output is
+    * identical to the direct single-window plan whenever `orderCols` is a
+    * strict total order within a group (required — ties across salt
+    * buckets would otherwise be cut arbitrarily).
+    *
+    * Shuffles: one on (group, salt) [wide, parallel], one on group over
+    * ≤ groups·salts·k rows [tiny].
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+                   k: Int, saltSrc: Seq[Column], salts: Int = 32): DataFrame = {
+    val wLocal = Window.partitionBy(groupCols :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val wGlobal = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__salt", pmod(xxhash64(saltSrc: _*), lit(salts)))
+      .withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= k)
+      .withColumn("__rn", row_number().over(wGlobal))
+      .filter(col("__rn") <= k)
+      .drop("__salt", "__lrn", "__rn")
+  }
+
+  /** Generic as-of join: append to every left row the payload of the most
+    * recent right row with the same key and `rightTs <= leftTs` (inclusive).
+    *
+    * Formulated as ONE shuffle on the key (union → window running-last),
+    * never a range join: a range join's candidate set explodes with key
+    * frequency, the window is O(n log n) per key partition and streams.
+    * At 100 TB both inputs shuffle once on the join key — the same cost
+    * as a plain equi-join.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), payload.as("__payload"), lit(0).as("__side"))
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__payload", lit(null).cast(r.schema("__payload").dataType))
+      .withColumn("__side", lit(1))
+    // right rows sort before left rows at equal ts → inclusive semantics
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select((Seq(col(key), col("__ts"), col("__payload"), col("__side")) ++
+        leftCols.filterNot(c => c == key).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last("__payload", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Skew-safe equi-join of a heavily-skewed big side against a small-ish
+    * side that is too large to broadcast: the big side salts each row
+    * deterministically into `salts` sub-keys; the small side is
+    * replicated once per salt. The shuffle key becomes (key, salt), so a
+    * hot key spreads over `salts` reducers instead of melting one.
+    * (For broadcast-able small sides use `broadcast()`; for runtime skew
+    * AQE's skew-join split also applies — this is the explicit,
+    * always-on formulation.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 bigSaltSrc: Seq[Column], salts: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("__salt", pmod(xxhash64(bigSaltSrc: _*), lit(salts)))
+    val smallS = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Exact dedup that keeps, per key, the row minimizing `tieBreaker` —
+    * deterministic (unlike `dropDuplicates`, which keeps an arbitrary
+    * row). One shuffle on the key.
+    */
+  def dedupKeepFirst(df: DataFrame, keyCols: Seq[Column], tieBreaker: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(tieBreaker: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

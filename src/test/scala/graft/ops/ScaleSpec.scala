@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reusable Scale transforms must be result-identical to their naive
+  * single-shuffle / single-window formulations — verified on sf0.001.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("topKPerGroup ≡ direct window top-k") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val direct = li
+      .withColumn("rn", row_number().over(Window.partitionBy("l_returnflag").orderBy(order: _*)))
+      .filter(col("rn") <= 7).drop("rn")
+    val twoPhase = Scale.topKPerGroup(li, Seq(col("l_returnflag")), order, 7,
+      saltSrc = Seq(col("l_orderkey"), col("l_linenumber")))
+    assert(direct.except(twoPhase).isEmpty && twoPhase.except(direct).isEmpty)
+    assert(twoPhase.count() == direct.count())
+  }
+
+  test("asofJoin ≡ windowed running-last on the events/purchases case") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ns")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+    val got = Scale.asofJoin(
+      ev, purchases, key = "user_id", leftTs = "ts_ns", rightTs = "ts_ns",
+      payloadCols = Seq("purchase_id"))
+      .select(col("event_id"), col("asof_purchase_id"))
+    // reference: running max-ts purchase per user (inclusive), via window
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+    val expected = ev
+      .withColumn("pid", when(col("event_type") === "purchase", struct(col("ts_ns"), col("event_id"))))
+      .withColumn("last_p", max(col("pid")).over(w)) // RANGE frame: ts-peers included
+      .select(col("event_id"), col("last_p.event_id").as("asof_purchase_id"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    assert(got.count() == ev.count()) // left-preserving
+  }
+
+  test("asofJoin picks the LATEST right row at equal timestamps, inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 50L, "b"), (2L, 10L, "c")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 60L, "r60"), (1L, 40L, "r40"), (3L, 1L, "rX"))
+      .toDF("k", "ts", "v")
+    val out = Scale.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, String)].collect().toMap
+    assert(out("a") == "r100") // equal ts matches (inclusive)
+    assert(out("b") == "r40")  // 50 >= 40, not 60
+    assert(out("c") == null)   // no right rows for key 2
+  }
+
+  test("saltedJoin ≡ plain equi-join (inner)") {
+    val li = Tables.lineitem(spark, sf)
+    val ords = Tables.orders(spark, sf)
+    val plain = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val salted = Scale.saltedJoin(
+      li, ords.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"),
+      bigSaltSrc = Seq(col("l_linenumber"), col("l_partkey")), salts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
+  }
+
+  test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {
+    val ords = Tables.orders(spark, sf)
+    val got = Scale.dedupKeepFirst(ords, Seq(col("o_custkey")), Seq(col("o_orderkey")))
+      .select("o_custkey", "o_orderkey")
+    val expected = ords.groupBy("o_custkey").agg(min("o_orderkey").as("o_orderkey"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+}
