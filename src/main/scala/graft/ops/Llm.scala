@@ -178,16 +178,32 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Simhash kernel as a tight JVM loop (same rationale as
+    * `minhashSigUdf`: interpreted HOF lambdas are ~40× slower). Sign of
+    * per-bit ±1 votes over splitmix-mixed FNV word hashes.
+    */
+  private val simhashUdf = udf { text: String =>
+    val ws = if (text == null) Array.empty[String] else text.split(' ')
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ws.length) {
+      val h = splitmix64(fnv1a(ws(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Reusable transform: 64-bit simhash signature per `(doc_id, text)`. */
   def simhashSigs(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("whash", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (fp, i) -> fp +
-          |  if(aggregate(whash, 0L,
-          |       (acc, h) -> acc + if(((h >> i) & 1) = 1, 1L, -1L)) > 0,
-          |     shiftleft(1L, i), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+    docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
 
   // ---- n-gram Jaccard (oracle-able variant) ---------------------------
 

