@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector kernels of the similarity
+  * operators. Spark's higher-order array functions (`aggregate`,
+  * `zip_with`) evaluate their lambdas INTERPRETED — one
+  * `InterpretedEvaluator` round-trip per element — which measured ~40×
+  * slower than a fused loop on the similarity hot path. These
+  * expressions participate in whole-stage codegen (`doGenCode` emits the
+  * tight Java loop directly into the generated stage), so the dot
+  * product compiles into the same pipeline as the surrounding
+  * filter/project.
+  *
+  * Summation order is left-to-right, identical to both the
+  * `aggregate`-based formulation and DuckDB's `list_reduce` — results
+  * are bit-identical to the oracle.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ x_i²) with the same left-to-right accumulation as the
+  * `aggregate` formulation and the DuckDB oracle.
+  */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the native vector expressions. Routed through
+  * the session FunctionRegistry + `call_function` (the public
+  * Expression→Column path in Spark 4; `Column(expr)` construction is
+  * sql-private). Registration happens lazily per session at
+  * plan-construction time — driver-side, once per query, negligible.
+  */
+object Vec {
+  private def ensureRegistered(): SparkSession = {
+    val spark = SparkSession.active
+    if (!spark.catalog.functionExists("graft_dot")) register(spark)
+    spark
+  }
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("graft_dot", a, b)
+  }
+  def l2norm(a: Column): Column = {
+    ensureRegistered()
+    call_function("graft_l2norm", a)
+  }
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (es: Seq[Expression]) => L2Norm(es(0))),
+  )
+
+  /** Register `graft_dot` / `graft_l2norm` for SQL use on a live session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  /** `SparkSessionExtensions` hook: set
+    * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
+    * SQL functions in every new session.
+    */
+  private[functions] def inject(extensions: SparkSessionExtensions): Unit =
+    registrations.foreach(extensions.injectFunction)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = Vec.inject(extensions)
+}

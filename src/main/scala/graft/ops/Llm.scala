@@ -24,13 +24,16 @@ object Llm {
   import Tables._
 
   // ---- shared vector helpers (array<double>) --------------------------
+  // Native codegen'd Catalyst expressions (graft.functions.Vec) — same
+  // left-to-right accumulation as the interpreted `aggregate`/`zip_with`
+  // formulation and the DuckDB oracle, minus the per-element lambda
+  // interpretation cost.
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(a: Column): Column = graft.functions.Vec.l2norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.Vec.cosine(a, b)
 
   // ---- exact dedup ----------------------------------------------------
 
@@ -132,6 +135,13 @@ object Llm {
 
   /** Reusable transform: near-duplicate pairs of any `(doc_id, text)`
     * DataFrame via MinHash-LSH banding.
+    *
+    * Shape: ONE scan (signatures computed once), ONE shuffle (groupBy the
+    * (band, band-sig) bucket key), pairs generated inside each bucket by
+    * a double explode — versus the classic self-join formulation, which
+    * scans and computes signatures twice and shuffles both sides.
+    * Candidate volume is Σ|bucket|² — inherent to LSH, controlled by the
+    * band width — never n².
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sigs = minhashSigs(docs)
@@ -141,10 +151,13 @@ object Llm {
           b => struct(b.as("band"),
             xxhash64(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bsig")))).as("bk"))
       .select(col("doc_id"), col("sigs"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-    exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
+    exploded
+      .groupBy("band", "bsig")
+      .agg(collect_list(struct(col("doc_id"), col("sigs"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         (aggregate(zip_with(col("a.sigs"), col("b.sigs"),
@@ -264,9 +277,14 @@ object Llm {
       .withColumn("e", emb)
       .withColumn("sig", embSigUdf(col("e")))
       .select(col("vec_id"), col("e"), col("sig"))
-    withSig.as("a")
-      .join(withSig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+    // one scan + one shuffle: group per LSH bucket, pairs via double explode
+    withSig
+      .groupBy("sig")
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(cosine(col("a.e"), col("b.e")), 6).as("cos"))
       .filter(col("cos") >= 0.95)
