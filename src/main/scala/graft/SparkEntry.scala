@@ -61,6 +61,8 @@ object SparkEntry {
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
     "q_agg_stats" -> (Relational.q_agg_stats _),
     "q_agg_collect" -> (Relational.q_agg_collect _),
+    "q_agg_histogram" -> (Relational.q_agg_histogram _),
+    "q_agg_percentile" -> (Relational.q_agg_percentile _),
     "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Llm.q_dedup_embed _),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
+    "q_sim_ivf" -> (Llm.q_sim_ivf _),
     // LLM: text analysis
     "q_text_stats" -> (Llm.q_text_stats _),
     "q_lang_filter" -> (Llm.q_lang_filter _),
@@ -223,6 +226,18 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice > 450000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty

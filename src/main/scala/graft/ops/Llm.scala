@@ -316,6 +316,77 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  // ---- IVF approximate nearest neighbor -------------------------------
+
+  private val NList = 16  // coarse cells
+  private val NProbe = 4  // cells probed per query
+
+  /** IVF-style ANN top-k: the corpus is coarse-quantized into NList
+    * cells (nearest centroid), queries probe only their NProbe nearest
+    * cells — per-query work drops from |corpus| to ~|corpus|·NProbe/NList.
+    *
+    * Centroid "training" is a deterministic stride-sample of the corpus
+    * (a k-means stand-in; the pipeline shape — small driver-side
+    * centroid table, broadcast assignment UDF, cell-bucketed candidate
+    * join — is exactly the production IVF layout). The only driver
+    * collect is the NList centroid vectors, which is small BY
+    * CONSTRUCTION at any corpus size. No oracle (approximate); recall
+    * vs the exact baseline is asserted in OpsSpec.
+    */
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+    def cellFn(cents: Array[(Int, Seq[Double])], n: Int) = {
+      val bc = s.sparkContext.broadcast(cents)
+      udf { e: Seq[Double] =>
+        bc.value
+          .map { case (cid, c) =>
+            var dot = 0.0; var i = 0
+            while (i < e.length && i < c.length) { dot += e(i) * c(i); i += 1 }
+            (cid, dot) // centroids/vectors share scale → dot as similarity
+          }
+          .sortBy(-_._2).take(n).map(_._1)
+      }
+    }
+
+    // init: deterministic stride sample; refine with 2 distributed Lloyd
+    // iterations (assign → per-dimension mean via posexplode). The only
+    // driver-side data is the NList×Dim centroid matrix — tiny at any
+    // corpus size.
+    var centroids: Array[(Int, Seq[Double])] = emb
+      .filter(col("vec_id") % 31 === 0).orderBy("vec_id").limit(NList)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to 2) {
+      val assigned = emb.withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))
+      val means = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+      // empty cells keep their previous centroid
+      centroids = centroids.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
+    }
+
+    val corpus = emb
+      .withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))
+      .select(col("vec_id").as("cid_v"), col("e").as("ce"), l2norm(col("e")).as("cn"), col("cell"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), l2norm(col("e")).as("qn"),
+        explode(cellFn(centroids, NProbe)(col("e"))).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid_v"))
+    queries.join(corpus, "cell") // equi-join on cell: candidates only
+      .filter(col("cid_v") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid_v").as("cid"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   // ---- text analysis --------------------------------------------------
 
   def q_text_stats(s: SparkSession, d: String): DataFrame =

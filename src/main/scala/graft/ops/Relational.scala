@@ -227,6 +227,29 @@ object Relational {
         round(median(col("l_quantity")), 4).as("med_qty"))
       .orderBy("l_returnflag")
 
+  /** Fixed-width histogram: integer bucketing then count — the two-pass
+    * (min/max then bucket) variant at scale is the same shape with a
+    * first tiny agg.
+    */
+  def q_agg_histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("bucket_total"))
+      .orderBy("bucket")
+
+  /** Exact interpolated percentiles (p25/p50/p75) per group. */
+  def q_agg_percentile(s: SparkSession, d: String): DataFrame = {
+    val pcts = percentile(col("o_totalprice"), lit(Array(0.25, 0.5, 0.75)))
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(element_at(pcts, 1), 4).as("p25"),
+        round(element_at(pcts, 2), 4).as("p50"),
+        round(element_at(pcts, 3), 4).as("p75"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Array-building aggregates; sorted so the result is deterministic. */
   def q_agg_collect(s: SparkSession, d: String): DataFrame =
     orders(s, d)

@@ -287,6 +287,26 @@ final class DPP private (initial: Seq[(String, DataFrame)]) extends Dynamic {
   }
 
   def debug(enabled: Boolean = true): DPP = { debugEnabled = enabled; this }
+
+  /** Force the named slots (default: all) with Spark actions, returning
+    * row counts. With `parallel = true` the actions run CONCURRENTLY on
+    * the scheduler — the true parallelism the reference's `branch` only
+    * documents (its loop is sequential, dpp.py:414 "并行" vs 435-457):
+    * independent lineages of the Spark DAG genuinely execute at the same
+    * time, sharing executors.
+    */
+  def materialize(names: Seq[String] = Nil, parallel: Boolean = true): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val targets = if (names.isEmpty) context.keys.toVector else names.toVector
+    if (parallel) {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = targets.map(n => Future(n -> apply(n).count()))
+      Await.result(Future.sequence(fs), Duration.Inf).toMap
+    } else {
+      targets.map(n => n -> apply(n).count()).toMap
+    }
+  }
 }
 
 object DPP {

@@ -83,6 +83,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: well-formed output and usable recall vs exact top-5") {
+    import spark.implicits._
+    val exact = Llm.q_sim_topk(spark, sf).select("qid", "cid")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Llm.q_sim_ivf(spark, sf).select("qid", "cid")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.nonEmpty && approx.values.forall(_.size <= 5))
+    val recalls = exact.keys.toSeq.map { q =>
+      val hits = approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+      hits.toDouble / exact(q).size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"IVF recall@5 = $avgRecall%.3f (nlist=16, nprobe=4)")
+    assert(avgRecall >= 0.4, f"IVF recall too low: $avgRecall%.3f")
+  }
+
   test("embedding LSH candidates: exact duplicates of a vector always collide") {
     // a vector is its own LSH bucket-mate: verify pairs returned satisfy
     // the cosine threshold and ordering invariant

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout behavior: partition pruning actually prunes and
+  * bucketed joins actually avoid the shuffle — the plan-level facts that
+  * make the layouts worth paying for at write time.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("partitionBy write → reads prune partitions (PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    Sinks.partitionedParquet(Tables.events(spark, sf), dir, "event_type")
+    val purchases = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = purchases.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n$plan")
+    // pruned read returns exactly the purchase rows
+    val expected = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(purchases.count() == expected)
+  }
+
+  test("bucketed tables join with NO exchange on either side") {
+    val d1 = Files.createTempDirectory("graft_bkt_li_").toString
+    val d2 = Files.createTempDirectory("graft_bkt_ord_").toString
+    Sinks.bucketedTable(Tables.lineitem(spark, sf), "li_b", d1, 8, Seq("l_orderkey"))
+    Sinks.bucketedTable(Tables.orders(spark, sf), "ord_b", d2, 8, Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the bucket co-location is what's tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the JOIN itself must need no shuffle: the only exchange allowed in
+      // the plan is the one for the groupBy above the join
+      val joinSection = plan.split("HashAggregate").last // below the agg
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle its inputs:\n$plan")
+      // and results match the plain join
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(j.except(plain).isEmpty && plain.except(j).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}

@@ -48,6 +48,19 @@ class PipelineDataSpec extends AnyFunSuite {
     assert(p("result").select("size_class").head().getString(0) == "big")
   }
 
+  test("materialize runs branch lineages as concurrent Spark actions") {
+    val p = DPP("orders" -> Tables.orders(spark, sf), "li" -> Tables.lineitem(spark, sf))
+    p.branch(
+      p.orders >> fn("hi")(_.filter(col("o_totalprice") > 100000)) >> p.expensive,
+      p.li >> fn("big")(_.filter(col("l_quantity") > 40)) >> p.bulky,
+    )
+    val counts = p.materialize(Seq("expensive", "bulky"), parallel = true)
+    assert(counts("expensive") ==
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
+    assert(counts("bulky") ==
+      Tables.lineitem(spark, sf).filter(col("l_quantity") > 40).count())
+  }
+
   test("laziness: pipeline steps build ONE fused Catalyst plan (no mid-pipeline actions)") {
     val p = DPP("li" -> Tables.lineitem(spark, sf))
     p.sequence(
