@@ -110,6 +110,7 @@ object SparkEntry {
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
+    "q_mm_frames" -> (Multimodal.q_mm_frames _),
     // time windows (streaming operators, batch-verified)
     "q_stream_tumbling" -> (Windows.q_stream_tumbling _),
     "q_stream_sliding" -> (Windows.q_stream_sliding _),

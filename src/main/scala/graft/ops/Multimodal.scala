@@ -28,6 +28,29 @@ object Multimodal {
         sha2(col("text").cast("binary"), 256).as("digest"))
       .orderBy("doc_id")
 
+  /** Frame sampling over binary payloads: split each payload into
+    * fixed-size frames (posexplode keeps the frame index), digest each,
+    * and mark an every-4th sample — the video-frame-extraction shape
+    * (payload → frame rows) with pure columnar ops. Fan-out happens
+    * inside the scan stage; the only shuffle is whatever the consumer
+    * adds. Rows-only driver check; reconstruction asserted in OpsSpec.
+    */
+  private val FrameSize = 64
+
+  def q_mm_frames(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("frames", expr(
+        s"""transform(sequence(0, CAST(ceil(octet_length(payload) / $FrameSize.0) AS INT) - 1),
+           |          i -> substring(payload, i * $FrameSize + 1, $FrameSize))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(
+        col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        sha2(col("frame"), 256).as("frame_digest"),
+        (col("frame_idx") % 4 === 0).as("sampled"))
+      .orderBy("doc_id", "frame_idx")
+
   /** ====== STUBBED DECODER ======
     * A real pipeline would decode image/audio bytes here (e.g. JPEG →
     * pixel tensor → resize → embed). The codec libraries are not in this

@@ -87,6 +87,9 @@ final class DPP private (initial: Seq[(String, DataFrame)]) extends Dynamic {
   // ---- symbol resolution (dpp.py:223-266) -----------------------------
 
   private def resolveInputs(inputs: Seq[RefLike]): Seq[Ref] = inputs.headOption match {
+    case Some(Ellipsis) =>
+      // dpp.py:234-235 — reserved, unimplemented; fail identically
+      throw new NotImplementedError("... placeholder is not implemented")
     case Some(Prev) =>
       // dpp.py:238-241
       if (lastOutputs.isEmpty)

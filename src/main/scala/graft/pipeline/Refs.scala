@@ -37,6 +37,12 @@ case object All extends RefLike { override def toString = "*ALL*" }
 /** "Previous step's outputs" super-symbol (dpp.py:152-161). */
 case object Prev extends RefLike { override def toString = "PREV" }
 
+/** The reference's reserved `...` symbol — declared but unimplemented
+  * (dpp.py:234-235 raises NotImplementedError; README.md:264 lists it as
+  * future work). Preserved faithfully: resolving it raises.
+  */
+case object Ellipsis extends RefLike { override def toString = "..." }
+
 /** `V(x, y, z)` — an ordered list of refs (dpp.py:630-644). */
 final case class Refs(refs: Seq[RefLike]) {
   def >>(fn: StepFn): PartialStep = PartialStep(refs, fn)

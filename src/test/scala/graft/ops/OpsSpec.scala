@@ -121,6 +121,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) > 0)
   }
 
+  test("q_mm_frames: frames tile the payload exactly") {
+    import spark.implicits._
+    val frames = Multimodal.q_mm_frames(spark, sf)
+      .select("doc_id", "frame_idx", "frame_bytes").as[(Long, Long, Long)].collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text").cast("binary")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.map(_._3).sum == lens(id), s"frames of doc $id must tile the payload")
+      assert(sorted.map(_._2).toSeq == (0L until fs.length).toSeq)
+      assert(sorted.dropRight(1).forall(_._3 == 64))
+    }
+  }
+
   test("csv and json round-trips preserve schema and values") {
     val csv = Sources.q_source_csv(spark, sf)
     val nat = Tables.nation(spark, sf)

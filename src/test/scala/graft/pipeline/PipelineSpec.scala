@@ -228,6 +228,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(readInt(p("z")) == 44)
   }
 
+  test("... (Ellipsis) raises NotImplementedError like the reference") {
+    val p = p3
+    intercept[NotImplementedError] { p.common(Ellipsis >> intInc >> p.out) }
+  }
+
+  test("debug traces use the reference's [MODE] format (README.md:222-240)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      val p = p3.debug()
+      p.common(All >> intInc >> All)
+      p.sequence(p.x >> intInc >> p.x2)
+      p.select((p.x2 >> intInc >> p.x3, (_: CtxView) => true))
+    }
+    val trace = buf.toString
+    assert(trace.contains("[MAP]"))
+    assert(trace.contains("[SEQUENCE]"))
+    assert(trace.contains("[SELECT]"))
+  }
+
   test("unknown context variable read raises") {
     val p = p3
     intercept[NoSuchElementException] { p("nope") }
