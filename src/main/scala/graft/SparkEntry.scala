@@ -86,6 +86,7 @@ object SparkEntry {
     "q_array_funcs" -> (Relational.q_array_funcs _),
     "q_json_funcs" -> (Relational.q_json_funcs _),
     "q_pivot" -> (Relational.q_pivot _),
+    "q_unpivot" -> (Relational.q_unpivot _),
     "q_explode" -> (Relational.q_explode _),
     // sources (csv / json round-trips, from_json parsing)
     "q_source_csv" -> (Sources.q_source_csv _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_quality_score" -> (Llm.q_quality_score _),
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
+    "q_winnow" -> (Llm.q_winnow _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -259,6 +261,12 @@ object SparkEntry {
         |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
         |                         ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        |UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "q_explode" ->
       """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs

@@ -316,6 +316,59 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  // ---- winnowing fingerprints ----------------------------------------
+
+  private val WinnowK = 5 // k-gram length (words)
+  private val WinnowW = 4 // window size
+
+  /** Winnowing document fingerprints (the MOSS scheme): rolling k-gram
+    * hashes, then the minimum hash of every w-length window, deduplicated.
+    * Guarantee: any shared substring of ≥ w+k-1 words between two
+    * documents yields at least one shared fingerprint. Pure map work
+    * (JVM kernel UDF — same interpreted-HOF rationale as minhash).
+    */
+  private val winnowUdf = udf { text: String =>
+    val ws = if (text == null) Array.empty[String] else text.split(' ')
+    if (ws.length < WinnowK) Array(splitmix64(fnv1a(if (text == null) "" else text)))
+    else {
+      val grams = new Array[Long](ws.length - WinnowK + 1)
+      var i = 0
+      while (i < grams.length) {
+        var h = 0L
+        var j = 0
+        while (j < WinnowK) { h = splitmix64(h ^ fnv1a(ws(i + j))); j += 1 }
+        grams(i) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var w = 0
+      val nWin = math.max(1, grams.length - WinnowW + 1)
+      while (w < nWin) {
+        var m = grams(w)
+        var j = 1
+        while (j < WinnowW && w + j < grams.length) {
+          if (grams(w + j) < m) m = grams(w + j)
+          j += 1
+        }
+        out += m
+        w += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** doc_id, fingerprints array, fingerprint count. Rows-only check;
+    * sharing guarantee asserted in OpsSpec.
+    */
+  def q_winnow(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(documents(s, d)).orderBy("doc_id")
+
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      winnowUdf(col("text")).as("fingerprints"),
+      size(winnowUdf(col("text"))).cast("long").as("n_fp"))
+
   // ---- IVF approximate nearest neighbor -------------------------------
 
   private val NList = 16  // coarse cells

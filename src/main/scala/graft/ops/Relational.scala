@@ -448,6 +448,20 @@ object Relational {
         sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
       .orderBy("event_type")
 
+  /** Unpivot / melt: wide per-metric columns → long (metric, value)
+    * rows. Pure narrow transform (Expand) — no shuffle until the
+    * consumer aggregates.
+    */
+  def q_unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      // (l_orderkey, l_linenumber) is not unique — value completes a total order
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
   /** Generator / UDTF surface: explode a split column into rows, then
     * re-aggregate (word frequencies). Generate runs inside codegen; the
     * only shuffle is the groupBy on the exploded key.

@@ -81,6 +81,18 @@ object Scale {
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Deterministic hash-sample: keep rows whose key hashes into the
+    * first `percent` of 10_000 hash slots. Unlike `df.sample`, the
+    * result is identical across runs, partitionings, and re-executions
+    * (speculative retries included) — the property that matters for
+    * reproducible pipeline runs — and consistent PER KEY, so sampling on
+    * a join/user key keeps all rows of a kept entity together.
+    */
+  def hashSample(df: DataFrame, keyCols: Seq[Column], percent: Double): DataFrame = {
+    val slots = math.max(1, math.round(percent * 100).toInt) // percent of 10k slots
+    df.filter(pmod(xxhash64(keyCols: _*), lit(10000)) < slots)
+  }
+
   /** Exact dedup that keeps, per key, the row minimizing `tieBreaker` —
     * deterministic (unlike `dropDuplicates`, which keeps an arbitrary
     * row). One shuffle on the key.

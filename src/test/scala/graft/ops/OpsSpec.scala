@@ -121,6 +121,38 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) > 0)
   }
 
+  test("winnowing: identical docs share all fingerprints; long shared substrings guarantee overlap") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ") // 12 words ≥ w+k-1=8
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"totally different prefix words here $shared and another tail"),
+      (3L, "no overlap at all with anything else whatsoever in this text")
+    ).toDF("doc_id", "text")
+    val fp = Llm.winnowFingerprints(docs)
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L).toSet.intersect(fp(2L).toSet).nonEmpty,
+      "≥ w+k-1-word shared substring must share a fingerprint")
+    assert(fp(3L).toSet.intersect(fp(1L).toSet).isEmpty)
+    // determinism: same text → same fingerprints
+    val again = Llm.winnowFingerprints(docs)
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+    assert(again == fp)
+  }
+
+  test("hashSample: deterministic, key-consistent, approximately sized") {
+    val orders = Tables.orders(spark, sf)
+    val s10 = Scale.hashSample(orders, Seq(col("o_custkey")), 10.0)
+    val s10b = Scale.hashSample(orders, Seq(col("o_custkey")), 10.0)
+    assert(s10.count() == s10b.count()) // deterministic
+    val frac = s10.count().toDouble / orders.count()
+    assert(frac > 0.03 && frac < 0.25, s"10% sample came out at $frac")
+    // key-consistent: a sampled customer keeps ALL their orders
+    val sampledKeys = s10.select("o_custkey").distinct()
+    val fullForKeys = orders.join(sampledKeys, "o_custkey")
+    assert(fullForKeys.count() == s10.count())
+  }
+
   test("q_mm_frames: frames tile the payload exactly") {
     import spark.implicits._
     val frames = Multimodal.q_mm_frames(spark, sf)
