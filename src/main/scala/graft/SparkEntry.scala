@@ -50,6 +50,7 @@ object SparkEntry {
     "q_join_left" -> (Relational.q_join_left _),
     "q_join_right" -> (Relational.q_join_right _),
     "q_join_full" -> (Relational.q_join_full _),
+    "q_join_dims" -> (Relational.q_join_dims _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
@@ -88,6 +89,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.q_pivot _),
     "q_unpivot" -> (Relational.q_unpivot _),
     "q_explode" -> (Relational.q_explode _),
+    "q_time_series" -> (Relational.q_time_series _),
+    "q_na_fill" -> (Relational.q_na_fill _),
     // sources (csv / json round-trips, from_json parsing)
     "q_source_csv" -> (Sources.q_source_csv _),
     "q_source_json" -> (Sources.q_source_json _),
@@ -97,6 +100,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
     "q_dedup_simhash" -> (Llm.q_dedup_simhash _),
     "q_dedup_ngram" -> (Llm.q_dedup_ngram _),
+    "q_dedup_edit" -> (Llm.q_dedup_edit _),
     "q_dedup_embed" -> (Llm.q_dedup_embed _),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
@@ -229,6 +233,40 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice > 450000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_dims" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_time_series" ->
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |                  max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |          FROM orders GROUP BY 1)
+        |SELECT CAST(axis.day AS TIMESTAMP) AS day, coalesce(daily.n, 0) AS n
+        |FROM axis LEFT JOIN daily ON CAST(axis.day AS DATE) = daily.day
+        |ORDER BY day""".stripMargin,
+
+    "q_na_fill" ->
+      """SELECT c_custkey, coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(max_spend, 0.0) AS max_spend,
+        |  n_orders IS NOT NULL AS has_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS max_spend
+        |   FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_edit" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
 
     "q_agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n,

@@ -316,6 +316,21 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** Edit-distance probe between consecutive docs (built-in levenshtein,
+    * capped to the first 80 chars to bound the O(len²) DP). Linear pair
+    * count via the doc_id+1 equi-join — an all-pairs edit-distance sweep
+    * would be the minhash candidates piped into this kernel.
+    */
+  def q_dedup_edit(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(col("doc_id"), substring(col("text"), 1, 80).as("head80"))
+    t.as("a")
+      .join(t.as("b").select((col("doc_id") - 1).as("doc_id"), col("head80").as("head80_b")),
+        Seq("doc_id"))
+      .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"),
+        levenshtein(col("head80"), col("head80_b")).cast("long").as("edit_dist"))
+      .orderBy("id1")
+  }
+
   // ---- winnowing fingerprints ----------------------------------------
 
   private val WinnowK = 5 // k-gram length (words)

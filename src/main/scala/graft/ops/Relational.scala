@@ -210,6 +210,50 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Star join through two dimension hops (customer→nation→region) with
+    * explicit `broadcast()` hints: the fact side streams, each dim ships
+    * once to every executor — no shuffle of the fact table for the
+    * joins, only for the final aggregation.
+    */
+  def q_join_dims(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("r_name")
+
+  /** Calendar gap-fill: per-day order counts over a DENSE day axis built
+    * with `sequence` + `explode` — days with no orders appear as zero
+    * rows. The generated axis is tiny (one row per day) and the join to
+    * the daily aggregate is a broadcast.
+    */
+  def q_time_series(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).withColumn("day", to_date(col("o_orderdate")))
+    val bounds = o.agg(min("day").as("lo"), max("day").as("hi"))
+    val axis = bounds.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = o.groupBy("day").agg(count(lit(1)).as("n"))
+    axis.join(daily, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day")
+  }
+
+  /** Null handling: left-join misses → na.fill defaults + an explicit
+    * null-bucket flag (`DataFrameNaFunctions` surface).
+    */
+  def q_na_fill(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_spend")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("has_orders", col("n_orders").isNotNull)
+      .na.fill(Map("n_orders" -> 0L, "max_spend" -> 0.0))
+      .select("c_custkey", "n_orders", "max_spend", "has_orders")
+      .orderBy("c_custkey")
+
   /** Statistical aggregates (one-pass co-moment computation, partial+final
     * like any hash agg). Rounded in both engines — co-moment accumulation
     * is float-order-sensitive at the 1e-12 level.

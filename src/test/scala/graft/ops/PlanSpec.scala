@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
       "band predicate must ride the p_partkey equi-join as a post-filter")
   }
 
+  test("star join broadcasts the dimension tables") {
+    val plan = planOf(Relational.q_join_dims(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"nation/region must broadcast in:\n$plan")
+  }
+
   test("aggregations are partial+final (map-side combine)") {
     val plan = planOf(Relational.q_agg_group(spark, sf))
     assert(plan.contains("partial_"), "expected partial aggregation before the shuffle")
