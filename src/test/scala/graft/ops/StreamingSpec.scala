@@ -122,6 +122,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(all.contains(SessionOut(2, ts(60), ts(60), 1, 1.0)))
   }
 
+  test("file-source streaming: readStream over the parquet dir ≡ batch aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    // schema must be declared for streaming file sources (no inference
+    // pass), and the source must be a DIRECTORY of files
+    val batchEvents = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("CAST(ts AS LONG) div 1000")))
+    val q = Streaming.tumblingCounts(streamed, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete") // complete mode: every window, watermark or not
+      .trigger(Trigger.AvailableNow())
+      .start()
+    queries = q :: queries
+    q.awaitTermination(60000)
+    val got = spark.table("file_stream")
+    val expected = Streaming.tumblingCounts(batchEvents, "10 minutes", "10 minutes")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("batch and streaming tumbling windows agree on on-time data") {
     val s = spark
     import s.implicits._
