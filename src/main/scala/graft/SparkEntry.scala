@@ -45,6 +45,7 @@ object SparkEntry {
     // projection / filter
     "q_project_cast" -> (Relational.q_project_cast _),
     "q_filter_pred" -> (Relational.q_filter_pred _),
+    "q_filter_like" -> (Relational.q_filter_like _),
     // joins
     "q_join_inner" -> (Relational.q_join_inner _),
     "q_join_left" -> (Relational.q_join_left _),
@@ -81,6 +82,8 @@ object SparkEntry {
     "q_except" -> (Relational.q_except _),
     // scalar function families
     "q_string_funcs" -> (Relational.q_string_funcs _),
+    "q_string_funcs2" -> (Relational.q_string_funcs2 _),
+    "q_map_funcs" -> (Relational.q_map_funcs _),
     "q_date_funcs" -> (Relational.q_date_funcs _),
     "q_math_funcs" -> (Relational.q_math_funcs _),
     "q_cond_funcs" -> (Relational.q_cond_funcs _),
@@ -386,6 +389,32 @@ object SparkEntry {
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_us,
         |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_like" ->
+      """SELECT p_partkey,
+        |  p_name LIKE 'a%' AS starts_a,
+        |  p_type LIKE '%steel%' AS has_steel,
+        |  regexp_matches(p_name, '[0-9]') AS has_digit
+        |FROM part
+        |WHERE p_type LIKE '%plated%' OR regexp_matches(p_name, '^[ab]')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_brand, 12, '-') AS rp,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS rep,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+        |  replace(p_brand, '#', '_') AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id, json_keys(props) AS ks,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
+        |  json_extract(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,

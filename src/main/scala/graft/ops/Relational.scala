@@ -435,6 +435,49 @@ object Relational {
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
       .orderBy("p_partkey")
 
+  /** Pattern predicates: LIKE / NOT LIKE / regexp (rlike) as both filter
+    * and projected flags.
+    */
+  def q_filter_like(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_type").like("%plated%") || col("p_name").rlike("^[ab]"))
+      .select(
+        col("p_partkey"),
+        col("p_name").like("a%").as("starts_a"),
+        col("p_type").like("%steel%").as("has_steel"),
+        col("p_name").rlike("[0-9]").as("has_digit"))
+      .orderBy("p_partkey")
+
+  /** Second string family: padding, reverse, repeat, split_part, instr,
+    * translate.
+    */
+  def q_string_funcs2(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        instr(col("p_name"), "a").cast("long").as("a_pos"),
+        translate(col("p_brand"), "#", "_").as("tr"))
+      .orderBy("p_partkey")
+
+  /** MapType surface: parse the JSON props into a typed map, then
+    * map_keys / element_at / map_contains_key.
+    */
+  def q_map_funcs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("ks"),
+        element_at(col("m"), "k").as("kval"),
+        map_contains_key(col("m"), "k").as("has_k"))
+      .orderBy("event_id")
+
   def q_date_funcs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .select(
