@@ -13,10 +13,14 @@ object Bench {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val warmDir = "/root/testdata/sf0.001"
+    // warm on the smallest sibling sf if present, else the target data
+    // itself — a missing warm dir must never silently skip the warmup
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001").filter(p => new java.io.File(p).isDirectory))
+      .getOrElse(sfDir)
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench-warm] $name: ${e.getMessage}") }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()

@@ -170,20 +170,19 @@ object Llm {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash per document + Hamming distance to the previous doc.
-    * Signature: sign of the per-bit sum of ±1 votes from xxhash64(word).
-    * All in SQL higher-order functions (nested lambdas), fully codegen.
-    * The prev-doc probe is an equi-join on doc_id+1 (shuffles on the
-    * key), NOT a global-order window — an unpartitioned window funnels
-    * every row through one task and dies at scale.
-    * No oracle (DuckDB has no xxhash64); driver rows-only check.
+  /** 64-bit SimHash per document + Hamming distance to the previous doc
+    * (previous EXISTING doc_id — id gaps are handled). The prev-doc
+    * pairing is a lag window PARTITIONED by a doc_id bucket (10k ids per
+    * bucket), not a global-order window — an unpartitioned window
+    * funnels every row through one task and dies at scale. The first doc
+    * of each bucket gets a null prev (1-in-10k boundary loss,
+    * documented trade for full parallelism).
+    * No oracle (DuckDB has no equivalent hash); driver rows-only check.
     */
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(documents(s, d))
-    sigs
-      .join(
-        sigs.select((col("doc_id") + 1).as("doc_id"), col("simhash").as("prev_simhash")),
-        Seq("doc_id"), "left")
+    val w = Window.partitionBy(col("doc_id") / 10000 cast "long").orderBy("doc_id")
+    simhashSigs(documents(s, d))
+      .withColumn("prev_simhash", lag("simhash", 1).over(w))
       .select(
         col("doc_id"), col("simhash"),
         when(col("prev_simhash").isNotNull,
@@ -258,17 +257,20 @@ object Llm {
     * `minhashSigUdf`: interpreted HOF lambdas are ~40× slower).
     */
   private val embSigUdf = udf { e: Seq[Double] =>
-    var sig = 0L
-    var j = 0
-    while (j < Planes) {
-      var dot = 0.0
-      var c = 0
-      val base = j * Dim
-      while (c < Dim && c < e.length) { dot += e(c) * PlanesFlat(base + c); c += 1 }
-      if (dot > 0) sig |= (1L << j)
-      j += 1
+    if (e == null) None // null embedding → null sig → row drops from the bucket join
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < Planes) {
+        var dot = 0.0
+        var c = 0
+        val base = j * Dim
+        while (c < Dim && c < e.length) { dot += e(c) * PlanesFlat(base + c); c += 1 }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      Some(sig)
     }
-    sig
   }
 
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
@@ -379,10 +381,8 @@ object Llm {
     winnowFingerprints(documents(s, d)).orderBy("doc_id")
 
   def winnowFingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      winnowUdf(col("text")).as("fingerprints"),
-      size(winnowUdf(col("text"))).cast("long").as("n_fp"))
+    docs.select(col("doc_id"), winnowUdf(col("text")).as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")).cast("long")) // single kernel eval
 
   // ---- IVF approximate nearest neighbor -------------------------------
 
@@ -401,7 +401,9 @@ object Llm {
     * CONSTRUCTION at any corpus size. No oracle (approximate); recall
     * vs the exact baseline is asserted in OpsSpec.
     */
-  def q_sim_ivf(s: SparkSession, d: String): DataFrame = {
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame = q_sim_ivf(s, d, 100.0)
+
+  def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double): DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
@@ -418,16 +420,22 @@ object Llm {
       }
     }
 
-    // init: deterministic stride sample; refine with 2 distributed Lloyd
-    // iterations (assign → per-dimension mean via posexplode). The only
-    // driver-side data is the NList×Dim centroid matrix — tiny at any
-    // corpus size.
+    // init: deterministic stride sample; refine with 2 Lloyd iterations.
+    // At scale, pass trainFraction < 100 so quantizer training runs on a
+    // deterministic hash-sample (the standard IVF recipe — training
+    // never touches the full corpus); the default trains on everything,
+    // right for test-scale corpora. The train set is cached for the
+    // iteration loop (training is eager) and released before returning.
+    // Only the NList×Dim centroid matrix reaches the driver.
+    val trainSet =
+      (if (trainFraction >= 100.0) emb
+       else Scale.hashSample(emb, Seq(col("vec_id")), trainFraction)).cache()
     var centroids: Array[(Int, Seq[Double])] = emb
       .filter(col("vec_id") % 31 === 0).orderBy("vec_id").limit(NList)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to 2) {
-      val assigned = emb.withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))
+      val assigned = trainSet.withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))
       val means = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
@@ -438,6 +446,7 @@ object Llm {
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
     }
+    trainSet.unpersist()
 
     val corpus = emb
       .withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))

@@ -40,8 +40,10 @@ object Multimodal {
   def q_mm_frames(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
+      // greatest(..., 0): an empty payload yields ONE empty frame —
+      // sequence(0, -1) would otherwise count DOWN, emitting [0, -1]
       .withColumn("frames", expr(
-        s"""transform(sequence(0, CAST(ceil(octet_length(payload) / $FrameSize.0) AS INT) - 1),
+        s"""transform(sequence(0, greatest(CAST(ceil(octet_length(payload) / $FrameSize.0) AS INT) - 1, 0)),
            |          i -> substring(payload, i * $FrameSize + 1, $FrameSize))""".stripMargin))
       .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
       .select(

@@ -53,8 +53,11 @@ object Scale {
       .withColumn("__ts", col(leftTs))
       .withColumn("__payload", lit(null).cast(r.schema("__payload").dataType))
       .withColumn("__side", lit(1))
-    // right rows sort before left rows at equal ts → inclusive semantics
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    // right rows sort before left rows at equal ts → inclusive semantics;
+    // __payload breaks ties among right rows sharing (key, ts), making
+    // the matched payload deterministic under any partitioning (the
+    // greatest payload wins)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.select((Seq(col(key), col("__ts"), col("__payload"), col("__side")) ++
         leftCols.filterNot(c => c == key).map(col)): _*)
@@ -76,6 +79,11 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  bigSaltSrc: Seq[Column], salts: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `salts` copies of every unmatched
+    // small-side row (it is replicated per salt) — reject outright
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti").contains(joinType),
+      s"saltedJoin supports big-side-preserving join types only, got '$joinType' " +
+        "(the small side is replicated per salt; outer-preserving it duplicates rows)")
     val bigS = big.withColumn("__salt", pmod(xxhash64(bigSaltSrc: _*), lit(salts)))
     val smallS = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")

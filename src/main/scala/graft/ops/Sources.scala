@@ -19,8 +19,16 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Stable per-process scratch path: repeated invocations overwrite the
+    * same directory (mode("overwrite")) instead of leaking a fresh table
+    * copy into /tmp on every bench/verify call.
+    */
+  private def tmpDir(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sources", name)
+    Files.createDirectories(base.getParent)
+    base.toString
+  }
 
   val nationSchema: StructType = StructType(Seq(
     StructField("n_nationkey", IntegerType),
@@ -36,7 +44,7 @@ object Sources {
 
   /** parquet → csv (quoted, headered) → csv scan with explicit schema. */
   def q_source_csv(s: SparkSession, d: String): DataFrame = {
-    val out = tmpDir("graft_csv_")
+    val out = tmpDir(s"csv_${math.abs(d.hashCode).toHexString}")
     Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(nationSchema).option("header", "true").csv(out)
       .orderBy("n_nationkey")
@@ -44,7 +52,7 @@ object Sources {
 
   /** parquet → json-lines → json scan with explicit schema. */
   def q_source_json(s: SparkSession, d: String): DataFrame = {
-    val out = tmpDir("graft_json_")
+    val out = tmpDir(s"json_${math.abs(d.hashCode).toHexString}")
     Tables.customer(s, d).write.mode("overwrite").json(out)
     s.read.schema(customerSchema).json(out)
       .orderBy("c_custkey")

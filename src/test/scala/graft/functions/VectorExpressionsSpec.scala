@@ -39,6 +39,12 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(0))
   }
 
+  test("mismatched array lengths yield NULL, not a truncated partial dot") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(Vec.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("SQL registration: graft_dot / graft_l2norm usable from spark.sql") {
     Vec.register(spark)
     emb.createOrReplaceTempView("emb_v")
