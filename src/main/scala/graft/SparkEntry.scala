@@ -94,6 +94,9 @@ object SparkEntry {
     "q_explode" -> (Relational.q_explode _),
     "q_time_series" -> (Relational.q_time_series _),
     "q_na_fill" -> (Relational.q_na_fill _),
+    "q_upsert" -> (Relational.q_upsert _),
+    "q_funnel" -> (Relational.q_funnel _),
+    "q_retention" -> (Relational.q_retention _),
     // sources (csv / json round-trips, from_json parsing)
     "q_source_csv" -> (Sources.q_source_csv _),
     "q_source_json" -> (Sources.q_source_json _),
@@ -264,6 +267,43 @@ object SparkEntry {
         |  (SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS max_spend
         |   FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_upsert" ->
+      """SELECT o_orderkey, o_totalprice, src FROM (
+        |  SELECT o_orderkey, o_totalprice, 'base' AS src FROM orders
+        |  WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 1.1, 'update' FROM orders
+        |  WHERE o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup
+        |  FROM events GROUP BY user_id),
+        |pc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |  FROM events e JOIN st ON e.user_id = st.user_id
+        |  WHERE st.t_signup IS NOT NULL AND e.event_type = 'click'
+        |    AND epoch_us(e.ts) > st.t_signup
+        |  GROUP BY e.user_id),
+        |pu AS (
+        |  SELECT DISTINCT e.user_id FROM events e JOIN pc ON e.user_id = pc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > pc.t_click)
+        |SELECT count(*) AS n_signup, count(pc.user_id) AS n_click_after,
+        |  count(pu.user_id) AS n_purchase_after
+        |FROM st LEFT JOIN pc ON st.user_id = pc.user_id
+        |        LEFT JOIN pu ON st.user_id = pu.user_id
+        |WHERE st.t_signup IS NOT NULL""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |fs AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT fs.cohort_week, ev.week - fs.cohort_week AS weeks_since,
+        |  count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_edit" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -210,6 +210,65 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Upsert (merge) emulation over immutable storage: updates override
+    * base rows on the key (anti-join keeps unmatched base rows, union
+    * adds all updates). The parquet-native MERGE INTO pattern — one
+    * shuffle on the key.
+    */
+  def q_upsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("base").as("src"))
+    // synthetic update set: every 10th order gets a repriced row
+    val updates = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+        lit("update").as("src"))
+    Scale.upsert(base, updates, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Funnel analysis over the events stream: users who signed up, then
+    * clicked AFTER signup, then purchased AFTER that click. One
+    * aggregation pass: conditional min-timestamps per user, then stage
+    * predicates.
+    */
+  def q_funnel(s: SparkSession, d: String): DataFrame = {
+    // µs-truncated times on both sides: DuckDB timestamps are µs, so
+    // sub-µs ordering differences must not decide stage membership
+    val ev = events(s, d).withColumn("tsu", expr("ts_ns div 1000"))
+    val stages = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("tsu"))).as("t_signup"))
+    val postSignupClick = ev.as("e")
+      .join(stages.filter(col("t_signup").isNotNull).as("st"), "user_id")
+      .filter(col("e.event_type") === "click" && col("e.tsu") > col("st.t_signup"))
+      .groupBy("user_id").agg(min(col("e.tsu")).as("t_click"))
+    val purchased = ev.as("e2")
+      .join(postSignupClick.as("pc"), "user_id")
+      .filter(col("e2.event_type") === "purchase" && col("e2.tsu") > col("pc.t_click"))
+      .select("user_id").distinct()
+    stages.filter(col("t_signup").isNotNull)
+      .join(postSignupClick.select(col("user_id"), lit(true).as("clicked")), Seq("user_id"), "left")
+      .join(purchased.select(col("user_id"), lit(true).as("converted")), Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("clicked")).as("n_click_after"),
+        count(col("converted")).as("n_purchase_after"))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen week × weeks
+    * since, counting distinct active users. Two shuffles (first-seen
+    * agg, cohort agg) — the standard formulation.
+    */
+  def q_retention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("week", expr("(ts_ns div 1000) div 604800000000"))
+    val firstSeen = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** Star join through two dimension hops (customer→nation→region) with
     * explicit `broadcast()` hints: the fact side streams, each dim ships
     * once to every executor — no shuffle of the fact table for the

@@ -89,6 +89,16 @@ object Scale {
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Upsert (merge) for immutable columnar storage: rows from `updates`
+    * replace base rows sharing the key; unmatched base rows survive.
+    * Equivalent to `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    * INSERT` with whole-row updates. One shuffle on the key (anti-join)
+    * + a free union.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
   /** Deterministic hash-sample: keep rows whose key hashes into the
     * first `percent` of 10_000 hash slots. Unlike `df.sample`, the
     * result is identical across runs, partitionings, and re-executions

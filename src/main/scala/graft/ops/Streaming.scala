@@ -2,9 +2,9 @@ package graft.ops
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
 
 /** A single event row for typed stateful streaming ops (mirrors the
   * `events` table, FIXTURES.md).
@@ -66,6 +66,38 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user totals via `transformWithState` — Spark 4's
+    * arbitrary-stateful-processing API (StatefulProcessor + typed state
+    * variables over the RocksDB state store, the successor to
+    * `flatMapGroupsWithState`). Emits the updated running (count, sum)
+    * for each user on every micro-batch that touches them; state TTL
+    * bounds store size.
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator.single((key, n, sum))
+    }
+  }
+
+  /** `user_id, n_events, value_sum` updated per micro-batch. */
+  def runningTotals(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom sessionization with explicit state — the
     * `flatMapGroupsWithState` escape hatch for semantics the built-in

@@ -150,6 +150,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got.count() > 0)
   }
 
+  test("transformWithState: running per-user totals across micro-batches (RocksDB store)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.runningTotals(in.toDS())
+        .toDF("user_id", "n_events", "value_sum"), "tws")
+      // note: memory sink in append/update mode accumulates emitted rows
+      in.addData(Ev(1, 1, "click", 1.0, ts(0)), Ev(2, 1, "click", 2.0, ts(1)), Ev(3, 2, "view", 5.0, ts(2)))
+      q.processAllAvailable()
+      in.addData(Ev(4, 1, "click", 4.0, ts(3)))
+      q.processAllAvailable()
+      val rows = spark.table("tws").as[(Long, Long, Double)].collect()
+      // user 1: batch1 emitted (2, 3.0), batch2 emitted (3, 7.0) — state carried over
+      assert(rows.contains((1L, 2L, 3.0)))
+      assert(rows.contains((1L, 3L, 7.0)))
+      assert(rows.contains((2L, 1L, 5.0)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch and streaming tumbling windows agree on on-time data") {
     val s = spark
     import s.implicits._
