@@ -108,6 +108,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Llm.q_dedup_ngram _),
     "q_dedup_edit" -> (Llm.q_dedup_edit _),
     "q_dedup_embed" -> (Llm.q_dedup_embed _),
+    "q_dedup_clusters" -> (Llm.q_dedup_clusters _),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
     "q_sim_ivf" -> (Llm.q_sim_ivf _),

@@ -168,6 +168,21 @@ object Llm {
       .orderBy("id1", "id2")
   }
 
+  /** End-to-end near-dup resolution: minhash candidate pairs → connected
+    * components → canonical doc per cluster (min doc_id). This is the
+    * full dedup pipeline a training-data run executes: `keep = false`
+    * rows are the near-duplicates to drop. No oracle (hash-dependent);
+    * clustering invariants in OpsSpec.
+    */
+  def q_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = minhashPairs(docs, threshold = 0.5).select("id1", "id2")
+    Scale.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash per document + Hamming distance to the previous doc

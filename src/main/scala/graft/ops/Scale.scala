@@ -89,6 +89,43 @@ object Scale {
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Connected components by iterative min-label propagation: every node
+    * takes the minimum label in its neighborhood until fixpoint. Each
+    * iteration is one join + one aggregation (both shuffle on node id);
+    * convergence needs ~graph-diameter iterations — near-dup clusters
+    * are shallow, so a handful. `localCheckpoint` truncates the lineage
+    * per iteration (else the plan grows exponentially). The driver-side
+    * loop moves only a change-count per iteration.
+    *
+    * Input: an edge list. Output: (id, label) where label = min node id
+    * of the component. Nodes appear iff they appear in `nodes`.
+    */
+  def connectedComponents(nodes: DataFrame, nodeCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = nodes.select(col(nodeCol).as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Upsert (merge) for immutable columnar storage: rows from `updates`
     * replace base rows sharing the key; unmatched base rows survive.
     * Equivalent to `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED

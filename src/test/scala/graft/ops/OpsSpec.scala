@@ -69,6 +69,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
   }
 
+  test("q_dedup_clusters: every candidate pair co-clusters; keep = cluster minimum") {
+    import spark.implicits._
+    val clusters = Llm.q_dedup_clusters(spark, sf)
+      .select("doc_id", "cluster", "keep").as[(Long, Long, Boolean)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every minhash candidate pair must share a cluster
+    val pairs = Llm.q_dedup_minhash(spark, sf).select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => label(a) == label(b) })
+    // keep is exactly the minimum doc_id of each cluster
+    clusters.groupBy(_._2).foreach { case (cl, members) =>
+      assert(cl == members.map(_._1).min)
+      assert(members.filter(_._3).map(_._1).toSeq == Seq(cl))
+    }
+  }
+
   test("q_sim_topk: 5 neighbors per query, cos in [-1,1], descending") {
     import spark.implicits._
     val rows = Llm.q_sim_topk(spark, sf)

@@ -66,6 +66,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("connectedComponents: chains merge, singletons self-label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val labels = Scale.connectedComponents(nodes, "id", edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 1 iteration)") {
+    import spark.implicits._
+    val n = 12
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val labels = Scale.connectedComponents(nodes, "id", edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L), "whole path collapses to min label 1")
+  }
+
   test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {
     val ords = Tables.orders(spark, sf)
     val got = Scale.dedupKeepFirst(ords, Seq(col("o_custkey")), Seq(col("o_orderkey")))
