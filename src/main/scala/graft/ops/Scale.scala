@@ -112,15 +112,15 @@ object Scale {
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min("label").as("nlabel"))
+      // carry the changed-flag through the checkpoint so the convergence
+      // probe reads materialized data instead of recomputing the join
       val updated = labels.join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       i += 1
     }
     labels
