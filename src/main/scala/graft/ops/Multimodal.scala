@@ -68,11 +68,19 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Feature extraction over binary payloads via typed mapPartitions:
-    * the decode runs once per row inside a partition iterator (mirrors
-    * a vectorized/batched UDF's execution shape: per-partition setup cost
-    * amortized, no driver involvement, no shuffle). Rows-only check (the
-    * fake decoder is engine-internal).
+  /** ====== STUBBED RESIZE ======
+    * Stands in for an image/tensor resize: average-pool adjacent feature
+    * pairs (16 bins → 8). A real resize has the same contract — a pure
+    * per-row tensor→smaller-tensor map.
+    */
+  private[ops] def fakeResize(features: Array[Double]): Array[Double] =
+    features.grouped(2).map(p => p.sum / p.length).toArray
+
+  /** Decode → resize feature pipeline over binary payloads via typed
+    * mapPartitions: both stages run per row inside one partition
+    * iterator (mirrors a vectorized/batched UDF's execution shape:
+    * per-partition setup cost amortized, no driver involvement, no
+    * shuffle). Rows-only check (the fake codec is engine-internal).
     */
   def q_mm_features(s: SparkSession, d: String): DataFrame = {
     val spark = s
@@ -83,10 +91,11 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition "codec init" would go here
         it.map { case (id, payload) =>
-          (id, fakeDecode(payload), payload.length.toLong, "fake-decoder-v1")
+          val feats = fakeDecode(payload)
+          (id, feats, fakeResize(feats), payload.length.toLong, "fake-decoder-v1")
         }
       }
-      .toDF("doc_id", "features", "n_bytes", "decoder")
+      .toDF("doc_id", "features", "features_resized", "n_bytes", "decoder")
       .orderBy("doc_id")
   }
 }

@@ -103,8 +103,12 @@ object Scale {
   def connectedComponents(nodes: DataFrame, nodeCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // materialize the symmetric edge list ONCE — edges may be an
+    // expensive pipeline (e.g. minhash candidate generation), and every
+    // iteration joins against it
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint()
     var labels = nodes.select(col(nodeCol).as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -112,17 +116,29 @@ object Scale {
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min("label").as("nlabel"))
-      // carry the changed-flag through the checkpoint so the convergence
-      // probe reads materialized data instead of recomputing the join
-      val updated = labels.join(neighborMin, col("id") === col("a"), "left")
+      val hopped = labels.join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      // pointer jumping: follow label→label-of-label, so the min id
+      // spreads geometrically and convergence needs O(log diameter)
+      // iterations, not O(diameter)
+      val compressed = hopped.as("h")
+        .join(hopped.select(col("id").as("lid"), col("label").as("llabel")).as("l2"),
+          col("h.label") === col("l2.lid"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.label"), coalesce(col("llabel"), col("h.label"))).as("label"),
+          col("h.changed"))
+        .localCheckpoint() // carry changed through so the probe reads materialized data
+      converged = compressed.filter(col("changed")).isEmpty
+      labels = compressed.drop("changed")
       i += 1
     }
+    // silent non-convergence would split real components and (in dedup)
+    // retain duplicates — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — raise maxIter")
     labels
   }
 
@@ -131,6 +147,11 @@ object Scale {
     * Equivalent to `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
     * INSERT` with whole-row updates. One shuffle on the key (anti-join)
     * + a free union.
+    *
+    * PRECONDITION: `updates` must be key-unique — duplicate update keys
+    * all survive the union (SQL MERGE would raise "multiple source rows
+    * matched"). Run `dedupKeepFirst(updates, keys, tieBreaker)` first if
+    * the update stream can carry duplicates.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")

@@ -71,15 +71,17 @@ object Streaming {
     * arbitrary-stateful-processing API (StatefulProcessor + typed state
     * variables over the RocksDB state store, the successor to
     * `flatMapGroupsWithState`). Emits the updated running (count, sum)
-    * for each user on every micro-batch that touches them; state TTL
-    * bounds store size.
+    * for each user on every micro-batch that touches them. State here is
+    * UNBOUNDED (`TTLConfig.NONE` — running totals must never expire);
+    * pass a TTL for state that may be evicted.
     */
-  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+  class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
     @transient private var totals: ValueState[(Long, Double)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       totals = getHandle.getValueState[(Long, Double)](
-        "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+        "totals", Encoders.product[(Long, Double)], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {

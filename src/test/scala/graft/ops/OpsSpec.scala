@@ -128,12 +128,16 @@ class OpsSpec extends AnyFunSuite {
     assert(h.forall(_ >= 0.0))
   }
 
-  test("q_mm_features: schema and feature shape") {
+  test("q_mm_features: schema, feature shape, and pooled resize") {
     val df = Multimodal.q_mm_features(spark, sf)
-    assert(df.columns.toSeq == Seq("doc_id", "features", "n_bytes", "decoder"))
+    assert(df.columns.toSeq == Seq("doc_id", "features", "features_resized", "n_bytes", "decoder"))
     val r = df.head()
-    assert(r.getSeq[Double](1).size == 16)
-    assert(r.getLong(2) > 0)
+    val feats = r.getSeq[Double](1)
+    val resized = r.getSeq[Double](2)
+    assert(feats.size == 16 && resized.size == 8)
+    // pooling preserves mass: both normalize to the same total / 2
+    assert(math.abs(resized.sum - feats.sum / 2) < 1e-9)
+    assert(r.getLong(3) > 0)
   }
 
   test("winnowing: identical docs share all fingerprints; long shared substrings guarantee overlap") {

@@ -75,14 +75,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
-  test("connectedComponents converges on a long path (diameter > 1 iteration)") {
+  test("connectedComponents: pointer jumping converges a 200-node path within log-bound iterations") {
     import spark.implicits._
-    val n = 12
+    val n = 200
     val nodes = (1 to n).map(_.toLong).toDF("id")
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val labels = Scale.connectedComponents(nodes, "id", edges, "src", "dst")
+    // linear propagation would need 199 iterations; pointer jumping
+    // must finish within the 12 allowed here (~log2(200) + slack)
+    val labels = Scale.connectedComponents(nodes, "id", edges, "src", "dst", maxIter = 12)
       .as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(1L), "whole path collapses to min label 1")
+  }
+
+  test("connectedComponents fails loudly instead of returning split components") {
+    import spark.implicits._
+    val n = 64
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Scale.connectedComponents(nodes, "id", edges, "src", "dst", maxIter = 2)
+    }
   }
 
   test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {
