@@ -97,6 +97,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert laws: empty updates = identity; keys = base ∪ update keys; updates win") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Scale.upsert(base, empty, Seq("k")).except(base).isEmpty)
+    val updates = Seq((2L, "B!"), (9L, "new")).toDF("k", "v")
+    val out = Scale.upsert(base, updates, Seq("k")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "new"))
+  }
+
+  test("hashSample laws: fraction 100 keeps everything; subsets nest monotonically") {
+    val orders = Tables.orders(spark, sf)
+    assert(Scale.hashSample(orders, Seq(col("o_custkey")), 100.0).count() == orders.count())
+    val s5 = Scale.hashSample(orders, Seq(col("o_custkey")), 5.0)
+    val s20 = Scale.hashSample(orders, Seq(col("o_custkey")), 20.0)
+    assert(s5.except(s20).isEmpty, "smaller sample must be a subset of the larger")
+  }
+
   test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {
     val ords = Tables.orders(spark, sf)
     val got = Scale.dedupKeepFirst(ords, Seq(col("o_custkey")), Seq(col("o_orderkey")))
