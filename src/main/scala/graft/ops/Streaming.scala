@@ -67,6 +67,28 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: click events joined to the purchases that
+    * follow them within `window_` for the same user. Both sides carry
+    * watermarks and the join condition bounds the time skew, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the constraint — bounded state, the requirement for
+    * unbounded-stream joins.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          window_ : String = "10 minutes",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window_"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+  }
+
   /** Running per-user totals via `transformWithState` — Spark 4's
     * arbitrary-stateful-processing API (StatefulProcessor + typed state
     * variables over the RocksDB state store, the successor to

@@ -150,6 +150,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got.count() > 0)
   }
 
+  test("stream-stream join: purchases within the window match; state stays bounded by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = startQuery(
+      Streaming.clickToPurchaseJoin(clicks.toDF(), purchases.toDF(), "10 minutes", "10 minutes"),
+      "ssjoin")
+
+    clicks.addData(Ev(1, 1, "click", 0, ts(0)), Ev(2, 2, "click", 0, ts(0)))
+    purchases.addData(
+      Ev(10, 1, "purchase", 0, ts(5)),   // within 10 min of click 1 → match
+      Ev(11, 2, "purchase", 0, ts(25)),  // 25 min after click 2 → no match
+      Ev(12, 3, "purchase", 0, ts(5)))   // no click for user 3 → no match
+    q.processAllAvailable()
+    // advance both watermarks far enough to finalize and emit
+    clicks.addData(Ev(3, 9, "click", 0, ts(120)))
+    purchases.addData(Ev(13, 9, "purchase", 0, ts(120)))
+    q.processAllAvailable()
+    val joined = spark.table("ssjoin").select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(joined.contains((1L, 10L)))
+    assert(!joined.exists(_._2 == 11L))
+    assert(!joined.exists(_._2 == 12L))
+  }
+
   test("transformWithState: running per-user totals across micro-batches (RocksDB store)") {
     val s = spark
     import s.implicits._
