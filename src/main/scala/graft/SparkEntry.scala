@@ -52,6 +52,7 @@ object SparkEntry {
     "q_join_right" -> (Relational.q_join_right _),
     "q_join_full" -> (Relational.q_join_full _),
     "q_join_dims" -> (Relational.q_join_dims _),
+    "q_cross" -> (Relational.q_cross _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q_agg_group" -> (Relational.q_agg_group _),
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx" -> (Relational.q_agg_approx _),
+    "q_agg_approx_pct" -> (Relational.q_agg_approx_pct _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
     "q_agg_stats" -> (Relational.q_agg_stats _),
     "q_agg_collect" -> (Relational.q_agg_collect _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "q_string_funcs2" -> (Relational.q_string_funcs2 _),
     "q_map_funcs" -> (Relational.q_map_funcs _),
     "q_date_funcs" -> (Relational.q_date_funcs _),
+    "q_date_funcs2" -> (Relational.q_date_funcs2 _),
     "q_math_funcs" -> (Relational.q_math_funcs _),
     "q_cond_funcs" -> (Relational.q_cond_funcs _),
     "q_array_funcs" -> (Relational.q_array_funcs _),
@@ -430,6 +433,20 @@ object SparkEntry {
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_us,
         |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(o_orderdate AS DATE) + 45 AS plus45d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_filter_like" ->
       """SELECT p_partkey,

@@ -186,6 +186,17 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles (t-digest-style sketch, merge-able — the
+    * at-scale alternative to exact `percentile`). Approximate → no
+    * oracle; rows-only driver check + EntrySpec smoke.
+    */
+  def q_agg_approx_pct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy("o_orderpriority")
+
   def q_agg_rollup(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -209,6 +220,15 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explicit cross join (tiny × tiny: every region-nation combination).
+    * Cross joins are only ever sane when at least one side is
+    * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.
+    */
+  def q_cross(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_nationkey"), col("n_name")))
+      .orderBy("r_regionkey", "n_nationkey")
 
   /** Upsert (merge) emulation over immutable storage: updates override
     * base rows on the key (anti-join keeps unmatched base rows, union
@@ -562,6 +582,20 @@ object Relational {
         round(pow(col("l_discount"), 2), 8).as("p2"),
         (col("l_quantity").cast("long") % 7).as("md"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** Second date family: month arithmetic (end-clamped), last_day,
+    * ISO week, day-of-week, explicit day adds.
+    */
+  def q_date_funcs2(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"), // 1 = Sunday
+        date_add(col("o_orderdate").cast("date"), 45).as("plus45d"))
+      .orderBy("o_orderkey")
 
   def q_cond_funcs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
