@@ -74,6 +74,7 @@ object SparkEntry {
     "q_window_lag" -> (Relational.q_window_lag _),
     "q_window_running" -> (Relational.q_window_running _),
     "q_window_ntile" -> (Relational.q_window_ntile _),
+    "q_window_range_frame" -> (Relational.q_window_range_frame _),
     // sort / limit / top-k
     "q_sort_limit" -> (Relational.q_sort_limit _),
     "q_topk_group" -> (Relational.q_topk_group _),
@@ -368,6 +369,15 @@ object SparkEntry {
     "q_source_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  count(*) OVER w AS n_near,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -427,6 +427,21 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** RANGE frame (value-based, not row-based): for each order, how many
+    * orders of the same priority fall within ±10000 of its price, and
+    * their price sum — peers enter the frame by VALUE distance.
+    */
+  def q_window_range_frame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, 10000L)
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("near_sum"))
+      .orderBy("o_orderkey")
+  }
+
   /** Distribution window functions: quartile bucket + percentile position
     * per partition.
     */
