@@ -53,6 +53,8 @@ object SparkEntry {
     "q_join_full" -> (Relational.q_join_full _),
     "q_join_dims" -> (Relational.q_join_dims _),
     "q_cross" -> (Relational.q_cross _),
+    "q_tpch_q3ish" -> (Relational.q_tpch_q3ish _),
+    "q_tpch_q5ish" -> (Relational.q_tpch_q5ish _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
@@ -443,6 +445,31 @@ object SparkEntry {
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_us,
         |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_tpch_q3ish" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-09-01'
+        |  AND l_shipdate > TIMESTAMP '1995-03-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5ish" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name

@@ -221,6 +221,41 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** TPC-H Q3-shaped: shipping-priority top-10 — segment-filtered
+    * customers ⨝ orders ⨝ lineitem, revenue per order, top 10.
+    * Catalyst pushes both filters into the scans; the two joins shuffle
+    * on custkey/orderkey; `TakeOrderedAndProject` caps the result.
+    */
+  def q_tpch_q3ish(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-09-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped: local-supplier volume — the full six-table join
+    * graph (region→nation→{customer,supplier}→orders→lineitem) with the
+    * customer and supplier constrained to the same nation, revenue per
+    * nation. region/nation broadcast; the fact-side joins shuffle on
+    * their keys.
+    */
+  def q_tpch_q5ish(s: SparkSession, d: String): DataFrame =
+    region(s, d).filter(col("r_name") === "ASIA")
+      .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.
