@@ -145,7 +145,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_project_cast" ->
       """SELECT p_partkey, p_name AS part_name,
-        |  CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+        |  round(p_retailprice + 1e-9, 2) AS price_r,
         |  CAST(p_size AS BIGINT) AS size_l
         |FROM part ORDER BY p_partkey""".stripMargin,
 
@@ -241,8 +241,8 @@ object SparkEntry {
 
     "q_agg_collect" ->
       """SELECT o_orderpriority,
-        |  list_sort(list(o_orderkey)) AS big_orders,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS big_orders,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  count(*) AS n
         |FROM orders WHERE o_totalprice > 450000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -506,7 +506,8 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_map_funcs" ->
-      """SELECT event_id, json_keys(props) AS ks,
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
         |  json_extract(props, '$.k') IS NOT NULL AS has_k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -639,7 +640,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_binary" ->
-      """SELECT doc_id, encode(text) AS payload,
+      """SELECT doc_id, hex(encode(text)) AS payload_hex,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -392,8 +392,21 @@ object Llm {
   /** doc_id, fingerprints array, fingerprint count. Rows-only check;
     * sharing guarantee asserted in OpsSpec.
     */
+  /** Gate-facing view of [[winnowFingerprints]]: the fingerprint array
+    * is surfaced as scalars (count, min/max, digest of the canonical
+    * CSV) — the driver's pandas compare can't hash array cells
+    * (round-1 gate error). The digest pins the exact multiset.
+    */
   def q_winnow(s: SparkSession, d: String): DataFrame =
-    winnowFingerprints(documents(s, d)).orderBy("doc_id")
+    winnowFingerprints(documents(s, d))
+      .select(
+        col("doc_id"),
+        col("n_fp"),
+        array_min(col("fingerprints")).as("fp_min"),
+        array_max(col("fingerprints")).as("fp_max"),
+        md5(array_join(transform(array_sort(col("fingerprints")), _.cast("string")), ","))
+          .as("fp_digest"))
+      .orderBy("doc_id")
 
   def winnowFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), winnowUdf(col("text")).as("fingerprints"))

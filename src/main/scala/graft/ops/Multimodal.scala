@@ -17,13 +17,17 @@ object Multimodal {
   import Tables._
 
   /** Binary payload carry-through + metadata: cast → byte length →
-    * content digest. DuckDB-verifiable (BLOB + sha256 parity).
+    * content digest. DuckDB-verifiable (BLOB + sha256 parity). The
+    * payload itself is surfaced as its hex rendering — raw BLOB cells
+    * are unhashable in the driver's pandas compare (round-1 gate
+    * error), and hex is a lossless, order-stable encoding both engines
+    * produce identically (uppercase).
     */
   def q_mm_binary(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(
         col("doc_id"),
-        col("text").cast("binary").as("payload"),
+        hex(col("text").cast("binary")).as("payload_hex"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
         sha2(col("text").cast("binary"), 256).as("digest"))
       .orderBy("doc_id")
@@ -82,7 +86,7 @@ object Multimodal {
     * per-partition setup cost amortized, no driver involvement, no
     * shuffle). Rows-only check (the fake codec is engine-internal).
     */
-  def q_mm_features(s: SparkSession, d: String): DataFrame = {
+  def features(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     documents(s, d)
@@ -96,6 +100,22 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "features", "features_resized", "n_bytes", "decoder")
+  }
+
+  /** Gate-facing view of [[features]]: the vector columns are rendered
+    * as rounded CSV strings because the driver's pandas compare can't
+    * hash array cells (round-1 gate error). Downstream consumers use
+    * [[features]] directly for the typed arrays.
+    */
+  def q_mm_features(s: SparkSession, d: String): DataFrame = {
+    def csv(c: org.apache.spark.sql.Column) =
+      array_join(transform(c, x => round(x, 6).cast("string")), ",")
+    features(s, d)
+      .select(
+        col("doc_id"),
+        csv(col("features")).as("features_csv"),
+        csv(col("features_resized")).as("resized_csv"),
+        col("n_bytes"), col("decoder"))
       .orderBy("doc_id")
   }
 }

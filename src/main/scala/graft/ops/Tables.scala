@@ -21,8 +21,11 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) — finer than Spark's
-    * microsecond `TimestampType`, rejected by the reader outright. We
-    * read nanos as raw longs (`nanosAsLong`) and expose BOTH:
+    * microsecond `TimestampType`, rejected by the reader outright. The
+    * session must have `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set once in GraftSession.configure — NOT mutated here, so reads
+    * are order-independent and the flag never leaks as a side effect
+    * of building a plan). We read nanos as raw longs and expose BOTH:
     *   - `ts_ns` LongType: exact nanoseconds (use for ordering /
     *     as-of comparisons that must match a ns-precision oracle);
     *   - `ts` TimestampType: micro-truncated (use for window() /
@@ -30,7 +33,10 @@ object Tables {
     *     across any >=1s window boundary).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet has TIMESTAMP(NANOS); build the session via GraftSession " +
+        "(sets spark.sql.legacy.parquet.nanosAsLong=true)")
     apply(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -298,14 +298,26 @@ final class DPP private (initial: Seq[(String, DataFrame)]) extends Dynamic {
     * independent lineages of the Spark DAG genuinely execute at the same
     * time, sharing executors.
     */
-  def materialize(names: Seq[String] = Nil, parallel: Boolean = true): Map[String, Long] = {
+  def materialize(
+      names: Seq[String] = Nil,
+      parallel: Boolean = true,
+      timeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration(24, "hours"),
+      maxConcurrency: Int = 8): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     val targets = if (names.isEmpty) context.keys.toVector else names.toVector
-    if (parallel) {
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val fs = targets.map(n => Future(n -> apply(n).count()))
-      Await.result(Future.sequence(fs), Duration.Inf).toMap
+    if (parallel && targets.size > 1) {
+      // Dedicated bounded pool, not ExecutionContext.global: the global
+      // pool is shared process-wide and can starve when many slots (or
+      // other libraries) materialize at once; and a finite default
+      // timeout means a hung Spark action surfaces as a TimeoutException
+      // instead of deadlocking the caller forever.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrency, targets.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = targets.map(n => Future(n -> apply(n).count()))
+        Await.result(Future.sequence(fs), timeout).toMap
+      } finally pool.shutdown()
     } else {
       targets.map(n => n -> apply(n).count()).toMap
     }

@@ -129,7 +129,11 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("q_mm_features: schema, feature shape, and pooled resize") {
-    val df = Multimodal.q_mm_features(spark, sf)
+    val gate = Multimodal.q_mm_features(spark, sf)
+    assert(gate.columns.toSeq == Seq("doc_id", "features_csv", "resized_csv", "n_bytes", "decoder"))
+    assert(gate.schema.fields.forall(f => !f.dataType.typeName.contains("array")),
+      "gate query must expose only scalar columns (driver pandas hash)")
+    val df = Multimodal.features(spark, sf)
     assert(df.columns.toSeq == Seq("doc_id", "features", "features_resized", "n_bytes", "decoder"))
     val r = df.head()
     val feats = r.getSeq[Double](1)

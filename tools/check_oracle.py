@@ -1,34 +1,37 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle_sql.json
-query in DuckDB against the sf parquet tables and compare (schema-name set,
-row count, values) with the Spark-written parquet in the verify out dir.
+query in DuckDB against the sf parquet tables and compare with the
+Spark-written parquet in the verify out dir.
+
+Mirrors the DRIVER's comparison path (pandas), not a hand-rolled value
+compare: both sides go through DataFrame → lowercase/sort columns →
+sort_values over all columns → hash_pandas_object. That reproduces the
+driver's failure modes too — list/bytes-typed cells raise inside
+sort_values/hash (unhashable type), exactly as in the round-1 driver run,
+so such queries FAIL here instead of passing locally and erroring in the
+round gate.
+
+Also checks queries WITHOUT an oracle (rows-only in the driver): their
+Spark parquet must still survive the pandas sort/hash path.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v)
-    return v
 
 def frame(con, sql):
-    cur = con.sql(sql)
-    cols = [c.lower() for c in cur.columns]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    cols_sorted = [cols[i] for i in order]
-    rows_sorted = [tuple(canon(r[i]) for i in order) for r in rows]
-    return cols_sorted, rows_sorted
+    """DataFrame → (sorted-cols frame, row hash) the way the driver does."""
+    df = con.sql(sql).df()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    h = pd.util.hash_pandas_object(df, index=False)
+    return df, int(h.sum()) & (2**64 - 1)
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -36,46 +39,60 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    out_queries = sorted(
+        p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/"))
     failures = 0
-    for name in sorted(oracles):
-        sql = oracles[name]
+    for name in out_queries:
         try:
-            ocols, orows = frame(con, sql)
+            sdf, shash = frame(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: spark output unreadable/unhashable (driver would error): "
+                  f"{type(e).__name__}: {e}")
             failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK   {name} ({len(sdf)} rows, rows-only: no oracle)")
             continue
         try:
-            scols, srows = frame(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            odf, ohash = frame(con, oracles[name])
         except Exception as e:
-            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
             failures += 1
             continue
-        if ocols != scols:
-            print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark:  {scols}")
+        if list(odf.columns) != list(sdf.columns):
+            print(f"FAIL {name}: columns differ\n  oracle: {list(odf.columns)}\n  spark:  {list(sdf.columns)}")
             failures += 1
             continue
-        if len(orows) != len(srows):
-            print(f"FAIL {name}: row count {len(orows)} (oracle) vs {len(srows)} (spark)")
+        if len(odf) != len(sdf):
+            print(f"FAIL {name}: row count {len(odf)} (oracle) vs {len(sdf)} (spark)")
             failures += 1
             continue
-        bad = None
-        for i, (a, b) in enumerate(zip(orows, srows)):
-            if a != b:
-                # float tolerance report (still a failure — driver hashes exact)
-                bad = (i, a, b)
-                break
-        if bad:
-            i, a, b = bad
-            print(f"FAIL {name}: first diff at row {i}")
-            for c, x, y in zip(ocols, a, b):
-                if x != y:
-                    print(f"    col {c}: oracle={x!r} spark={y!r}")
+        if ohash != shash:
+            print(f"FAIL {name}: hash mismatch")
+            # best-effort first-diff report for debugging
+            try:
+                neq = (odf != sdf) & ~(odf.isna() & sdf.isna())
+                rows = neq.any(axis=1)
+                i = int(rows.idxmax()) if rows.any() else -1
+                if i >= 0:
+                    for c in odf.columns:
+                        x, y = odf.at[i, c], sdf.at[i, c]
+                        isnan = (isinstance(x, float) and isinstance(y, float)
+                                 and math.isnan(x) and math.isnan(y))
+                        if x != y and not isnan:
+                            print(f"    row {i} col {c}: oracle={x!r} spark={y!r}")
+            except Exception:
+                pass
             failures += 1
         else:
-            print(f"OK   {name} ({len(orows)} rows)")
+            print(f"OK   {name} ({len(odf)} rows)")
+    missing = sorted(set(oracles) - set(out_queries))
+    for name in missing:
+        print(f"FAIL {name}: oracle declared but no spark output directory")
+        failures += 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
