@@ -53,6 +53,7 @@ object SparkEntry {
     "q_join_full" -> (Relational.q_join_full _),
     "q_join_dims" -> (Relational.q_join_dims _),
     "q_cross" -> (Relational.q_cross _),
+    "q_tpch_q1ish" -> (Relational.q_tpch_q1ish _),
     "q_tpch_q3ish" -> (Relational.q_tpch_q3ish _),
     "q_tpch_q5ish" -> (Relational.q_tpch_q5ish _),
     "q_join_semi" -> (Relational.q_join_semi _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_agg_approx_pct" -> (Relational.q_agg_approx_pct _),
     "q_agg_rollup" -> (Relational.q_agg_rollup _),
     "q_agg_stats" -> (Relational.q_agg_stats _),
+    "q_agg_stats2" -> (Relational.q_agg_stats2 _),
     "q_agg_collect" -> (Relational.q_agg_collect _),
     "q_agg_histogram" -> (Relational.q_agg_histogram _),
     "q_agg_percentile" -> (Relational.q_agg_percentile _),
@@ -126,6 +128,9 @@ object SparkEntry {
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
     "q_winnow" -> (Llm.q_winnow _),
+    "q_quality_signals" -> (Llm.q_quality_signals _),
+    "q_ngram_topk" -> (Llm.q_ngram_topk _),
+    "q_text_redact" -> (Llm.q_text_redact _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -246,6 +251,63 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice > 450000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q1ish" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) + 1e-9, 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*) + 1e-9, 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_stats2" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(s1/n + 1e-9, 4) AS mean_qty,
+        |  round((s2/n - (s1/n)*(s1/n)) + 1e-9, 4) AS var_pop,
+        |  round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 1.5) + 1e-9, 4) AS skew_pop,
+        |  round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 2) - 3 + 1e-9, 4) AS kurt_pop
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_quality_signals" ->
+      """WITH wc AS (
+        |  SELECT doc_id, word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word
+        |), per AS (
+        |  SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct, max(cnt) AS top_cnt
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE)/n_words + 1e-9, 4) AS dup_frac,
+        |  round(CAST(top_cnt AS DOUBLE)/n_words + 1e-9, 4) AS top_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_topk" ->
+      """WITH b AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents)
+        |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_hits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_orders,

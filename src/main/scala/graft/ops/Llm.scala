@@ -578,4 +578,68 @@ object Llm {
         md5(lower(trim(col("text"))).cast("binary")).as("fp_md5"),
         array_min(transform(split(col("text"), " "), w => md5(w.cast("binary")))).as("fp_minword"))
       .orderBy("doc_id")
+
+  /** Repetition-based quality signals (Gopher-style filters): per-doc
+    * duplicate-word fraction and most-frequent-word fraction. The shape
+    * is two hash aggregations — explode → (doc, word) partial counts →
+    * per-doc reduce — both with map-side combine, so at 100 TB the
+    * shuffled bytes are distinct-(doc,word) pairs, not raw tokens.
+    * All arithmetic is integer-derived with the suite's +1e-9 nudge.
+    */
+  def q_quality_signals(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words") + lit(1e-9), 4)
+          .as("dup_frac"),
+        round(col("top_cnt").cast("double") / col("n_words") + lit(1e-9), 4)
+          .as("top_frac"))
+      .orderBy("doc_id")
+
+  /** One-pass JVM bigram kernel (Spark's array HOF lambdas evaluate
+    * interpreted — the measured 40× penalty on signature loops — and
+    * this also skips materializing the words array per row).
+    */
+  private val bigramsUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val w = text.split(' ')
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+  }
+
+  /** Global n-gram heavy hitters — the corpus-statistics op behind
+    * boilerplate detection and contamination checks. explode happens
+    * inside the scan stage; the only shuffle carries (bigram, partial
+    * count) pairs (map-side combine), then a global top-k. Deterministic
+    * total order via the (count desc, bigram) tiebreak.
+    */
+  def q_ngram_topk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(bigramsUdf(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+
+  /** Regex scrubbing / PII-redaction shape: pattern → replacement with a
+    * per-row hit count, all codegen'd string expressions (no UDF). At
+    * 100 TB this is a pure map — no shuffle, scales linearly with input.
+    */
+  def redact(df: DataFrame, c: Column, pattern: String, repl: String): DataFrame =
+    df.withColumn("redacted", regexp_replace(c, pattern, repl))
+      .withColumn("n_hits", size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long"))
+
+  def q_text_redact(s: SparkSession, d: String): DataFrame =
+    redact(customer(s, d), col("c_name"), "[0-9]+", "<NUM>")
+      .select("c_custkey", "redacted", "n_hits")
+      .orderBy("c_custkey")
 }

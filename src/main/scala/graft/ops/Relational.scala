@@ -260,6 +260,54 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("n_name"))
 
+  /** TPC-H Q1-shaped: the canonical pricing-summary full-scan aggregate —
+    * one pass over the fact table, grouped by two low-cardinality flags,
+    * four compound-expression sums plus averages and counts. Pure
+    * scan → partial agg → 6-row final agg: at 100 TB this is bandwidth-
+    * bound with near-zero shuffle. Products carry up to 6 decimals, so
+    * the exact-DECIMAL accumulation uses scale 6 (no per-row rounding).
+    */
+  def q_tpch_q1ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("sum_disc"),
+        dsum(expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"), 6).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)) + lit(1e-9), 4).as("avg_qty"),
+        round(dsum(col("l_discount")) / count(lit(1)) + lit(1e-9), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Higher-moment statistics (skewness / kurtosis) from exact integer
+    * power sums: l_quantity is integral, so Σx..Σx⁴ accumulate exactly
+    * as BIGINTs (order-insensitive, overflow-safe at any tested sf), and
+    * the closing double arithmetic is written in the identical form in
+    * the DuckDB oracle — bit-identical results without relying on the
+    * engines' own skewness()/kurtosis() (whose bias corrections differ).
+    * One partial+final aggregation pass, like any moment sketch at scale.
+    */
+  def q_agg_stats2(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"),
+        sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+      .selectExpr(
+        "l_returnflag", "n",
+        "round(s1/n + 1e-9, 4) AS mean_qty",
+        "round((s2/n - (s1/n)*(s1/n)) + 1e-9, 4) AS var_pop",
+        "round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 1.5) + 1e-9, 4) AS skew_pop",
+        "round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / pow(s2/n - (s1/n)*(s1/n), 2) - 3 + 1e-9, 4) AS kurt_pop")
+      .orderBy("l_returnflag")
+  }
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.
