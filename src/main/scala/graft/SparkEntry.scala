@@ -79,9 +79,12 @@ object SparkEntry {
     "q_window_running" -> (Relational.q_window_running _),
     "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_window_range_frame" -> (Relational.q_window_range_frame _),
+    "q_window_firstlast" -> (Relational.q_window_firstlast _),
     // sort / limit / top-k
     "q_sort_limit" -> (Relational.q_sort_limit _),
     "q_topk_group" -> (Relational.q_topk_group _),
+    "q_sample_hash" -> (Relational.q_sample_hash _),
+    "q_subquery_scalar" -> (Relational.q_subquery_scalar _),
     // set ops
     "q_union" -> (Relational.q_union _),
     "q_union_all" -> (Relational.q_union_all _),
@@ -108,6 +111,7 @@ object SparkEntry {
     // sources (csv / json round-trips, from_json parsing)
     "q_source_csv" -> (Sources.q_source_csv _),
     "q_source_json" -> (Sources.q_source_json _),
+    "q_source_orc" -> (Sources.q_source_orc _),
     "q_source_from_json" -> (Sources.q_source_from_json _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
@@ -131,6 +135,7 @@ object SparkEntry {
     "q_quality_signals" -> (Llm.q_quality_signals _),
     "q_ngram_topk" -> (Llm.q_ngram_topk _),
     "q_text_redact" -> (Llm.q_text_redact _),
+    "q_contamination" -> (Llm.q_contamination _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -308,6 +313,47 @@ object SparkEntry {
         |  regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_hits
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '29'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                             / count(o_totalprice) FROM orders) * 2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT * FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |           string_split(text, ' ')[i+4])) AS gram
+        |  FROM documents
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |   corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_orders,

@@ -642,4 +642,40 @@ object Llm {
     redact(customer(s, d), col("c_name"), "[0-9]+", "<NUM>")
       .select("c_custkey", "redacted", "n_hits")
       .orderBy("c_custkey")
+
+  private val ContamN = 5 // word n-gram length for contamination checks
+
+  /** One-pass JVM word-n-gram kernel (same rationale as [[bigramsUdf]]). */
+  private val ngram5Udf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val w = text.split(' ')
+      if (w.length < ContamN) Array.empty[String]
+      else Array.tabulate(w.length - ContamN + 1) { i =>
+        val b = new StringBuilder(w(i))
+        var j = 1
+        while (j < ContamN) { b.append(' ').append(w(i + j)); j += 1 }
+        b.toString
+      }
+    }
+  }
+
+  /** Benchmark-contamination check: count the distinct word 5-grams each
+    * corpus document shares with a benchmark set (here: the `src0`
+    * slice) — the decontamination op every training pipeline runs before
+    * eval. Shape at 100 TB: explode n-grams inside the scan stage,
+    * distinct per side (map-side combined), equi-join on the gram —
+    * never doc × doc. The benchmark side is eval-suite-sized, so
+    * Catalyst/AQE broadcasts it; corpus bytes shuffle at most once.
+    */
+  def q_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(ngram5Udf(col("text"))).as("gram")).distinct()
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(ngram5Udf(col("text"))).as("gram")).distinct()
+    corpus.join(bench, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }

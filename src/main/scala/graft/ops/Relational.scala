@@ -308,6 +308,55 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Boundary analytics (first_value / last_value / nth_value) with an
+    * explicit full frame for last_value — under the default ANSI frame
+    * (UNBOUNDED PRECEDING..CURRENT ROW) last_value is just the current
+    * row, the classic window trap; nth_value keeps the default frame, so
+    * it is NULL until the 2nd row arrives (identical in both engines).
+    * Partitioned by o_custkey: many small groups — the scale-friendly
+    * window shape (contrast the skewed-window pre-prune in
+    * q_window_rank).
+    */
+  def q_window_firstlast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic, reproducible sampling: keep a row iff a hash of its
+    * key lands under a threshold (md5-prefix < '29' ≈ 41/256 ≈ 16%).
+    * Key-consistent (same key always sampled together across tables and
+    * runs), embarrassingly parallel, no shuffle — the 100 TB sampling
+    * recipe. md5 rather than xxhash64 so DuckDB can verify exactly;
+    * `Scale.hashSample` is the faster xxhash64 variant (OpsSpec).
+    */
+  def q_sample_hash(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "29")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Scalar-subquery shape: compare every row against a whole-table
+    * aggregate. The aggregate reduces to ONE row, which is broadcast
+    * back across the fact table — two passes over the data, no shuffle
+    * of the fact side. The average is exact-decimal accumulated so the
+    * threshold double is bit-identical to the oracle's.
+    */
+  def q_subquery_scalar(s: SparkSession, d: String): DataFrame = {
+    val stats = orders(s, d).agg(davg(col("o_totalprice"), 2).as("avg_price"))
+    orders(s, d)
+      .crossJoin(broadcast(stats))
+      .filter(col("o_totalprice") > col("avg_price") * 2)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.

@@ -58,6 +58,16 @@ object Sources {
       .orderBy("c_custkey")
   }
 
+  /** parquet → ORC → ORC scan: the second columnar format Spark ships
+    * natively (predicate pushdown, column pruning, and splittable files
+    * work the same as parquet — SourcesSpec asserts the pushdown).
+    */
+  def q_source_orc(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(s"orc_${math.abs(d.hashCode).toHexString}")
+    Tables.supplier(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("s_suppkey")
+  }
+
   /** Parse a JSON string column into typed fields (`from_json`) — the
     * streaming-ingest pattern (Kafka value → struct) run over
     * `events.props`.

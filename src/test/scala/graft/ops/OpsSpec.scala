@@ -201,4 +201,34 @@ class OpsSpec extends AnyFunSuite {
     val cust = Tables.customer(spark, sf).select(Sources.customerSchema.fieldNames.map(col): _*)
     assert(json.except(cust).isEmpty && cust.except(json).isEmpty)
   }
+
+  test("orc round-trip preserves values; predicates push into the ORC scan") {
+    val orc = Sources.q_source_orc(spark, sf)
+    val sup = Tables.supplier(spark, sf)
+    assert(orc.except(sup).isEmpty && sup.except(orc).isEmpty)
+    val plan = orc.filter(col("s_suppkey") > 5).queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(s_suppkey), GreaterThan(s_suppkey,5)"),
+      s"expected ORC pushdown in:\n$plan")
+  }
+
+  test("q_contamination: src0 docs are the benchmark; only genuinely shared 5-grams count") {
+    import spark.implicits._
+    val out = Llm.q_contamination(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every flagged doc is non-benchmark
+    val src0Ids = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.keySet.intersect(src0Ids).isEmpty)
+    assert(out.values.forall(_ >= 1))
+  }
+
+  test("q_sample_hash: deterministic and key-consistent across runs") {
+    import spark.implicits._
+    val a = Relational.q_sample_hash(spark, sf).select("o_orderkey").as[Long].collect().toSet
+    val b = Relational.q_sample_hash(spark, sf).select("o_orderkey").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val n = Tables.orders(spark, sf).count()
+    // 41/256 ≈ 16% ± generous slack
+    assert(a.size > n * 0.08 && a.size < n * 0.26, s"sample ${a.size} of $n out of band")
+  }
 }
