@@ -56,6 +56,8 @@ object SparkEntry {
     "q_tpch_q1ish" -> (Relational.q_tpch_q1ish _),
     "q_tpch_q3ish" -> (Relational.q_tpch_q3ish _),
     "q_tpch_q5ish" -> (Relational.q_tpch_q5ish _),
+    "q_tpch_q10ish" -> (Relational.q_tpch_q10ish _),
+    "q_tpch_q18ish" -> (Relational.q_tpch_q18ish _),
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "q_topk_group" -> (Relational.q_topk_group _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
     "q_subquery_scalar" -> (Relational.q_subquery_scalar _),
+    "q_subquery_corr" -> (Relational.q_subquery_corr _),
     // set ops
     "q_union" -> (Relational.q_union _),
     "q_union_all" -> (Relational.q_union_all _),
@@ -136,6 +139,7 @@ object SparkEntry {
     "q_ngram_topk" -> (Llm.q_ngram_topk _),
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
+    "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -578,6 +582,36 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q10ish" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18ish" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum_qty > 150) big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_subquery_corr" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name

@@ -492,6 +492,22 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** Full distributed k-means clustering over the embedding corpus
+    * (`Scale.kMeans` — Lloyd until convergence, map-side assignment,
+    * one partial+final agg per iteration). Surfaces the cluster census:
+    * size and majority label per cluster — the topic/domain-bucketing
+    * step of a training-data pipeline. No oracle (iterative float
+    * refinement isn't SQL); OpsSpec asserts the Lloyd invariants
+    * (monotone WCSS, nearest-centroid assignment, full coverage).
+    */
+  def q_cluster_kmeans(s: SparkSession, d: String): DataFrame = {
+    val model = Scale.kMeans(embeddings(s, d), "embedding", k = 8, maxIters = 5)
+    model.assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("n_labels"))
+      .orderBy("cluster")
+  }
+
   // ---- text analysis --------------------------------------------------
 
   def q_text_stats(s: SparkSession, d: String): DataFrame =

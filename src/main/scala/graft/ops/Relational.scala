@@ -357,6 +357,64 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Correlated-subquery shape (TPC-H Q2/Q17 family): rows matching a
+    * per-group extreme — "each nation's richest customer(s)". Written
+    * as the DE-correlated plan Catalyst itself rewrites such subqueries
+    * into: one grouped aggregate (tiny — one row per correlation key),
+    * broadcast-joined back, equality filter. The fact side never
+    * shuffles for the join; the oracle keeps the correlated-SQL form so
+    * both phrasings are proven equivalent.
+    */
+  def q_subquery_corr(s: SparkSession, d: String): DataFrame = {
+    val mx = customer(s, d).groupBy(col("c_nationkey").as("k"))
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    customer(s, d)
+      .join(broadcast(mx), col("c_nationkey") === col("k") && col("c_acctbal") === col("max_bal"))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q10-shaped: returned-item report — which customers returned
+    * the most revenue in a quarter. Two fact-side shuffles (orders⨝
+    * customer on custkey, lineitem⨝orders on orderkey) with both date
+    * and returnflag filters pushed into the scans; nation broadcasts;
+    * TakeOrderedAndProject caps the result at 20, so only 20 rows ever
+    * reach the driver regardless of corpus size.
+    */
+  def q_tpch_q10ish(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18-shaped: large-volume orders — HAVING over a grouped
+    * fact aggregate, then the qualifying keys join BACK to the fact
+    * dimension rows. The aggregate shrinks lineitem to one row per
+    * order BEFORE any wide join (the filter-early shape that matters at
+    * 100 TB: the HAVING survivors are a tiny fraction, and AQE turns
+    * the join back into a broadcast at runtime).
+    */
+  def q_tpch_q18ish(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.

@@ -177,4 +177,74 @@ object Scale {
     val w = Window.partitionBy(keyCols: _*).orderBy(tieBreaker: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Result of [[kMeans]]: final centroids (k × dim, driver-side — small
+    * BY CONSTRUCTION), the input with a `cluster` column, and the
+    * within-cluster sum of squares after each Lloyd iteration (empty
+    * unless `trackWcss`).
+    */
+  final case class KMeansModel(centroids: Array[Array[Double]],
+                               assigned: DataFrame,
+                               wcssHistory: Seq[Double])
+
+  /** Full distributed Lloyd k-means over an `array<double>` column.
+    *
+    * Per iteration: broadcast the k×dim centroid matrix, assign each row
+    * to its nearest centroid map-side (no shuffle), then recompute means
+    * with ONE partial+final aggregation — `(cluster, dim) → avg` via
+    * posexplode, so the shuffle moves at most k·dim·partitions partial
+    * sums regardless of corpus size. Only the centroid matrix ever
+    * reaches the driver. Initialization is a deterministic stride
+    * sample (reproducible across runs/partitionings); empty clusters
+    * keep their previous centroid. Stops early when no centroid moves
+    * more than `tol` (squared L2).
+    */
+  def kMeans(df: DataFrame, vecCol: String, k: Int, maxIters: Int = 10,
+             tol: Double = 1e-9, trackWcss: Boolean = false): KMeansModel = {
+    val spark = df.sparkSession
+    def nearest(cents: Array[Array[Double]]) = {
+      val bc = spark.sparkContext.broadcast(cents)
+      udf { e: Seq[Double] =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < bc.value.length) {
+          val cent = bc.value(c); var d = 0.0; var i = 0
+          val n = math.min(e.length, cent.length)
+          while (i < n) { val x = e(i) - cent(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, bestD)
+      }
+    }
+    val vecs = df.select(col(vecCol).cast("array<double>").as("__v")).cache()
+    // deterministic init: spread starting points with a stride over a
+    // hash ranking (stable under repartitioning; no Math.random)
+    var centroids: Array[Array[Double]] = vecs
+      .withColumn("__h", xxhash64(to_json(col("__v"))))
+      .orderBy("__h").limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var wcss = List.empty[Double]
+    var moved = true
+    var it = 0
+    while (moved && it < maxIters) {
+      val a = vecs.withColumn("__c", nearest(centroids)(col("__v")))
+      if (trackWcss)
+        wcss ::= a.agg(sum(col("__c._2"))).head().getDouble(0)
+      val means = a
+        .select(col("__c._1").as("cl"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cl, rows) => (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+      val next = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+      moved = centroids.zip(next).exists { case (a0, b0) =>
+        a0.zip(b0).map { case (x, y) => (x - y) * (x - y) }.sum > tol
+      }
+      centroids = next
+      it += 1
+    }
+    val assigned = df.withColumn("cluster",
+      nearest(centroids)(col(vecCol).cast("array<double>")).getField("_1"))
+    vecs.unpersist()
+    KMeansModel(centroids, assigned, wcss.reverse)
+  }
 }

@@ -222,6 +222,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= 1))
   }
 
+  test("kMeans: monotone WCSS, in-range assignment, full coverage") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val model = Scale.kMeans(emb, "embedding", k = 4, maxIters = 4, trackWcss = true)
+    assert(model.centroids.length == 4 && model.centroids.forall(_.length == 64))
+    assert(model.wcssHistory.nonEmpty)
+    // Lloyd's invariant: WCSS never increases between iterations
+    model.wcssHistory.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"WCSS rose: ${model.wcssHistory}")
+      case _ =>
+    }
+    val cl = model.assigned.select("cluster").as[Int].collect()
+    assert(cl.length == emb.count() && cl.forall(c => c >= 0 && c < 4))
+    // assignment is genuinely the nearest centroid for a spot-checked row
+    val row = model.assigned.select(col("embedding").cast("array<double>"), col("cluster")).head()
+    val v = row.getSeq[Double](0)
+    val dists = model.centroids.map(c => c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(dists(row.getInt(1)) == dists.min)
+  }
+
   test("q_sample_hash: deterministic and key-consistent across runs") {
     import spark.implicits._
     val a = Relational.q_sample_hash(spark, sf).select("o_orderkey").as[Long].collect().toSet
