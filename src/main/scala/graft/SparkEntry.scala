@@ -74,6 +74,7 @@ object SparkEntry {
     "q_agg_histogram" -> (Relational.q_agg_histogram _),
     "q_agg_percentile" -> (Relational.q_agg_percentile _),
     "q_agg_cube" -> (Relational.q_agg_cube _),
+    "q_agg_grouping_id" -> (Relational.q_agg_grouping_id _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
     "q_window_rank" -> (Relational.q_window_rank _),
@@ -140,6 +141,8 @@ object SparkEntry {
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
+    "q_dedup_lines" -> (Llm.q_dedup_lines _),
+    "q_text_normalize" -> (Llm.q_text_normalize _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -228,6 +231,34 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(string_split(text,' ')) // 8),
+        |    i -> array_to_string(string_split(text,' ')[i*8+1 : i*8+8], ' '))) AS chunk
+        |  FROM documents
+        |), dup AS (
+        |  SELECT chunk AS dchunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_chunks, count(dchunk) AS n_dup_chunks
+        |FROM ch LEFT JOIN dup ON chunk = dchunk
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+        |                                ' +', ' ', 'g')))) AS norm_key,
+        |  CAST(length(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+        |                                        ' +', ' ', 'g')))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_join_right" ->
       """SELECT p_partkey, count(l_orderkey) AS li_cnt,

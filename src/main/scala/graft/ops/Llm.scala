@@ -492,6 +492,62 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  private val ChunkW = 8 // words per chunk for cross-doc chunk dedup
+
+  /** One-pass JVM chunker: consecutive non-overlapping `ChunkW`-word
+    * chunks (trailing partial chunk dropped) — interpreted HOF lambdas
+    * (`transform`+`slice`) would be ~40× slower in this hot loop.
+    */
+  private val chunk8Udf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val w = text.split(' ')
+      Array.tabulate(w.length / ChunkW) { i =>
+        val b = new StringBuilder(w(i * ChunkW))
+        var j = 1
+        while (j < ChunkW) { b.append(' ').append(w(i * ChunkW + j)); j += 1 }
+        b.toString
+      }
+    }
+  }
+
+  /** C4-style cross-document chunk dedup census: split every document
+    * into fixed 8-word chunks and count, per document, how many of its
+    * chunks also occur in ANOTHER document (the "remove duplicated
+    * lines/paragraphs across the corpus" pre-training filter). Shape at
+    * 100 TB: chunks explode inside the scan stage; the duplicate set is
+    * found with one map-side-combined agg on the chunk hash; the
+    * left-semi-style count join shuffles chunk rows once — never
+    * doc × doc.
+    */
+  def q_dedup_lines(s: SparkSession, d: String): DataFrame = {
+    val chunks = documents(s, d)
+      .select(col("doc_id"), explode(chunk8Udf(col("text"))).as("chunk"))
+    val dup = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select(col("chunk").as("dchunk"))
+    chunks.join(dup, col("chunk") === col("dchunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("dchunk")).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization (the dedup-key step every pipeline runs before
+    * exact dedup): strip non-alphanumerics, collapse whitespace, trim,
+    * lowercase — then surface the md5 dedup key + normalized length.
+    * Pure codegen'd string expressions, shuffle-free, embarrassingly
+    * parallel.
+    */
+  def q_text_normalize(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    documents(s, d)
+      .select(col("doc_id"), md5(norm).as("norm_key"),
+        length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
   /** Full distributed k-means clustering over the embedding corpus
     * (`Scale.kMeans` — Lloyd until convergence, map-side assignment,
     * one partial+final agg per iteration). Surfaces the cluster census:

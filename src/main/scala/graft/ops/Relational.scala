@@ -207,6 +207,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING() / grouping_id() metadata over a rollup — how a consumer
+    * tells a subtotal row's NULL from a data NULL. Same single
+    * Expand+agg pass as q_agg_rollup; the grouping bits are free
+    * metadata columns. gid bit order: first rollup column = MSB (both
+    * engines; the oracle composes it explicitly as g1*2+g2).
+    */
+  def q_agg_grouping_id(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   def q_agg_cube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
