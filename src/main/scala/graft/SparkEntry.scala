@@ -62,6 +62,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_asof" -> (Relational.q_join_asof _),
+    "q_join_asof_native" -> (Relational.q_join_asof_native _),
     // aggregation
     "q_agg_group" -> (Relational.q_agg_group _),
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
@@ -207,6 +208,13 @@ object SparkEntry {
         |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
 
     "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_asof_native" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns
         |FROM events e ASOF LEFT JOIN
         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -157,5 +157,8 @@ object Vec {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = Vec.inject(extensions)
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    Vec.inject(extensions)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

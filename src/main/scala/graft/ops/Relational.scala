@@ -162,6 +162,22 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The same as-of join through the NATIVE Catalyst operator
+    * (`graft.plans.AsofJoinNode` → `AsofJoinExec` co-partitioned merge)
+    * instead of the union+window rewrite — both formulations are gated
+    * against the same DuckDB `ASOF LEFT JOIN` oracle. The payload is
+    * the purchase timestamp itself, so (key, ts) ties collapse to one
+    * value in every engine.
+    */
+  def q_join_asof_native(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), expr("ts_us * 1000").as("pns"))
+    graft.plans.Asof.join(base, purchases, "user_id", "ts_us", "ts_us", Seq("pns"))
+      .select(col("event_id"), col("user_id"), col("asof_pns").as("last_purchase_ns"))
+      .orderBy("event_id")
+  }
+
   // ---- aggregation ----------------------------------------------------
 
   def q_agg_group(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator Catalyst extension showcase: AS-OF JOIN as a native
+  * logical+physical operator (the (c) tier of the custom-operator
+  * preference order — SURVEY.md §4). Spark has no as-of join node; the
+  * engine's default formulation is the union+window rewrite
+  * (`Scale.asofJoin`, one shuffle). This node is the alternative the
+  * planner tier enables: a co-partitioned streaming MERGE — each side
+  * shuffles once on the key, sorts by (key, ts), and one forward pass
+  * zips the partitions. No union row-blowup, no window state: O(1)
+  * memory per partition, and the physical node declares
+  * `requiredChildDistribution`/`requiredChildOrdering` so
+  * EnsureRequirements plans exactly the two shuffles — pre-bucketed
+  * children plan ZERO shuffles, which the union rewrite can never do.
+  *
+  * Semantics (identical to `Scale.asofJoin`, asserted in
+  * AsofJoinPlanSpec): for every left row, the payload of the LAST right
+  * row with the same key and `rightTs <= leftTs`; ties on (key, ts)
+  * resolve to the greatest payload; null keys/timestamps never match.
+  *
+  * `payloadOut` attributes are produced BY the node (not aliases — the
+  * analyzer's CleanupAliases strips Alias from non-Project nodes), the
+  * same pattern as Spark's `Generate.generatorOutput`.
+  */
+case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute,
+                        payloadIn: Seq[Attribute],
+                        payloadOut: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lts, rts, pIn, pOut) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, pIn, pOut) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute,
+                        payloadIn: Seq[Attribute],
+                        payloadOut: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  // both sides hash-cluster on the key: EnsureRequirements inserts (at
+  // most) one shuffle per side and guarantees co-partitioning — the
+  // zipped partitions hold the same key space
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // sorted (key, ts) within partitions; the right side additionally
+  // tie-breaks on the payload columns so equal-(key,ts) rows resolve to
+  // the greatest payload deterministically under any partitioning
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      payloadIn.map(p => SortOrder(p, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = rOut.indexWhere(_.exprId == rightTs.exprId)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val payloadExprs: Seq[Expression] = payloadIn
+    val outAttrs = output
+    val pOut = payloadOut
+    require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
+      "as-of key/ts attributes must come from the respective child")
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ pOut)
+      val nullPayload = new GenericInternalRow(pOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _                 // un-consumed right row
+        private var matchedKey: Any = _                    // key of lastPayload
+        private var lastPayload: InternalRow = _           // greatest payload ≤ current ts
+        private def advanceRight(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyType)
+          val lt = if (lRow.isNullAt(lTsIdx)) null else lRow.get(lTsIdx, tsType)
+          if (lk == null || lt == null) return outProj(joined(lRow, nullPayload))
+          // consume right rows while (rk, rt) <= (lk, lt): rows with a
+          // smaller key are discarded, matching rows update the payload
+          var continue = true
+          while (continue && rHead != null) {
+            val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
+            val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
+            if (rk == null || rt == null) advanceRight() // null never matches
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) advanceRight()
+              else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
+                matchedKey = InternalRow.copyValue(rk)
+                lastPayload = payloadProj(rHead).copy()
+                advanceRight()
+              } else continue = false
+            }
+          }
+          val matches = lastPayload != null && matchedKey != null &&
+            keyOrd.compare(matchedKey, lk) == 0
+          outProj(joined(lRow, if (matches) lastPayload else nullPayload))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API for the native as-of join (no SQL syntax exists
+  * for it). Registers the planner strategy once per session via the
+  * public `spark.experimental.extraStrategies` hook (GraftExtensions
+  * also injects it for spark-submit deployments).
+  */
+object Asof {
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** `left` gains `asof_<c>` columns holding, per row, payload column
+    * `c` of the last `right` row with the same `key` and
+    * `right.ts <= left.ts` (nulls when no such row).
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the whole right side: the two inputs may share a
+    // source (self-as-of), and duplicate ids across subtrees would make
+    // attribute binding ambiguous
+    val rPlan = Project(
+      right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      right.queryExecution.analyzed)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${out.map(_.name)}"))
+    val rOut = rPlan.output
+    val payloadIn = payloadCols.map(c => attr(rOut, c))
+    val payloadOut = payloadIn.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val node = AsofJoinNode(lPlan, rPlan,
+      attr(lPlan.output, key), attr(rOut, key),
+      attr(lPlan.output, leftTs), attr(rOut, rightTs),
+      payloadIn, payloadOut)
+    GraftSqlBridge.ofRows(spark, node)
+  }
+}

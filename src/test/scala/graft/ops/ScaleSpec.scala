@@ -115,6 +115,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(s5.except(s20).isEmpty, "smaller sample must be a subset of the larger")
   }
 
+  test("bloomPrefilterJoin ≡ plain join (false positives scrubbed by the exact join)") {
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val dim = Tables.part(spark, sf).filter(col("p_size") <= 10).select("p_partkey", "p_brand")
+    val plain = fact.join(dim, col("l_partkey") === col("p_partkey"))
+    val bloomed = Scale.bloomPrefilterJoin(fact, dim, "l_partkey", "p_partkey",
+      expectedKeys = 1000L, fpp = 0.01)
+    assert(bloomed.except(plain).isEmpty && plain.except(bloomed).isEmpty)
+    assert(bloomed.count() == plain.count())
+    // string keys route through mightContainString
+    val factS = Tables.customer(spark, sf).select(col("c_mktsegment"), col("c_custkey"))
+    val dimS = Tables.customer(spark, sf).select(col("c_mktsegment").as("seg")).distinct()
+      .filter(col("seg") < "F")
+    val plainS = factS.join(dimS, col("c_mktsegment") === col("seg"))
+    val bloomedS = Scale.bloomPrefilterJoin(factS, dimS, "c_mktsegment", "seg", 100L)
+    assert(bloomedS.count() == plainS.count())
+  }
+
   test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {
     val ords = Tables.orders(spark, sf)
     val got = Scale.dedupKeepFirst(ords, Seq(col("o_custkey")), Seq(col("o_orderkey")))

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join node must (1) agree row-for-row with the
+  * union+window formulation (`Scale.asofJoin`) — including on a
+  * SELF-SOURCE as-of (both inputs derive from the same scan, the
+  * exprId-collision trap), (2) handle ties and misses, and (3) plan as
+  * a co-partitioned merge: AsofJoinExec with one shuffle per side and
+  * no UNION in the plan.
+  */
+class AsofJoinPlanSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def eventsBase = {
+    graft.ops.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_ns")
+  }
+
+  test("native as-of ≡ union+window as-of on a self-source input") {
+    val left = eventsBase
+    val right = eventsBase.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+    val native = Asof.join(left, right, "user_id", "ts_ns", "ts_ns", Seq("purchase_id"))
+      .select("event_id", "asof_purchase_id")
+    val window = graft.ops.Scale.asofJoin(left, right, "user_id", "ts_ns", "ts_ns", Seq("purchase_id"))
+      .select("event_id", "asof_purchase_id")
+    assert(native.count() == left.count())
+    assert(native.except(window).isEmpty && window.except(native).isEmpty,
+      "native and window as-of formulations disagree")
+  }
+
+  test("semantics: inclusive ties, greatest payload on (key,ts) ties, null on miss") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, 100L), (1L, 5L, 200L), // tie on (k, ts): greatest payload (200) wins
+      (1L, 9L, 300L),
+      (2L, 8L, 400L))                 // after left ts=7: no match
+      .toDF("k", "ts", "v")
+    val got = Asof.join(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("a" -> Some(300L), "b" -> Some(200L), "c" -> None, "d" -> None))
+  }
+
+  test("plan: AsofJoinExec merge, exactly one shuffle per side, no Union/Window") {
+    val left = eventsBase
+    val right = eventsBase.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+    val df = Asof.join(left, right, "user_id", "ts_ns", "ts_ns", Seq("purchase_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("AsofJoin"), s"native node missing in:\n$s")
+    assert(!s.contains("Union") && !s.contains("RunningWindowFunction") && !s.contains("Window"),
+      s"union/window rewrite leaked into:\n$s")
+    val shuffles = "Exchange".r.findAllIn(s).size
+    assert(shuffles == 2, s"expected exactly 2 shuffles (one per side), got $shuffles in:\n$s")
+  }
+}
