@@ -84,6 +84,8 @@ object SparkEntry {
     "q_window_ntile" -> (Relational.q_window_ntile _),
     "q_window_range_frame" -> (Relational.q_window_range_frame _),
     "q_window_firstlast" -> (Relational.q_window_firstlast _),
+    "q_window_moving" -> (Relational.q_window_moving _),
+    "q_struct_funcs" -> (Relational.q_struct_funcs _),
     // sort / limit / top-k
     "q_sort_limit" -> (Relational.q_sort_limit _),
     "q_topk_group" -> (Relational.q_topk_group _),
@@ -367,6 +369,25 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_moving" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS moving_avg,
+        |  min(o_totalprice) OVER w AS moving_min,
+        |  max(o_totalprice) OVER w AS moving_max
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_struct_funcs" ->
+      """SELECT p_partkey,
+        |  {'brand': p_brand, 'sz': p_size}.brand AS brand,
+        |  CAST({'brand': p_brand, 'sz': p_size}.sz + 1 AS BIGINT) AS sz_plus,
+        |  CAST({'inner': {'brand': p_brand, 'sz': p_size}, 't': p_type}.inner.sz AS BIGINT) AS sz_inner,
+        |  {'inner': {'brand': p_brand, 'sz': p_size}, 't': p_type}.t AS t
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

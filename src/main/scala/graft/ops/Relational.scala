@@ -361,6 +361,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Sliding ROWS frame with both offsets (±3 moving average + window
+    * min/max) — the smoothing shape time-series pipelines run. Bounded
+    * frames stream in O(frame) memory per row; the exact-decimal sum
+    * keeps the average bit-stable under any partitioning.
+    */
+  def q_window_moving(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, 3)
+    orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"),
+        min(col("o_totalprice")).over(w).as("moving_min"),
+        max(col("o_totalprice")).over(w).as("moving_max"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Nested STRUCT round-trip: build a struct column, nest it, extract
+    * fields back out — the typed-record currency of multimodal metadata
+    * (FIXTURES.md). Pure projection: codegen'd, shuffle-free.
+    */
+  def q_struct_funcs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("info", struct(col("p_brand").as("brand"), col("p_size").as("sz")))
+      .withColumn("nested", struct(col("info").as("inner"), col("p_type").as("t")))
+      .select(
+        col("p_partkey"),
+        col("info.brand").as("brand"),
+        (col("info.sz") + 1).cast("long").as("sz_plus"),
+        col("nested.inner.sz").cast("long").as("sz_inner"),
+        col("nested.t").as("t"))
+      .orderBy("p_partkey")
+
   /** Deterministic, reproducible sampling: keep a row iff a hash of its
     * key lands under a threshold (md5-prefix < '29' ≈ 41/256 ≈ 16%).
     * Key-consistent (same key always sampled together across tables and

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the plans the optimizer picks are part of
@@ -66,6 +67,44 @@ class PlanSpec extends AnyFunSuite {
     val df = Relational.q_join_asof(spark, sf)
     val plan = planOf(df)
     assert(!plan.contains("Join"), "as-of must not be a join at all (window formulation)")
+  }
+
+  test("q_tpch_q10ish broadcasts nation; q18ish aggregates the fact before joining") {
+    val p10 = planOf(Relational.q_tpch_q10ish(spark, sf))
+    assert(p10.contains("BroadcastHashJoin") || p10.contains("BroadcastExchange"),
+      s"nation must broadcast in:\n$p10")
+    val p18 = Relational.q_tpch_q18ish(spark, sf).queryExecution.optimizedPlan.toString()
+    // the HAVING aggregate must sit BELOW the join with orders
+    // (filter-early): optimized plan has Aggregate under Join, not above
+    val joinIdx = p18.indexOf("Join")
+    val aggIdx = p18.indexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"lineitem aggregate must be a join INPUT in:\n$p18")
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s2.implicits._
+    // 100k rows, ~90% on one hot key → one reducer partition dwarfs the rest
+    val left = s2.range(100000)
+      .select((when(rand(7) < 0.9, 1L).otherwise(col("id") % 997)).as("k"),
+        col("id").as("v"))
+    val right = s2.range(997).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.join(right, "k")
+    joined.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("skew=true"),
+      s"expected AQE skew-join split in:\n$finalPlan")
   }
 
   test("whole-stage codegen covers the scan→filter→project spine") {
