@@ -146,6 +146,8 @@ object SparkEntry {
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
+    "q_vocab_df" -> (Llm.q_vocab_df _),
+    "q_tfidf" -> (Llm.q_tfidf _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -261,6 +263,24 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_chunks, count(dchunk) AS n_dup_chunks
         |FROM ch LEFT JOIN dup ON chunk = dchunk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_df" ->
+      """SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term HAVING cf >= 50 ORDER BY term""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0)
+        |        + 1e-9, 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE tf >= 5
+        |ORDER BY doc_id, term""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -492,6 +492,41 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** Corpus vocabulary: term → collection frequency + document
+    * frequency, thresholded. One explode inside the scan stage, one
+    * map-side-combined aggregation on the term — the vocabulary-build
+    * step of any tokenizer/quality pipeline, linear at 100 TB.
+    */
+  def q_vocab_df(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("cf") >= 50)
+      .orderBy("term")
+
+  /** TF-IDF weights per (document, term): tf from one grouped count,
+    * df from a term-level aggregate joined back on the term, N from a
+    * 1-row broadcast (no driver action). Smooth idf
+    * (ln((N+1)/(df+1))+1); tf≥5 bounds the emitted matrix. Two
+    * shuffles — (doc,term) and term — regardless of corpus size.
+    */
+  def q_tfidf(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("tf") >= 5)
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0)) + 1.0) + lit(1e-9), 6))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "term")
+  }
+
   private val ChunkW = 8 // words per chunk for cross-doc chunk dedup
 
   /** One-pass JVM chunker: consecutive non-overlapping `ChunkW`-word
