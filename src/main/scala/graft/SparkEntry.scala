@@ -147,6 +147,7 @@ object SparkEntry {
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
+    "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
     "q_tfidf" -> (Llm.q_tfidf _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
@@ -263,6 +264,18 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_chunks, count(dchunk) AS n_dup_chunks
         |FROM ch LEFT JOIN dup ON chunk = dchunk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_docs" ->
+      """WITH normed AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    md5(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+        |                                  ' +', ' ', 'g')))) AS norm_key
+        |  FROM documents WHERE lang IN ('es', 'de', 'zh')),
+        |uniq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rn
+        |  FROM normed)
+        |SELECT doc_id, lang, source, n_chars FROM uniq WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_vocab_df" ->
       """SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df

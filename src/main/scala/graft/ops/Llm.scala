@@ -527,6 +527,29 @@ object Llm {
       .orderBy("doc_id", "term")
   }
 
+  /** End-to-end DPP-orchestrated document pipeline — the engine's two
+    * halves composed: reference pipeline combinators (`sequence`/`Prev`)
+    * driving LLM data ops (normalize → language filter → exact dedup on
+    * the normalized key → projection). Each step is a lazy DataFrame
+    * transform, so Catalyst fuses the whole pipeline into one plan —
+    * the filter reaches the scan even though it was declared three
+    * steps deep.
+    */
+  def q_pipeline_docs(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline._
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val p = DPP("docs" -> documents(s, d))
+    p.sequence(
+      p.docs >> fn("normalize")(_.withColumn("norm_key", md5(norm))) >> p.normed,
+      Prev >> fn("langFilter")(_.filter(col("lang").isin("es", "de", "zh"))) >> p.kept,
+      Prev >> fn("dedup")(df =>
+        Scale.dedupKeepFirst(df, Seq(col("norm_key")), Seq(col("doc_id")))) >> p.unique,
+      Prev >> fn("project")(
+        _.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")) >> p.result)
+    p("result")
+  }
+
   private val ChunkW = 8 // words per chunk for cross-doc chunk dedup
 
   /** One-pass JVM chunker: consecutive non-overlapping `ChunkW`-word

@@ -206,6 +206,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("foreachBatch sink: every micro-batch delivered exactly once with its batchId") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]() // batchId -> rows
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the idempotent-sink contract: (batchId, deterministic content);
+        // a real deployment keys its transactional write on batchId
+        seen.put(id, batch.count())
+        ()
+      }
+      .start()
+    queries = q :: queries
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 2.0, ts(2)))
+    q.processAllAvailable()
+    in.addData(Ev(3, 2, "view", 3.0, ts(3)))
+    q.processAllAvailable()
+    assert(seen.size() == 2, s"expected 2 micro-batches, saw ${seen}")
+    assert(seen.values().stream().mapToLong(identity(_)).sum() == 3)
+  }
+
   test("batch and streaming tumbling windows agree on on-time data") {
     val s = spark
     import s.implicits._
