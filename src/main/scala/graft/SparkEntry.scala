@@ -76,6 +76,9 @@ object SparkEntry {
     "q_agg_percentile" -> (Relational.q_agg_percentile _),
     "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_grouping_id" -> (Relational.q_agg_grouping_id _),
+    "q_agg_minmax_by" -> (Relational.q_agg_minmax_by _),
+    "q_try_funcs" -> (Relational.q_try_funcs _),
+    "q_explode_pos" -> (Relational.q_explode_pos _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
     "q_window_rank" -> (Relational.q_window_rank _),
@@ -244,6 +247,31 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
+        |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(c_name AS INTEGER) AS bad_cast,
+        |  TRY_CAST(CAST(c_custkey AS VARCHAR) AS INTEGER) AS good_cast,
+        |  c_acctbal / NULLIF(CAST(c_custkey % 3 AS DOUBLE), 0.0) AS safe_div,
+        |  try_strptime(c_mktsegment, '%Y-%m-%d') AS bad_ts,
+        |  try_strptime('2024-01-15', '%Y-%m-%d') AS good_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_explode_pos" ->
+      """SELECT o_orderkey, CAST(x.pos AS BIGINT) AS pos, x.val AS val
+        |FROM (SELECT o_orderkey,
+        |        unnest(list_transform(range(len(string_split(o_orderpriority, '-'))),
+        |          i -> {'pos': i, 'val': string_split(o_orderpriority, '-')[i+1]})) AS x
+        |      FROM orders) t
+        |ORDER BY o_orderkey, pos""".stripMargin,
 
     "q_agg_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,
