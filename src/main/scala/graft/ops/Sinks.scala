@@ -35,4 +35,17 @@ object Sinks {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Range-clustered sorted write: rows range-partitioned on `byCol`
+    * into `files` output files, sorted within each. Files end up with
+    * NON-OVERLAPPING min/max footer stats on `byCol`, so a filtered
+    * read skips whole files/row-groups via parquet predicate pushdown —
+    * the sort-key analogue of hive partitioning, without the
+    * small-partition explosion (the right layout for high-cardinality
+    * or continuous cluster keys like timestamps at 100 TB).
+    */
+  def rangeSortedParquet(df: DataFrame, path: String, byCol: String, files: Int): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(byCol))
+      .sortWithinPartitions(byCol)
+      .write.mode("overwrite").parquet(path)
 }

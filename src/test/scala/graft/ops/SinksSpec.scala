@@ -56,4 +56,37 @@ class SinksSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("rangeSortedParquet: files carry non-overlapping sort-key ranges; filters push down") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sorted_").toString
+    Sinks.rangeSortedParquet(Tables.orders(spark, sf), dir, "o_orderkey", files = 4)
+    // per-file min/max must not overlap — that's what lets the parquet
+    // reader skip whole files/row-groups on a key filter
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f").agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(perFile.length >= 3, s"expected ~4 data files, got ${perFile.length}")
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2, s"file ranges overlap: $a vs $b")
+      case _ =>
+    }
+    val filtered = spark.read.parquet(dir).filter(col("o_orderkey") === 42L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"),
+      s"expected parquet pushdown in:\n$plan")
+    assert(spark.read.parquet(dir).count() == Tables.orders(spark, sf).count())
+  }
+
+  test("Observation collects pipeline metrics without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("qa")
+    val out = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("rows"), sum(col("o_totalprice")).as("gross"))
+      .filter(col("o_totalprice") > 0)
+    out.collect()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == Tables.orders(spark, sf).count())
+    assert(m("gross").asInstanceOf[Double] > 0)
+  }
 }

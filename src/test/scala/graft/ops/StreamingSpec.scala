@@ -230,6 +230,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(seen.values().stream().mapToLong(identity(_)).sum() == 3)
   }
 
+  test("update output mode re-emits a window's row each time it changes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = Streaming.tumblingCounts(in.toDF(), "10 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("upd").outputMode("update").start()
+    queries = q :: queries
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)))
+    q.processAllAvailable()
+    in.addData(Ev(2, 1, "click", 2.0, ts(5)))
+    q.processAllAvailable()
+    // update mode: the [00:00,00:10) click window was emitted twice —
+    // once per micro-batch that changed it (count 1, then count 2)
+    val emitted = spark.table("upd").as[(Timestamp, String, Long, Double)].collect()
+      .filter(_._2 == "click").map(_._3).sorted.toSeq
+    assert(emitted == Seq(1L, 2L), s"expected re-emission [1, 2], got $emitted")
+  }
+
   test("batch and streaming tumbling windows agree on on-time data") {
     val s = spark
     import s.implicits._
