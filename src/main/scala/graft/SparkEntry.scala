@@ -63,6 +63,8 @@ object SparkEntry {
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
+    "q_join_salted" -> (Relational.q_join_salted _),
+    "q_join_bloom" -> (Relational.q_join_bloom _),
     // aggregation
     "q_agg_group" -> (Relational.q_agg_group _),
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
@@ -228,6 +230,20 @@ object SparkEntry {
         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -524,6 +524,35 @@ object Relational {
       .limit(100)
   }
 
+  /** The skew-salted join through the driver gate: result must equal the
+    * plain equi-join (the oracle IS the plain join SQL). The big side
+    * salts into 16 sub-keys; the small side replicates per salt — a hot
+    * orderkey spreads over 16 reducers instead of melting one.
+    */
+  def q_join_salted(s: SparkSession, d: String): DataFrame = {
+    val small = part(s, d).filter(col("p_size") <= 25)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Scale.saltedJoin(lineitem(s, d), small, Seq("l_partkey"),
+        bigSaltSrc = Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** The bloom-prefiltered join through the driver gate: the dim-key
+    * bloom filter scrubs most fact rows BEFORE the join shuffle; the
+    * exact join removes the false positives, so the oracle is again the
+    * plain join SQL.
+    */
+  def q_join_bloom(s: SparkSession, d: String): DataFrame = {
+    val dim = part(s, d).filter(col("p_size") <= 10).select(col("p_partkey"), col("p_brand"))
+    Scale.bloomPrefilterJoin(lineitem(s, d), dim, "l_partkey", "p_partkey",
+        expectedKeys = 200000L)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
+      .orderBy("p_brand")
+  }
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.
