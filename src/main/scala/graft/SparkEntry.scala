@@ -80,6 +80,8 @@ object SparkEntry {
     "q_agg_grouping_id" -> (Relational.q_agg_grouping_id _),
     "q_agg_minmax_by" -> (Relational.q_agg_minmax_by _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
+    "q_bit_funcs" -> (Relational.q_bit_funcs _),
+    "q_hash_funcs" -> (Relational.q_hash_funcs _),
     "q_explode_pos" -> (Relational.q_explode_pos _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
     // windows
@@ -271,6 +273,23 @@ object SparkEntry {
         |  max(o_totalprice) AS max_price,
         |  min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bit_funcs" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS mask_xor,
+        |  bit_and(l_orderkey & 255) AS masked_and,
+        |  max(CAST(l_linenumber AS BIGINT) << 2) AS max_shifted,
+        |  max(xor(l_orderkey, 42)) AS max_xored
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS h_md5,
+        |  sha256(c_name) AS h_sha256,
+        |  substring(sha256(c_name || '|' || c_mktsegment), 1, 16) AS h_composite
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT c_custkey,

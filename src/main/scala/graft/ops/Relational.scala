@@ -411,6 +411,37 @@ object Relational {
         col("nested.t").as("t"))
       .orderBy("p_partkey")
 
+  /** Bitwise surface: scalar masks/shifts/xor (flag unpacking, hash
+    * mixing) and the bit_and/bit_or/bit_xor aggregates (capability
+    * masks across a group). All codegen'd integer ops; the aggregate is
+    * one partial+final pass.
+    */
+  def q_bit_funcs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        bit_and(col("l_linenumber")).cast("long").as("mask_and"),
+        bit_or(col("l_linenumber")).cast("long").as("mask_or"),
+        bit_xor(col("l_linenumber")).cast("long").as("mask_xor"),
+        bit_and(col("l_orderkey").bitwiseAND(lit(255L))).as("masked_and"),
+        max(shiftleft(col("l_linenumber").cast("long"), 2)).as("max_shifted"),
+        max(col("l_orderkey").bitwiseXOR(lit(42L))).as("max_xored"))
+      .orderBy("l_returnflag")
+
+  /** Content-hash surface (md5 / sha-256): the digests every
+    * dedup/fingerprint/provenance pipeline leans on. Shuffle-free
+    * projection.
+    */
+  def q_hash_funcs(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        substring(sha2(concat(col("c_name"), lit("|"), col("c_mktsegment")), 256), 1, 16)
+          .as("h_composite"))
+      .orderBy("c_custkey")
+
   /** Dirty-data hardening (`try_*` family): casts, division, and
     * timestamp parsing that yield NULL instead of failing the job — at
     * 100 TB a single malformed row must never kill a 10-hour run.

@@ -202,6 +202,28 @@ class OpsSpec extends AnyFunSuite {
     assert(json.except(cust).isEmpty && cust.except(json).isEmpty)
   }
 
+  test("malformed CSV rows: PERMISSIVE flags them, DROPMALFORMED drops them, data survives") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_dirty_csv_")
+    Files.write(dir.resolve("part.csv"), java.util.Arrays.asList(
+      "1,alpha,10.5", "2,beta,not_a_number", "3,gamma,30.25", "oops", "5,delta,50.0"))
+    val schema = "id LONG, name STRING, score DOUBLE"
+    val permissive = spark.read.schema(schema + ", _corrupt_record STRING")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString)
+    // cache first: Spark forbids filtering _corrupt_record alone on the lazy scan
+    permissive.cache().count()
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).count()
+    val good = permissive.filter(col("_corrupt_record").isNull).count()
+    assert(bad == 2 && good == 3, s"expected 2 bad / 3 good, got $bad / $good")
+    permissive.unpersist()
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(dir.toString)
+    // count() alone prunes to zero columns and skips parsing (nothing
+    // gets dropped) — materialize full rows to engage malformed handling
+    assert(dropped.collect().length == 3)
+    assert(dropped.agg(sum(col("score"))).head().getDouble(0) == 10.5 + 30.25 + 50.0)
+  }
+
   test("orc round-trip preserves values; predicates push into the ORC scan") {
     val orc = Sources.q_source_orc(spark, sf)
     val sup = Tables.supplier(spark, sf)
