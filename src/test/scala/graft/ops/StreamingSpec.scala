@@ -249,6 +249,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(emitted == Seq(1L, 2L), s"expected re-emission [1, 2], got $emitted")
   }
 
+  test("DPP pipeline orchestrates a STREAMING DataFrame end-to-end") {
+    import graft.pipeline._
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // pipeline slots hold lazy DataFrames — a streaming source threads
+    // through the same combinators as batch; the sink starts outside
+    val p = DPP("events" -> in.toDF())
+    p.sequence(
+      p.events >> fn("clicksOnly")(_.filter(col("event_type") === "click")) >> p.clicks,
+      Prev >> fn("windowed")(df =>
+        Streaming.tumblingCounts(df, "10 minutes", "10 minutes")) >> p.out)
+    val out = p("out")
+    assert(out.isStreaming, "pipeline must preserve streaming-ness")
+    val q = out.writeStream.format("memory").queryName("dsl_stream").outputMode("append").start()
+    queries = q :: queries
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "view", 9.0, ts(2)),
+      Ev(3, 1, "click", 2.0, ts(5)))
+    q.processAllAvailable()
+    in.addData(Ev(4, 2, "click", 8.0, ts(31))) // advance watermark, close window 1
+    q.processAllAvailable()
+    val rows = spark.table("dsl_stream").as[(Timestamp, String, Long, Double)].collect()
+    assert(rows.toSeq == Seq((ts(0), "click", 2L, 3.0)),
+      s"view events must be filtered before windowing: ${rows.toSeq}")
+  }
+
   test("batch and streaming tumbling windows agree on on-time data") {
     val s = spark
     import s.implicits._
