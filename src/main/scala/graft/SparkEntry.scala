@@ -81,6 +81,7 @@ object SparkEntry {
     "q_agg_minmax_by" -> (Relational.q_agg_minmax_by _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
+    "q_array_funcs2" -> (Relational.q_array_funcs2 _),
     "q_hash_funcs" -> (Relational.q_hash_funcs _),
     "q_explode_pos" -> (Relational.q_explode_pos _),
     "q_agg_groupingsets" -> (Relational.q_agg_groupingsets _),
@@ -273,6 +274,20 @@ object SparkEntry {
         |  max(o_totalprice) AS max_price,
         |  min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_array_funcs2" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE) + 1e-9, 3) AS DECIMAL(10,3))) AS a,
+        |    list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE) + 1e-9, 1) AS DECIMAL(10,1))) AS a1
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_sort(a, 'DESC'), ',') AS sorted_desc,
+        |  CAST(list_position(a, a[2]) AS BIGINT) AS pos2,
+        |  array_to_string(flatten([a[1:2], a[7:8]]), ',') AS ends,
+        |  CAST(len(list_distinct(a1)) AS BIGINT) AS ndist1,
+        |  CAST(list_max(a) AS DOUBLE) AS amax
+        |FROM t ORDER BY vec_id""".stripMargin,
 
     "q_bit_funcs" ->
       """SELECT l_returnflag,

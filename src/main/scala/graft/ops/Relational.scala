@@ -411,6 +411,26 @@ object Relational {
         col("nested.t").as("t"))
       .orderBy("p_partkey")
 
+  /** Array functions II (sort/position/flatten/distinct/max over the
+    * embedding prefix): rendered through DECIMAL(10,3) so element
+    * string forms are identical across engines (double→string repr is
+    * engine-specific), with the suite's +1e-9 tie nudge before
+    * rounding. Arrays are scalarized with array_join — the driver's
+    * pandas hash compare cannot hash list cells.
+    */
+  def q_array_funcs2(s: SparkSession, d: String): DataFrame = {
+    val a = "transform(slice(cast(embedding as array<double>), 1, 8), x -> cast(round(x + 1e-9, 3) as decimal(10,3)))"
+    embeddings(s, d)
+      .selectExpr(
+        "vec_id",
+        s"array_join(transform(sort_array($a, false), e -> cast(e as string)), ',') AS sorted_desc",
+        s"cast(array_position($a, element_at($a, 2)) as bigint) AS pos2",
+        s"array_join(transform(flatten(array(slice($a, 1, 2), slice($a, 7, 2))), e -> cast(e as string)), ',') AS ends",
+        s"cast(size(array_distinct(transform(slice(cast(embedding as array<double>), 1, 8), x -> cast(round(x + 1e-9, 1) as decimal(10,1))))) as bigint) AS ndist1",
+        s"cast(array_max($a) as double) AS amax")
+      .orderBy("vec_id")
+  }
+
   /** Bitwise surface: scalar masks/shifts/xor (flag unpacking, hash
     * mixing) and the bit_and/bit_or/bit_xor aggregates (capability
     * masks across a group). All codegen'd integer ops; the aggregate is
