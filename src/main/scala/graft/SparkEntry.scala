@@ -157,6 +157,7 @@ object SparkEntry {
     "q_vocab_df" -> (Llm.q_vocab_df _),
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
     "q_tfidf" -> (Llm.q_tfidf _),
+    "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
@@ -354,6 +355,12 @@ object SparkEntry {
         |  FROM normed)
         |SELECT doc_id, lang, source, n_chars FROM uniq WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """SELECT term, count(DISTINCT doc_id) AS df,
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term HAVING df >= 30 ORDER BY term""".stripMargin,
 
     "q_vocab_df" ->
       """SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df

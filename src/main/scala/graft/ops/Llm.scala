@@ -527,6 +527,24 @@ object Llm {
       .orderBy("doc_id", "term")
   }
 
+  /** Inverted index (term → sorted posting list): the retrieval-side
+    * structure a corpus pipeline materializes next to the text. One
+    * explode + one term-shuffle; posting lists are per-term buckets
+    * (bounded by document frequency), rendered as a sorted CSV string
+    * for the gate. Thresholded to frequent terms so the emitted index
+    * is the hot vocabulary, not the long tail.
+    */
+  def q_inverted_index(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .filter(col("df") >= 30)
+      .orderBy("term")
+
   /** End-to-end DPP-orchestrated document pipeline — the engine's two
     * halves composed: reference pipeline combinators (`sequence`/`Prev`)
     * driving LLM data ops (normalize → language filter → exact dedup on
