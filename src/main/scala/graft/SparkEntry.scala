@@ -65,6 +65,8 @@ object SparkEntry {
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
     "q_join_bloom" -> (Relational.q_join_bloom _),
+    "q_join_nullsafe" -> (Relational.q_join_nullsafe _),
+    "q_sql_surface" -> (Relational.q_sql_surface _),
     // aggregation
     "q_agg_group" -> (Relational.q_agg_group _),
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
@@ -234,6 +236,23 @@ object SparkEntry {
         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """SELECT c_custkey, CAST(nullif(c_nationkey, 0) AS BIGINT) AS ckey, n_name
+        |FROM customer
+        |JOIN nation ON nullif(c_nationkey, 0) IS NOT DISTINCT FROM nullif(n_nationkey, 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_surface" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue,
+        |  CAST(rank() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |ORDER BY rnk LIMIT 50""".stripMargin,
 
     "q_join_salted" ->
       """SELECT p_brand, count(*) AS n,

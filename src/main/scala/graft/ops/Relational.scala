@@ -604,6 +604,43 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** The SQL-text entry point as a gated query: temp views + a
+    * CTE/join/window `spark.sql` statement — the exact surface a SQL
+    * user of the engine drives. Compiles to the same Catalyst plan as
+    * the DataFrame formulation (SqlSpec proves equivalence on other
+    * shapes).
+    */
+  def q_sql_surface(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+    orders(s, d).createOrReplaceTempView("sql_orders")
+    customer(s, d).createOrReplaceTempView("sql_customer")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM sql_lineitem JOIN sql_orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue,
+        |  CAST(rank() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+        |FROM rev JOIN sql_customer ON o_custkey = c_custkey
+        |ORDER BY rnk LIMIT 50""".stripMargin)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys — the semantic for joining on optional attributes
+    * without a COALESCE sentinel. Still a hash-partitionable equi-join
+    * (nulls form one key group; salt them if they're hot at scale).
+    */
+  def q_join_nullsafe(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), nullif(col("c_nationkey"), lit(0)).as("ckey"))
+    val n = nation(s, d)
+      .select(nullif(col("n_nationkey"), lit(0)).as("nkey"), col("n_name"))
+    c.join(n, col("ckey") <=> col("nkey"))
+      .select(col("c_custkey"), col("ckey").cast("long").as("ckey"), col("n_name"))
+      .orderBy("c_custkey")
+  }
+
   /** Explicit cross join (tiny × tiny: every region-nation combination).
     * Cross joins are only ever sane when at least one side is
     * broadcast-small; Catalyst plans BroadcastNestedLoopJoin here.
