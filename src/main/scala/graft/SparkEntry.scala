@@ -81,6 +81,8 @@ object SparkEntry {
     "q_agg_cube" -> (Relational.q_agg_cube _),
     "q_agg_grouping_id" -> (Relational.q_agg_grouping_id _),
     "q_agg_minmax_by" -> (Relational.q_agg_minmax_by _),
+    "q_agg_mode" -> (Relational.q_agg_mode _),
+    "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
     "q_array_funcs2" -> (Relational.q_array_funcs2 _),
@@ -286,6 +288,17 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, CAST(mode(l_linenumber) AS BIGINT) AS mode_line,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT o_orderkey, o_totalprice, 'a' AS src, NULL AS o_orderpriority FROM orders
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderpriority, 'b' AS src FROM orders
+        |ORDER BY o_orderkey, src""".stripMargin,
 
     "q_agg_minmax_by" ->
       """SELECT o_orderpriority,

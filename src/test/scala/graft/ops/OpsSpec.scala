@@ -264,6 +264,31 @@ class OpsSpec extends AnyFunSuite {
     assert(dists(row.getInt(1)) == dists.min)
   }
 
+  test("mode aggregate: most frequent value wins on a constructed group") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 3), ("b", 7), ("b", 7), ("b", 9))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(mode(col("v")).as("m"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 2, "b" -> 7))
+    // gate query: every group's mode really is a value from that group
+    val out = Relational.q_agg_mode(spark, sf).collect()
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(2) > 0))
+  }
+
+  test("unionByName with missing columns null-fills and aligns by name") {
+    val out = Relational.q_union_byname(spark, sf)
+    assert(out.columns.sorted.toSeq ==
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice", "src"))
+    val n = Tables.orders(spark, sf).count()
+    assert(out.count() == 2 * n)
+    // side 'a' carries price, null priority; side 'b' the reverse
+    assert(out.filter(col("src") === "a" &&
+      (col("o_orderpriority").isNotNull || col("o_totalprice").isNull)).count() == 0)
+    assert(out.filter(col("src") === "b" &&
+      (col("o_totalprice").isNotNull || col("o_orderpriority").isNull)).count() == 0)
+  }
+
   test("q_sample_hash: deterministic and key-consistent across runs") {
     import spark.implicits._
     val a = Relational.q_sample_hash(spark, sf).select("o_orderkey").as[Long].collect().toSet
