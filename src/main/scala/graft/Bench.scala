@@ -27,10 +27,16 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line compact (~2.5KB for 100+
+    // queries vs ~5.5KB at full double repr): the round-1 driver captured
+    // only a bounded tail of stdout and the JSON start fell outside it
+    // (BENCH_r01.json "parsed": null, tail begins mid-JSON). Locale.ROOT
+    // so the decimal separator is always '.'.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
