@@ -172,6 +172,15 @@ object SparkEntry {
     "q_stream_session" -> (Windows.q_stream_session _),
     // UDAF
     "q_udaf_custom" -> (Udafs.q_udaf_custom _),
+    // scalar families II (variant / lateral / interval / regexp / url)
+    "q_variant_funcs" -> (Relational.q_variant_funcs _),
+    "q_lateral_topn" -> (Relational.q_lateral_topn _),
+    "q_interval_funcs" -> (Relational.q_interval_funcs _),
+    "q_regexp_funcs" -> (Relational.q_regexp_funcs _),
+    "q_url_funcs" -> (Relational.q_url_funcs _),
+    "q_stat_crosstab" -> (Relational.q_stat_crosstab _),
+    "q_agg_bool" -> (Relational.q_agg_bool _),
+    "q_agg_hll" -> (Relational.q_agg_hll _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
@@ -1030,5 +1039,63 @@ object SparkEntry {
       """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_price,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Spark reads the same value through VARIANT; the oracle goes
+    // straight through DuckDB's JSON path extraction.
+    "q_variant_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  FALSE AS missing_is_null,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_name, c_acctbal""".stripMargin,
+
+    "q_interval_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |  l_shipdate + to_days(l_linenumber) AS ship_plus_days,
+        |  l_shipdate - to_hours(CAST(l_orderkey % 24 AS INT)) AS ship_minus_hours,
+        |  CAST(date_diff('day', l_shipdate, l_shipdate + to_days(l_linenumber)) AS BIGINT) AS day_gap
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    // DuckDB has no regexp_count/regexp_substr; equivalent forms via
+    // regexp_extract_all (len = count, [0]-th = first match).
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s,
+        |  coalesce(regexp_extract(text, 's[a-z]+'), '') AS first_s,
+        |  coalesce(array_to_string(regexp_extract_all(text, 's[a-z]+'), ','), '') AS all_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The URL is constructed from columns, so each parsed part has a
+    // closed form; url_encode ≡ replace(' ','+') on [a-z ] text.
+    "q_url_funcs" ->
+      """SELECT doc_id,
+        |  source || '.example.org' AS host,
+        |  '/docs/' || doc_id AS path,
+        |  lang AS qlang,
+        |  replace(substr(text, 1, 20), ' ', '+') AS enc20
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stat_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_disc,
+        |  bool_and(l_tax >= 0.0) AS no_neg_tax,
+        |  bool_or(l_quantity > 49) AS any_big
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1131,4 +1131,125 @@ object Relational {
     types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
       .orderBy("day_epoch")
   }
+
+  // ---- scalar families II: variant / lateral / interval / regexp / url
+
+  /** VARIANT (Spark 4 semi-structured currency): `parse_json` → open
+    * VARIANT value → `variant_get` typed path extraction. Unlike
+    * `from_json` there is no up-front schema — the shredded binary
+    * encoding carries its own types, so heterogeneous event payloads
+    * survive schema drift without re-reading. Columnar + codegen'd, so
+    * the scan→extract path stays in one WholeStageCodegen span.
+    */
+  def q_variant_funcs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_val"),
+        expr("coalesce(is_variant_null(variant_get(v, '$.missing')), false)")
+          .as("missing_is_null"))
+      .withColumn("k_bucket", col("k_val") % 10)
+      .orderBy("event_id")
+
+  /** Correlated LATERAL subquery — per-nation top-2 customers by
+    * balance. Catalyst decorrelates the ORDER BY+LIMIT lateral into a
+    * ranked window join (no per-row re-execution, unlike the reference's
+    * eager loops), so it scales as one shuffle on the correlation key.
+    */
+  def q_lateral_topn(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("lat_nation")
+    customer(s, d).createOrReplaceTempView("lat_customer")
+    s.sql("""SELECT n_name, c_name, c_acctbal
+             FROM lat_nation,
+             LATERAL (SELECT c_name, c_acctbal FROM lat_customer
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+             ORDER BY n_name, c_name, c_acctbal""")
+  }
+
+  /** Calendar-interval arithmetic on timestamps: `make_interval` with
+    * per-row day/hour offsets (column-driven, not literal intervals).
+    */
+  def q_interval_funcs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn(
+        "ship_plus_days",
+        col("l_shipdate") + expr("make_interval(0, 0, 0, l_linenumber, 0, 0, 0)"))
+      .withColumn(
+        "ship_minus_hours",
+        col("l_shipdate") - expr("make_interval(0, 0, 0, 0, CAST(l_orderkey % 24 AS INT), 0, 0)"))
+      .withColumn("day_gap", datediff(col("ship_plus_days"), col("l_shipdate")).cast("long"))
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+
+  /** Regexp family II: match counting (`regexp_count`), first-match
+    * extraction (`regexp_substr`), all-match extraction
+    * (`regexp_extract_all`, scalarized via array_join for the gate).
+    * All codegen'd string expressions — shuffle-free scan→project.
+    */
+  def q_regexp_funcs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("s[a-z]+")).cast("long").as("n_s"),
+        coalesce(regexp_substr(col("text"), lit("s[a-z]+")), lit("")).as("first_s"),
+        array_join(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)), ",").as("all_s"))
+      .orderBy("doc_id")
+
+  /** URL parsing/encoding — the web-scrape ingest currency: host /
+    * path / query-param extraction with `parse_url`, form-encoding with
+    * `url_encode`. URLs are constructed from table columns so the
+    * oracle can verify each extracted part independently.
+    */
+  def q_url_funcs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn(
+        "url",
+        concat(
+          lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("doc_id"), lit("?lang="), col("lang")))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"),
+        url_encode(substring(col("text"), 1, 20)).as("enc20"))
+      .orderBy("doc_id")
+
+  /** Contingency table via `DataFrameStatFunctions.crosstab` — the
+    * pair-frequency profile (distributed conditional count under the
+    * hood; one shuffle on the row key).
+    */
+  def q_stat_crosstab(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).stat
+      .crosstab("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag_l_linestatus")
+
+  /** Boolean aggregates (bool_and/bool_or + every/some aliases) —
+    * partial+final combinable, so they stay map-side-combined at scale.
+    */
+  def q_agg_bool(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.05).as("any_disc"),
+        every(col("l_tax") >= lit(0.0)).as("no_neg_tax"),
+        some(col("l_quantity") > 49).as("any_big"))
+      .orderBy("l_returnflag")
+
+  /** Apache DataSketches HLL: `hll_sketch_agg` builds a mergeable
+    * sketch (storable, re-aggregatable across partitions/days — the
+    * 100 TB incremental-rollup story), `hll_sketch_estimate` reads it.
+    * Exact distinct alongside for the spec's error-bound assertion.
+    * No oracle: the estimate is engine-specific (rows-only gate).
+    */
+  def q_agg_hll(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
 }

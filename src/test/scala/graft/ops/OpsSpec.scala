@@ -298,4 +298,38 @@ class OpsSpec extends AnyFunSuite {
     // 41/256 ≈ 16% ± generous slack
     assert(a.size > n * 0.08 && a.size < n * 0.26, s"sample ${a.size} of $n out of band")
   }
+
+  test("q_agg_hll: DataSketches estimate within 5% of exact; sketches merge across unions") {
+    val rows = Relational.q_agg_hll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    // mergeability: union of two half-sketches ≡ sketch of the whole —
+    // the incremental-rollup contract (aggregate days, merge into months)
+    val e = Tables.events(spark, sf)
+    val whole = e.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).head.getLong(0)
+    val halves = e.withColumn("h", col("event_id") % 2)
+      .groupBy("h").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    assert(whole == halves, s"merged sketch estimate $halves != whole $whole")
+  }
+
+  test("q_variant_funcs: VARIANT extraction agrees with from_json on every row") {
+    val v = Relational.q_variant_funcs(spark, sf).select("event_id", "k_val")
+    val j = Tables.events(spark, sf)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+    assert(v.exceptAll(j).isEmpty && j.exceptAll(v).isEmpty)
+  }
+
+  test("q_stat_crosstab: cells sum to table count; lateral top-n respects per-group limit") {
+    val ct = Relational.q_stat_crosstab(spark, sf).collect()
+    val cells = ct.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(cells == Tables.lineitem(spark, sf).count())
+    val lat = Relational.q_lateral_topn(spark, sf)
+    val perNation = lat.groupBy("n_name").count().collect()
+    assert(perNation.forall(_.getLong(1) <= 2) && perNation.length == 25)
+  }
 }
