@@ -181,6 +181,11 @@ object SparkEntry {
     "q_stat_crosstab" -> (Relational.q_stat_crosstab _),
     "q_agg_bool" -> (Relational.q_agg_bool _),
     "q_agg_hll" -> (Relational.q_agg_hll _),
+    // training-set assembly
+    "q_chunk_docs" -> (Llm.q_chunk_docs _),
+    "q_mix_sample" -> (Llm.q_mix_sample _),
+    "q_pack_sequences" -> (Llm.q_pack_sequences _),
+    "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
@@ -1097,5 +1102,30 @@ object SparkEntry {
         |  bool_and(l_tax >= 0.0) AS no_neg_tax,
         |  bool_or(l_quantity > 49) AS any_big
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_chunk_docs" ->
+      """SELECT doc_id, chunk_id,
+        |  array_to_string(words[(chunk_id*40 + 1):(chunk_id*40 + 50)], ' ') AS chunk_text,
+        |  least(50, n_words - chunk_id*40) AS chunk_words
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |      FROM documents),
+        |LATERAL unnest(range(0, ((n_words - 1) // 40) + 1)) AS t(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_mix_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN 'e6' WHEN 'de' THEN '80' WHEN 'fr' THEN '80'
+        |            WHEN 'es' THEN '40' WHEN 'zh' THEN '40' ELSE '00' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the parsed header fields have closed forms over the source columns
+    "q_mm_metadata" ->
+      """SELECT doc_id, 'GFT1' AS fmt,
+        |  CAST(doc_id % 640 + 16 AS BIGINT) AS width_p,
+        |  CAST(n_chars % 480 + 16 AS BIGINT) AS height_p,
+        |  CAST(len(text) AS BIGINT) AS body_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

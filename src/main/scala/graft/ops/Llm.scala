@@ -826,4 +826,86 @@ object Llm {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  // ---- training-set assembly ------------------------------------------
+
+  /** Context-window chunking: split each document into overlapping
+    * word windows (size `ChunkWin`, stride `ChunkStride`) — the
+    * pretraining chunker. The fan-out (`explode` over chunk starts +
+    * `slice`) happens inside the scan stage with codegen'd array ops —
+    * no shuffle, no HOF lambdas; at 100 TB chunking is embarrassingly
+    * parallel and output rows stay co-partitioned with their documents.
+    */
+  private val ChunkWin = 50
+  private val ChunkStride = 40
+
+  def q_chunk_docs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("chunk_id", explode(expr(s"sequence(0L, (n_words - 1) div $ChunkStride)")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        array_join(expr(s"slice(words, chunk_id * $ChunkStride + 1, $ChunkWin)"), " ")
+          .as("chunk_text"),
+        least(lit(ChunkWin.toLong), col("n_words") - col("chunk_id") * ChunkStride)
+          .as("chunk_words"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Mixture sampling: per-language target fractions applied with the
+    * same deterministic md5-threshold trick as `q_sample_hash` — the
+    * domain-mixture step of corpus assembly. Reproducible (pure hash of
+    * the key, no RNG state), key-consistent, and shuffle-free: the
+    * fraction lookup is a literal map expression evaluated in the scan
+    * stage, so at 100 TB this is a single filtered pass.
+    */
+  private val MixFractions: Seq[(String, String)] = // lang -> 2-hex-digit threshold / 256
+    Seq("en" -> "e6", "de" -> "80", "fr" -> "80", "es" -> "40", "zh" -> "40")
+
+  def q_mix_sample(s: SparkSession, d: String): DataFrame = {
+    val thr = MixFractions.map { case (l, t) => (lit(l), lit(t)) }
+      .flatMap { case (l, t) => Seq(l, t) }
+    documents(s, d)
+      .withColumn("thr", coalesce(map(thr: _*)(col("lang")), lit("00")))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy sequence packing: concatenate documents (in doc_id order,
+    * per source partition) into training sequences of at most
+    * `PackBudget` tokens — the sample-packing step that turns ragged
+    * documents into dense fixed-budget batches. Implemented as a
+    * per-group sequential fold inside `mapPartitions` after an exact
+    * hash repartition on `source` + intra-partition sort: the packing
+    * order is total and deterministic, state never leaves a partition,
+    * and the output is one row per document tagged with its (source,
+    * bin) — so at 100 TB each executor packs its own sources with zero
+    * coordination. Oversized documents get a bin of their own (never
+    * split, never dropped). No oracle (stateful sequential fold is not
+    * SQL-expressible); invariants in OpsSpec.
+    */
+  private val PackBudget = 256L
+
+  def q_pack_sequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(
+        col("doc_id"), col("source"),
+        (size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(Long, String, Long)]
+    toks.mapPartitions { it =>
+      var src = ""; var bin = 0L; var used = Long.MaxValue
+      it.map { case (id, source, n) =>
+        if (source != src) { src = source; bin = 0L; used = 0L }
+        if (used + n > PackBudget && used > 0) { bin += 1; used = 0L }
+        used += n
+        (id, source, n, bin)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
 }

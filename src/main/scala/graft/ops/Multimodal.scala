@@ -118,4 +118,36 @@ object Multimodal {
         col("n_bytes"), col("decoder"))
       .orderBy("doc_id")
   }
+
+  /** Typed-metadata parse: media payloads carry a self-describing
+    * header (here a deterministic fake: `GFT1|<w>|<h>|` prepended to
+    * the body); the op recovers a typed metadata STRUCT from raw bytes
+    * only — the header-sniffing step of media ingest. All codegen'd
+    * byte/string expressions in the scan stage (no UDF, no shuffle);
+    * the struct is flattened to scalars for the gate. The oracle
+    * verifies the parsed values against their closed forms.
+    */
+  def q_mm_metadata(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("w", (col("doc_id") % 640 + 16).cast("long"))
+      .withColumn("h", (col("n_chars") % 480 + 16).cast("long"))
+      .withColumn(
+        "payload",
+        concat(
+          concat_ws("|", lit("GFT1"), col("w"), col("h"), lit("")).cast("binary"),
+          col("text").cast("binary")))
+      // parse side: only `payload` bytes from here on
+      .withColumn("head", expr("cast(substring(payload, 1, 24) as string)"))
+      .withColumn("hdr", regexp_extract(col("head"), "^[A-Z0-9]{4}\\|\\d+\\|\\d+\\|", 0))
+      .withColumn("meta", struct(
+        regexp_extract(col("hdr"), "^([A-Z0-9]{4})", 1).as("fmt"),
+        regexp_extract(col("hdr"), "\\|(\\d+)\\|", 1).cast("long").as("w"),
+        regexp_extract(col("hdr"), "\\|(\\d+)\\|$", 1).cast("long").as("h")))
+      .select(
+        col("doc_id"),
+        col("meta.fmt").as("fmt"),
+        col("meta.w").as("width_p"),
+        col("meta.h").as("height_p"),
+        (octet_length(col("payload")) - length(col("hdr")).cast("long")).as("body_bytes"))
+      .orderBy("doc_id")
 }

@@ -299,6 +299,38 @@ class OpsSpec extends AnyFunSuite {
     assert(a.size > n * 0.08 && a.size < n * 0.26, s"sample ${a.size} of $n out of band")
   }
 
+  test("q_pack_sequences: bins respect the budget, packing is greedy-tight and deterministic") {
+    import spark.implicits._
+    val out = Llm.q_pack_sequences(spark, sf)
+      .select("doc_id", "source", "n_tokens", "bin_id")
+      .as[(Long, String, Long, Long)].collect()
+    // every document appears exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.length == Tables.documents(spark, sf).count())
+    val budget = 256L
+    out.groupBy(t => (t._2, t._4)).foreach { case ((src, bin), docs) =>
+      val tot = docs.map(_._3).sum
+      // a bin exceeds the budget only when a single oversized doc owns it
+      assert(tot <= budget || docs.length == 1, s"($src,$bin) holds $tot tokens in ${docs.length} docs")
+    }
+    // greedy-tight: within a source, consecutive bins can't be merged
+    out.groupBy(_._2).foreach { case (src, docs) =>
+      val binTotals = docs.groupBy(_._4).toSeq.sortBy(_._1)
+        .map { case (b, ds) => (b, ds.map(_._3).sum, ds.minBy(_._1)._3) }
+      binTotals.sliding(2).foreach {
+        case Seq((b1, t1, _), (b2, _, first2)) =>
+          assert(t1 + first2 > budget,
+            s"$src: bin $b1 ($t1 tokens) could absorb the first doc (${first2}) of bin $b2")
+        case _ =>
+      }
+    }
+    // deterministic across runs
+    val again = Llm.q_pack_sequences(spark, sf)
+      .select("doc_id", "source", "n_tokens", "bin_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("q_agg_hll: DataSketches estimate within 5% of exact; sketches merge across unions") {
     val rows = Relational.q_agg_hll(spark, sf).collect()
     assert(rows.nonEmpty)
