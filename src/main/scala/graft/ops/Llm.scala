@@ -462,15 +462,18 @@ object Llm {
       .filter(col("vec_id") % 31 === 0).orderBy("vec_id").limit(NList)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    val vsum = udaf(Udafs.VecSum)
     for (_ <- 1 to 2) {
       val assigned = trainSet.withColumn("cell", element_at(cellFn(centroids, 1)(col("e")), 1))
+      // centroid update via the JVM vector-sum aggregate — no n·dim
+      // explode; the shuffle carries only per-cell partial buffers
       val means = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }
+        .groupBy("cell").agg(vsum(col("e")).as("s"))
+        .collect().map { r =>
+          val st = r.getStruct(1)
+          val (sums, n) = (st.getSeq[Double](0), st.getLong(1))
+          (r.getInt(0), sums.map(_ / n))
+        }.toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
     }

@@ -222,9 +222,10 @@ object Scale {
     *
     * Per iteration: broadcast the k×dim centroid matrix, assign each row
     * to its nearest centroid map-side (no shuffle), then recompute means
-    * with ONE partial+final aggregation — `(cluster, dim) → avg` via
-    * posexplode, so the shuffle moves at most k·dim·partitions partial
-    * sums regardless of corpus size. Only the centroid matrix ever
+    * with ONE partial+final aggregation — a JVM vector-sum Aggregator
+    * ([[Udafs.VecSum]]: one array-add per row, no n·dim explode), so the
+    * shuffle moves at most k·partitions small buffers regardless of
+    * corpus size. Only the centroid matrix ever
     * reaches the driver. Initialization is a deterministic stride
     * sample (reproducible across runs/partitionings); empty clusters
     * keep their previous centroid. Stops early when no centroid moves
@@ -261,11 +262,14 @@ object Scale {
       val a = vecs.withColumn("__c", nearest(centroids)(col("__v")))
       if (trackWcss)
         wcss ::= a.agg(sum(col("__c._2"))).head().getDouble(0)
+      val vsum = udaf(Udafs.VecSum)
       val means = a
-        .select(col("__c._1").as("cl"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("cl", "pos").agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cl, rows) => (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+        .groupBy(col("__c._1").as("cl")).agg(vsum(col("__v")).as("s"))
+        .collect().map { r =>
+          val s = r.getStruct(1)
+          val (sums, n) = (s.getSeq[Double](0), s.getLong(1))
+          (r.getInt(0), sums.map(_ / n).toArray)
+        }.toMap
       val next = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
       moved = centroids.zip(next).exists { case (a0, b0) =>
         a0.zip(b0).map { case (x, y) => (x - y) * (x - y) }.sum > tol

@@ -287,4 +287,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       .as[(Timestamp, String, Long, Double)].collect().sortBy(r => (r._1.getTime, r._2)).toSeq
     assert(out == Seq((ts(0), "click", 2L, 3.0), (ts(10), "view", 1L, 4.0)))
   }
+
+  test("rate-micro-batch source: deterministic generator feeds a streaming transform") {
+    import org.apache.spark.sql.functions._
+    // rate-micro-batch emits exactly rowsPerBatch consecutive values per
+    // micro-batch with a fixed start timestamp — the deterministic
+    // load-generator (unlike `rate`, which is wall-clock-coupled)
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 10)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", 1000)
+      .load()
+      .withColumn("bucket", col("value") % 2)
+    val q = startQuery(src, "ratesrc")
+    // wait until at least 3 micro-batches (30 rows) have been delivered
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.table("ratesrc").count() < 30 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    val n = spark.table("ratesrc").count()
+    assert(n >= 30, s"expected >=30 generated rows, got $n")
+    // values are the consecutive prefix 0..n-1 — no gaps, no dups
+    val vals = spark.table("ratesrc").select("value").collect().map(_.getLong(0)).sorted
+    assert(vals.head == 0L && vals.last == n - 1 && vals.distinct.length == n.toInt)
+    assert(spark.table("ratesrc").filter(col("bucket") =!= col("value") % 2).count() == 0)
+  }
+
+  test("stream-static join: micro-batches enrich against a broadcast dimension table") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    // static side: per-user segment dimension (re-read per micro-batch in
+    // streaming; broadcast-joined, so the stream side never shuffles)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val in = MemoryStream[Ev]
+    val joined = in.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), coalesce(col("segment"), lit("none")).as("segment"))
+    val q = startQuery(joined, "enriched")
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 3, "view", 2.0, ts(2)))
+    q.processAllAvailable()
+    in.addData(Ev(3, 2, "click", 3.0, ts(3)))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1L, "gold"), (2L, 3L, "none"), (3L, 2L, "silver")))
+  }
 }
