@@ -186,6 +186,14 @@ object SparkEntry {
     "q_mix_sample" -> (Llm.q_mix_sample _),
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
+    // TPC-H shapes II + generators/provenance
+    "q_tpch_q7ish" -> (Relational.q_tpch_q7ish _),
+    "q_tpch_q14ish" -> (Relational.q_tpch_q14ish _),
+    "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
+    "q_tpch_q22ish" -> (Relational.q_tpch_q22ish _),
+    "q_listagg" -> (Relational.q_listagg _),
+    "q_explode_outer" -> (Relational.q_explode_outer _),
+    "q_file_provenance" -> (Relational.q_file_provenance _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
@@ -1127,5 +1135,69 @@ object SparkEntry {
         |  CAST(n_chars % 480 + 16 AS BIGINT) AS height_p,
         |  CAST(len(text) AS BIGINT) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tpch_q7ish" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q14ish" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+        |  round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |          THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+        |        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |        + 1e-9, 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q19ish" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_tpch_q22ish" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT doc_id, w AS word
+        |FROM (SELECT doc_id, regexp_extract_all(text, 'qu[a-z]+') AS arr FROM documents)
+        |LEFT JOIN LATERAL (SELECT unnest(arr) AS w) AS t ON TRUE
+        |ORDER BY doc_id, word""".stripMargin,
+
+    // single test file per table → the file name is a closed form
+    "q_file_provenance" ->
+      """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1252,4 +1252,118 @@ object Relational {
         expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
+
+  // ---- TPC-H shapes II -------------------------------------------------
+
+  /** Q7 shape (volume shipping): revenue between every (supplier
+    * nation, customer nation) pair per ship year. Two independent
+    * broadcast-dim legs (supplier→nation, customer→nation) hang off the
+    * lineitem→orders shuffle join — the fact table moves once.
+    */
+  def q_tpch_q7ish(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q14 shape (promo revenue share): percentage of monthly revenue
+    * from PROMO parts — conditional aggregation over a broadcast-dim
+    * join, exact-decimal accumulated on both numerator and denominator
+    * before the double division.
+    */
+  def q_tpch_q14ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        month(col("l_shipdate")).cast("long").as("l_month"))
+      .agg(
+        dsum(expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"))
+          .as("promo_rev"),
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("total_rev"))
+      .withColumn("promo_share",
+        round(col("promo_rev") * 100.0 / col("total_rev") + lit(1e-9), 6))
+      .orderBy("l_year", "l_month")
+
+  /** Q19 shape (disjunctive predicates): OR-of-ANDs over brand, size
+    * and quantity bands. The join key is shared across branches, so
+    * Catalyst keeps ONE equi-join and pushes the disjunction below it;
+    * each leg's part-side constraint prunes the broadcast build side.
+    */
+  def q_tpch_q19ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) && col("l_quantity").between(20, 40)))
+      .agg(
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Q22 shape (lost high-value customers): above-average-balance
+    * customers with no URGENT order — scalar subquery (1-row broadcast)
+    * + anti join against a pre-filtered order set, then a small rollup
+    * by market segment. The anti side's filter is pushed into its scan.
+    */
+  def q_tpch_q22ish(s: SparkSession, d: String): DataFrame = {
+    val avgBal = customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("bal_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- ordered string aggregation / generators / provenance -----------
+
+  /** Ordered string aggregation (`listagg ... WITHIN GROUP`): the
+    * readable-rollup rendering op. Deterministic because the intra-group
+    * order is total.
+    */
+  def q_listagg(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"))
+      .orderBy("r_name")
+
+  /** Null-preserving generator (`explode_outer`): rows with an empty
+    * match list survive with a NULL — the LEFT JOIN LATERAL shape.
+    * Documents without a match must NOT vanish from per-doc rollups.
+    */
+  def q_explode_outer(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"), lit("qu[a-z]+"), lit(0))).as("word"))
+      .orderBy("doc_id", "word")
+
+  /** File provenance via the `_metadata` hidden column: per-input-file
+    * row counts and key ranges — the ingest-audit query. At 100 TB a
+    * table is many thousands of files; this is the per-file quality
+    * rollup run before promotion. (The oracle pins the single test
+    * file's name as a closed form.)
+    */
+  def q_file_provenance(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("_metadata.file_name").as("src_file"))
+      .groupBy("src_file")
+      .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("src_file")
 }
