@@ -192,6 +192,7 @@ object SparkEntry {
     "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
     "q_tpch_q22ish" -> (Relational.q_tpch_q22ish _),
     "q_listagg" -> (Relational.q_listagg _),
+    "q_agg_bitmap" -> (Relational.q_agg_bitmap _),
     "q_explode_outer" -> (Relational.q_explode_outer _),
     "q_file_provenance" -> (Relational.q_file_provenance _),
   )
@@ -1187,6 +1188,11 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // bitmap two-level aggregation is EXACT — plain COUNT(DISTINCT) oracle
+    "q_agg_bitmap" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_explode_outer" ->
       """SELECT doc_id, w AS word

@@ -1253,6 +1253,22 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Exact distributed distinct counting via bitmaps (the OLAP bitmap
+    * trick): bucket each value (`bitmap_bucket_number`), OR the bit
+    * positions into one bitmap per (group, bucket), count bits, sum per
+    * group. The shuffle carries fixed-size bitmap buffers instead of
+    * raw distinct values — mergeable and storable, so exact distinct
+    * rollups can be maintained incrementally (the HLL query's exact
+    * sibling). Oracle: plain COUNT(DISTINCT).
+    */
+  def q_agg_bitmap(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("event_type")
+
   // ---- TPC-H shapes II -------------------------------------------------
 
   /** Q7 shape (volume shipping): revenue between every (supplier

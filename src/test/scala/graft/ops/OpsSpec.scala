@@ -356,6 +356,33 @@ class OpsSpec extends AnyFunSuite {
     assert(v.exceptAll(j).isEmpty && j.exceptAll(v).isEmpty)
   }
 
+  test("df.stat APIs: approxQuantile brackets exact, freqItems, sampleBy, countMinSketch bounds") {
+    val li = Tables.lineitem(spark, sf)
+    val Array(q25, q50, q75) = li.stat.approxQuantile("l_quantity", Array(0.25, 0.5, 0.75), 0.01)
+    assert(q25 <= q50 && q50 <= q75)
+    val exactMedian = li.selectExpr("percentile(l_quantity, 0.5)").head.getDouble(0)
+    assert(math.abs(q50 - exactMedian) <= 2.0, s"approx median $q50 vs exact $exactMedian")
+    // freqItems: every value above the support threshold must appear
+    val fi = li.stat.freqItems(Array("l_returnflag"), 0.3).head.getSeq[String](0)
+    assert(fi.nonEmpty && fi.forall(Set("A", "N", "R")))
+    // sampleBy: per-stratum fractions honored within binomial slack
+    val sb = li.stat.sampleBy("l_returnflag", Map("A" -> 0.5, "N" -> 0.9, "R" -> 0.1), 42L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, f) <- Map("A" -> 0.5, "N" -> 0.9, "R" -> 0.1)) {
+      val got = sb.getOrElse(k, 0L).toDouble / full(k)
+      assert(math.abs(got - f) < 0.15, s"stratum $k: sampled ${got} of target $f")
+    }
+    // count-min sketch: never undercounts; eps-bounded overcount
+    val cms = li.stat.countMinSketch("l_returnflag", 0.01, 0.99, 42)
+    val exactA = li.filter(col("l_returnflag") === "A").count()
+    val est = cms.estimateCount("A")
+    assert(est >= exactA && est <= exactA + (0.01 * li.count()).toLong + 1,
+      s"CMS estimate $est outside [$exactA, exact+eps*n]")
+  }
+
   test("q_stat_crosstab: cells sum to table count; lateral top-n respects per-group limit") {
     val ct = Relational.q_stat_crosstab(spark, sf).collect()
     val cells = ct.map(r => r.getLong(1) + r.getLong(2)).sum

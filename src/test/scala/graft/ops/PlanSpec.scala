@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected AQE skew-join split in:\n$finalPlan")
   }
 
+  test("q19ish disjunctive filter: ONE equi-join, part legs broadcast, no per-branch union") {
+    val plan = planOf(Relational.q_tpch_q19ish(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"part side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Union"),
+      "the OR-of-ANDs must stay one join with a disjunctive filter, not a union of branches")
+  }
+
+  test("q7ish: the fact table shuffles at most once; all four dims broadcast") {
+    val plan = planOf(Relational.q_tpch_q7ish(spark, sf))
+    // nation×2, supplier, customer ride broadcast exchanges
+    assert(plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") >= 3,
+      s"dim legs must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("lateral top-n decorrelates to a ranked window join — no per-row subquery re-execution") {
+    val opt = optimizedOf(Relational.q_lateral_topn(spark, sf))
+    // Catalyst rewrites the correlated ORDER BY+LIMIT lateral into a
+    // window/limit over the joined child; a surviving LateralJoin with a
+    // correlated subquery would re-run the inner query per outer row
+    assert(opt.contains("Window") || !opt.contains("LateralJoin"),
+      s"expected decorrelated window form:\n$opt")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // under AQE the codegen-staged plan only exists once executed
