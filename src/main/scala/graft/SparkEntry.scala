@@ -195,6 +195,10 @@ object SparkEntry {
     "q_agg_bitmap" -> (Relational.q_agg_bitmap _),
     "q_explode_outer" -> (Relational.q_explode_outer _),
     "q_file_provenance" -> (Relational.q_file_provenance _),
+    "q_recursive_cte" -> (Relational.q_recursive_cte _),
+    "q_xml_funcs" -> (Relational.q_xml_funcs _),
+    "q_encoding_funcs" -> (Relational.q_encoding_funcs _),
+    "q_sentences" -> (Relational.q_sentences _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
@@ -1205,5 +1209,35 @@ object SparkEntry {
       """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE reach(id, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT i.doc_id, r.depth + 1
+        |  FROM reach r JOIN documents i
+        |    ON i.doc_id = r.id * 2 OR i.doc_id = r.id * 2 + 1)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM reach GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the XML is built from columns → every parsed value has a closed form
+    "q_xml_funcs" ->
+      """SELECT doc_id, lang AS x_lang, n_chars AS x_n, n_chars AS p_n
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_encoding_funcs" ->
+      """SELECT doc_id,
+        |  to_base64(CAST(substr(text, 1, 20) AS BLOB)) AS b64,
+        |  substr(text, 1, 20) AS rt,
+        |  hex(CAST(lang AS BLOB)) AS lang_hex,
+        |  printf('%s-%05d', lang, doc_id) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // word-soup text has no punctuation → sentences() ≡ one whitespace
+    // tokenization per document
+    "q_sentences" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_sents,
+        |  array_to_string(string_split(text, ' '), ',') AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

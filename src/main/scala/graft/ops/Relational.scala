@@ -1370,6 +1370,71 @@ object Relational {
         explode_outer(regexp_extract_all(col("text"), lit("qu[a-z]+"), lit(0))).as("word"))
       .orderBy("doc_id", "word")
 
+  /** Recursive CTE (Spark 4): reachability over an edge list — the
+    * hierarchy/BOM-walk query shape. The edge list is derived from
+    * doc_ids as an implicit binary tree (i → 2i, 2i+1), so recursion
+    * depth is log₂(N); each step is one equi-join the planner handles
+    * like any other. Output: per-depth reachable-node rollup from
+    * root 1.
+    */
+  def q_recursive_cte(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).select(col("doc_id")).createOrReplaceTempView("rec_ids")
+    s.sql(
+      """WITH RECURSIVE reach(id, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT i.doc_id, r.depth + 1
+        |  FROM reach r JOIN rec_ids i
+        |    ON i.doc_id = r.id * 2 OR i.doc_id = r.id * 2 + 1)
+        |SELECT depth, count(*) AS n_nodes, sum(id) AS id_sum
+        |FROM reach GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  /** XML functions: per-row XML construction and recovery — `xpath_*`
+    * scalar extraction and schema'd `from_xml` parsing (the XML-feed
+    * ingest currency). The XML is built from columns, so every parsed
+    * value has a closed form for the oracle.
+    */
+  def q_xml_funcs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("xml",
+        concat(lit("<doc id=\""), col("doc_id"), lit("\"><lang>"), col("lang"),
+          lit("</lang><n>"), col("n_chars"), lit("</n></doc>")))
+      .select(
+        col("doc_id"),
+        expr("xpath_string(xml, '/doc/lang')").as("x_lang"),
+        expr("xpath_long(xml, '/doc/n')").as("x_n"),
+        expr("from_xml(xml, 'lang STRING, n BIGINT')").getField("n").as("p_n"))
+      .orderBy("doc_id")
+
+  /** Binary-text encodings: base64 round-trip, hex over utf-8 bytes,
+    * printf rendering — the wire-format glue functions.
+    */
+  def q_encoding_funcs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("head20", substring(col("text"), 1, 20))
+      .select(
+        col("doc_id"),
+        base64(col("head20").cast("binary")).as("b64"),
+        unbase64(base64(col("head20").cast("binary"))).cast("string").as("rt"),
+        hex(encode(col("lang"), "utf-8")).as("lang_hex"),
+        expr("printf('%s-%05d', lang, doc_id)").as("tag"))
+      .orderBy("doc_id")
+
+  /** Locale-aware sentence/word tokenization (`sentences`): on the
+    * space-separated corpus it degenerates to whitespace tokens, which
+    * is exactly what makes it oracle-checkable; the flattened token
+    * stream and sentence count are the gate surface.
+    */
+  def q_sentences(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("sents", expr("sentences(text)"))
+      .select(
+        col("doc_id"),
+        size(col("sents")).cast("long").as("n_sents"),
+        array_join(flatten(col("sents")), ",").as("tokens"))
+      .orderBy("doc_id")
+
   /** File provenance via the `_metadata` hidden column: per-input-file
     * row counts and key ranges — the ingest-audit query. At 100 TB a
     * table is many thousands of files; this is the per-file quality
