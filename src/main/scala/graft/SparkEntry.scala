@@ -1216,7 +1216,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT i.doc_id, r.depth + 1
         |  FROM reach r JOIN documents i
-        |    ON i.doc_id = r.id * 2 OR i.doc_id = r.id * 2 + 1)
+        |    ON i.doc_id // 2 = r.id AND i.doc_id >= 2)
         |SELECT depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_sum
         |FROM reach GROUP BY depth ORDER BY depth""".stripMargin,
 

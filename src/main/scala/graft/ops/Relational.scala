@@ -1371,10 +1371,12 @@ object Relational {
       .orderBy("doc_id", "word")
 
   /** Recursive CTE (Spark 4): reachability over an edge list — the
-    * hierarchy/BOM-walk query shape. The edge list is derived from
-    * doc_ids as an implicit binary tree (i → 2i, 2i+1), so recursion
-    * depth is log₂(N); each step is one equi-join the planner handles
-    * like any other. Output: per-depth reachable-node rollup from
+    * hierarchy/BOM-walk query shape. The edge relation is the implicit
+    * binary tree on doc_ids expressed as a COMPUTED-KEY EQUI-JOIN
+    * (`child DIV 2 = parent`), not an OR of two equality legs — the OR
+    * form plans a nested-loop join EVERY iteration (measured 2.7 s at
+    * sf0.1; unusable at scale), the equi form a hash join. Recursion
+    * depth is log₂(N). Output: per-depth reachable-node rollup from
     * root 1.
     */
   def q_recursive_cte(s: SparkSession, d: String): DataFrame = {
@@ -1385,7 +1387,7 @@ object Relational {
         |  UNION ALL
         |  SELECT i.doc_id, r.depth + 1
         |  FROM reach r JOIN rec_ids i
-        |    ON i.doc_id = r.id * 2 OR i.doc_id = r.id * 2 + 1)
+        |    ON i.doc_id DIV 2 = r.id AND i.doc_id >= 2)
         |SELECT depth, count(*) AS n_nodes, sum(id) AS id_sum
         |FROM reach GROUP BY depth ORDER BY depth""".stripMargin)
   }
