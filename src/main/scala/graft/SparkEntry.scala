@@ -196,6 +196,8 @@ object SparkEntry {
     "q_explode_outer" -> (Relational.q_explode_outer _),
     "q_file_provenance" -> (Relational.q_file_provenance _),
     "q_recursive_cte" -> (Relational.q_recursive_cte _),
+    "q_array_funcs3" -> (Relational.q_array_funcs3 _),
+    "q_map_funcs2" -> (Relational.q_map_funcs2 _),
     "q_xml_funcs" -> (Relational.q_xml_funcs _),
     "q_encoding_funcs" -> (Relational.q_encoding_funcs _),
     "q_sentences" -> (Relational.q_sentences _),
@@ -1209,6 +1211,32 @@ object SparkEntry {
       """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every doc has >= 10 words, so words[1..4] are always present
+    "q_array_funcs3" ->
+      """SELECT doc_id,
+        |  'BOS,' || array_to_string(string_split(text,' ')[1:3], ',') AS pre3,
+        |  array_to_string(string_split(text,' ')[1:3], ',') || ',EOS' AS app3,
+        |  string_split(text,' ')[1] || '-' || string_split(text,' ')[2] || ',' ||
+        |    string_split(text,' ')[2] || '-' || string_split(text,' ')[3] || ',' ||
+        |    string_split(text,' ')[3] || '-' || string_split(text,' ')[4] AS zipped,
+        |  lang || ',' || lang || ',' || lang AS rep_lang,
+        |  array_to_string(list_filter([nullif(lang,'en'), 'x'], x -> x IS NOT NULL), ',') AS compacted,
+        |  string_split(text,' ')[1] || ',<INS>,' ||
+        |    string_split(text,' ')[2] || ',' || string_split(text,' ')[3] AS inserted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // props is always {"k": <int>} → the map is {k: v}, m2 adds e=event_id%7
+    "q_map_funcs2" ->
+      """SELECT event_id,
+        |  'e,k' AS keys_sorted,
+        |  array_to_string(
+        |    list_sort(['e=' || CAST((event_id % 7) * 2 AS VARCHAR),
+        |               'k=' || CAST(CAST(json_extract(props,'$.k') AS BIGINT) * 2 AS VARCHAR)]),
+        |    ',') AS doubled_entries,
+        |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
+        |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE reach(id, depth) AS (

@@ -1370,6 +1370,47 @@ object Relational {
         explode_outer(regexp_extract_all(col("text"), lit("qu[a-z]+"), lit(0))).as("word"))
       .orderBy("doc_id", "word")
 
+  /** Array functions III: structural editing (prepend/append/insert),
+    * null compaction, element repetition, and pairwise zip — the
+    * token-sequence editing toolkit (BOS/EOS markers, special-token
+    * insertion, bigram pairing). All codegen'd built-ins in the scan
+    * stage; outputs scalarized for the gate.
+    */
+  def q_array_funcs3(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("first3", slice(col("words"), 1, 3))
+      .select(
+        col("doc_id"),
+        array_join(array_prepend(col("first3"), lit("BOS")), ",").as("pre3"),
+        array_join(array_append(col("first3"), lit("EOS")), ",").as("app3"),
+        array_join(
+          zip_with(col("first3"), slice(col("words"), 2, 3),
+            (a, b) => concat(a, lit("-"), b)), ",").as("zipped"),
+        array_join(array_repeat(col("lang"), 3), ",").as("rep_lang"),
+        array_join(array_compact(array(nullif(col("lang"), lit("en")), lit("x"))), ",")
+          .as("compacted"),
+        array_join(array_insert(col("first3"), lit(2), lit("<INS>")), ",").as("inserted"))
+      .orderBy("doc_id")
+
+  /** Map functions II: map building (`from_json` → MapType), map
+    * concatenation, value transformation, entry rendering and
+    * predicate filtering — the typed key-value metadata toolkit.
+    */
+  def q_map_funcs2(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
+      .withColumn("m2", map_concat(col("m"), map(lit("e"), col("event_id") % 7)))
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m2"))), ",").as("keys_sorted"),
+        array_join(
+          array_sort(transform(map_entries(transform_values(col("m2"), (_, v) => v * 2)),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("doubled_entries"),
+        size(map_filter(col("m2"), (_, v) => v > 10)).cast("long").as("n_big"))
+      .orderBy("event_id")
+
   /** Recursive CTE (Spark 4): reachability over an edge list — the
     * hierarchy/BOM-walk query shape. The edge relation is the implicit
     * binary tree on doc_ids expressed as a COMPUTED-KEY EQUI-JOIN
