@@ -183,6 +183,8 @@ object SparkEntry {
     "q_agg_hll" -> (Relational.q_agg_hll _),
     // training-set assembly
     "q_chunk_docs" -> (Llm.q_chunk_docs _),
+    "q_dedup_runs" -> (Llm.q_dedup_runs _),
+    "q_pagerank" -> (Llm.q_pagerank _),
     "q_mix_sample" -> (Llm.q_mix_sample _),
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
@@ -1127,6 +1129,16 @@ object SparkEntry {
         |      FROM documents),
         |LATERAL unnest(range(0, ((n_words - 1) // 40) + 1)) AS t(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // adjacent-run collapse via DuckDB's indexed list comprehension
+    "q_dedup_runs" ->
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  array_to_string(kept, ' ') AS collapsed
+        |FROM (SELECT doc_id, w,
+        |        [w[i] for i in range(1, len(w)+1) if i = 1 or w[i] != w[i-1]] AS kept
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mix_sample" ->
       """SELECT doc_id, lang, source FROM documents

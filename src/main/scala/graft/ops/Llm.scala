@@ -830,6 +830,40 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition collapse: squash runs of consecutive
+    * duplicate words to one occurrence (the C4/Gopher "repeated
+    * content" cleanup, adjacent-run variant). Indexed `filter` HOF over
+    * the word array — per-row, shuffle-free; arrays are document-sized
+    * so the interpreted lambda stays off any hot aggregate path.
+    */
+  def q_dedup_runs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("filter(words, (w, i) -> i = 0 OR w != element_at(words, i))").as("kept"))
+      .select(
+        col("doc_id"), col("n_words"),
+        size(col("kept")).cast("long").as("n_after"),
+        array_join(col("kept"), " ").as("collapsed"))
+      .orderBy("doc_id")
+
+  /** PageRank over the implicit doc-id binary tree (child → parent
+    * edges): link-authority scoring via [[Scale.pageRank]]. Root 1
+    * accumulates the most mass; leaves sit at the (1-d) floor. No
+    * oracle (iterative float recursion is not SQL-expressible in the
+    * gate); determinism + structure invariants in ScaleSpec.
+    */
+  def q_pagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"))
+    val edges = docs.filter(col("doc_id") >= 2)
+      .select(col("doc_id").as("src"), (col("doc_id") / 2).cast("long").as("dst"))
+    Scale.pageRank(edges, "src", "dst", iters = 5)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .orderBy("id")
+  }
+
   // ---- training-set assembly ------------------------------------------
 
   /** Context-window chunking: split each document into overlapping

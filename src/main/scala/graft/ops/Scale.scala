@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Reusable at-scale operator patterns. Each transform documents its
   * shuffle behavior — the unit of reasoning for a 1000-executor plan.
@@ -281,5 +282,39 @@ object Scale {
       nearest(centroids)(col(vecCol).cast("array<double>")).getField("_1"))
     vecs.unpersist()
     KMeansModel(centroids, assigned, wcss.reverse)
+  }
+
+  /** Distributed PageRank over an edge list (damped, fixed iteration
+    * count — link/citation authority scoring). Per iteration: one
+    * equi-join of the (edge, out-degree) relation against current ranks
+    * and one partial+final aggregation on the destination — rank rows
+    * only, never the raw graph, move through the shuffle. The edge ×
+    * out-degree relation is materialized ONCE (`localCheckpoint`; at
+    * cluster scale, a persisted/bucketed table on `src`, which also
+    * co-locates every iteration's join). Contributions accumulate as
+    * DECIMAL so results are partitioning-independent (same property as
+    * [[graft.ops.Relational.dsum]]). Dangling nodes contribute nothing
+    * (standard per-node formulation: `(1-d) + d·Σ contrib`).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy(col(srcCol).as("__s")).agg(count(lit(1)).as("__outdeg"))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg, col("__src") === col("__s")).drop("__s")
+      .localCheckpoint()
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, col("__src") === col("id"))
+        .groupBy(col("__dst"))
+        .agg(sum((col("rank") / col("__outdeg")).cast(DecimalType(28, 12))).as("__c"))
+      ranks = nodes.join(contrib, col("id") === col("__dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__c").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint() // bound lineage growth across iterations
+    }
+    ranks
   }
 }

@@ -139,4 +139,20 @@ class ScaleSpec extends AnyFunSuite {
     val expected = ords.groupBy("o_custkey").agg(min("o_orderkey").as("o_orderkey"))
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
+
+  test("pageRank: deterministic, root-heavy, leaves at the (1-d) floor, mass bounded") {
+    import spark.implicits._
+    val ranks = Llm.q_pagerank(spark, sf).as[(Long, Double)].collect().toMap
+    val again = Llm.q_pagerank(spark, sf).as[(Long, Double)].collect().toMap
+    assert(ranks == again, "decimal-accumulated ranks must be run-stable")
+    val maxId = ranks.keys.max
+    // child→parent edges: the root aggregates the most authority
+    assert(ranks(1L) == ranks.values.max, s"root rank ${ranks(1L)} not maximal")
+    // ids with no children (> maxId/2) receive nothing: exactly 1-d
+    ranks.collect { case (id, r) if id > maxId / 2 => r }
+      .foreach(r => assert(math.abs(r - 0.15) < 1e-9, s"leaf rank $r != 0.15"))
+    // every rank at least the floor; total mass ≤ node count
+    assert(ranks.values.forall(_ >= 0.15 - 1e-9))
+    assert(ranks.values.sum <= ranks.size + 1e-6)
+  }
 }

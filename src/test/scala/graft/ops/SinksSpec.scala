@@ -89,4 +89,25 @@ class SinksSpec extends AnyFunSuite {
     assert(m("rows").asInstanceOf[Long] == Tables.orders(spark, sf).count())
     assert(m("gross").asInstanceOf[Double] > 0)
   }
+
+  test("CBO: ANALYZE statistics drive static broadcast selection (no AQE, no hints)") {
+    // catalog stats are the PRE-RUNTIME half of the size story: with
+    // AQE off and no broadcast hint, the planner can only pick a
+    // broadcast join if ANALYZE gave it a sizeInBytes for the dim table
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("cbo_nation")
+    spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+    val stats = spark.sql("DESCRIBE EXTENDED cbo_nation").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(stats.get("Statistics").exists(_.contains("bytes")), s"ANALYZE left no stats: $stats")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Tables.customer(spark, sf)
+        .join(spark.table("cbo_nation"), col("c_nationkey") === col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-known small dim must broadcast without hints:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

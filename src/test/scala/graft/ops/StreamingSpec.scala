@@ -288,6 +288,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(out == Seq((ts(0), "click", 2L, 3.0), (ts(10), "view", 1L, 4.0)))
   }
 
+  test("file source admission control: maxFilesPerTrigger bounds every micro-batch") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfpt").toString
+    // 4 input files → with maxFilesPerTrigger=1, AvailableNow must
+    // process them as (at least) 4 bounded batches, not one big one
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val total = spark.read.parquet(dir).count()
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batchSizes.sum == total, s"all rows delivered: $batchSizes vs $total")
+    assert(batchSizes.count(_ > 0) >= 4, s"expected >=4 bounded batches, got $batchSizes")
+    assert(batchSizes.forall(_ < total), s"no batch may swallow the whole input: $batchSizes")
+  }
+
   test("rate-micro-batch source: deterministic generator feeds a streaming transform") {
     import org.apache.spark.sql.functions._
     // rate-micro-batch emits exactly rowsPerBatch consecutive values per
