@@ -95,6 +95,14 @@ class SinksSpec extends AnyFunSuite {
     // AQE off and no broadcast hint, the planner can only pick a
     // broadcast join if ANALYZE gave it a sizeInBytes for the dim table
     spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear the location too
+    val loc = java.nio.file.Paths.get("spark-warehouse", "cbo_nation")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("cbo_nation")
     spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
     val stats = spark.sql("DESCRIBE EXTENDED cbo_nation").collect()
