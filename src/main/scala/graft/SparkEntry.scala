@@ -200,6 +200,10 @@ object SparkEntry {
     "q_recursive_cte" -> (Relational.q_recursive_cte _),
     "q_array_funcs3" -> (Relational.q_array_funcs3 _),
     "q_map_funcs2" -> (Relational.q_map_funcs2 _),
+    "q_agg_theta" -> (Relational.q_agg_theta _),
+    "q_agg_approx_topk" -> (Relational.q_agg_approx_topk _),
+    "q_source_text" -> (Sources.q_source_text _),
+    "q_source_binaryfile" -> (Sources.q_source_binaryfile _),
     "q_xml_funcs" -> (Relational.q_xml_funcs _),
     "q_encoding_funcs" -> (Relational.q_encoding_funcs _),
     "q_sentences" -> (Relational.q_sentences _),
@@ -1249,6 +1253,19 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_text" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  count(DISTINCT text) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    // 4 engine-written text part-files; bytes = ascii text + 1 newline/row
+    "q_source_binaryfile" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files,
+        |  CAST(sum(len(text) + 1) AS BIGINT) AS total_bytes,
+        |  CAST(sum(len(text) + 1) AS BIGINT) AS content_bytes
+        |FROM documents""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE reach(id, depth) AS (

@@ -1269,6 +1269,43 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** Theta sketches (Apache DataSketches): distinct counting with SET
+    * ALGEBRA — union/intersection/difference over sketches, the
+    * audience-overlap currency HLL cannot provide. One sketch per
+    * event_type (mergeable, storable), then pairwise overlap and union
+    * estimates from the sketches alone — no re-scan of the raw data.
+    * No oracle (sketch internals are engine-specific); below the
+    * sketch's retention threshold the estimates are exact, which
+    * OpsSpec asserts against exact-join ground truth.
+    */
+  def q_agg_theta(s: SparkSession, d: String): DataFrame = {
+    val sk = events(s, d)
+      .groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(
+        col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("overlap"),
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").as("together"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Approximate heavy hitters (`approx_top_k`): the one-pass frequent-
+    * items aggregate. Entries are re-sorted by (count desc, item) after
+    * extraction so ties render deterministically. Below the tracking
+    * threshold the counts are exact (OpsSpec asserts vs exact counts).
+    */
+  def q_agg_approx_topk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(expr("approx_top_k(word, 10)").as("tk"))
+      .select(array_join(
+        expr("transform(array_sort(tk, (x, y) -> CASE WHEN x.count > y.count THEN -1 " +
+          "WHEN x.count < y.count THEN 1 WHEN x.item < y.item THEN -1 " +
+          "WHEN x.item > y.item THEN 1 ELSE 0 END), e -> concat(e.item, ':', e.count))"), ",")
+        .as("top_words"))
+
   // ---- TPC-H shapes II -------------------------------------------------
 
   /** Q7 shape (volume shipping): revenue between every (supplier

@@ -68,6 +68,38 @@ object Sources {
     s.read.orc(out).orderBy("s_suppkey")
   }
 
+  /** parquet → line-text → text scan: the raw-text interchange format.
+    * `read.text` yields one row per line in a single `value` column;
+    * the rollup's closed form over the source table is the oracle.
+    */
+  def q_source_text(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(s"text_${math.abs(d.hashCode).toHexString}")
+    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("total_chars"),
+        countDistinct(col("value")).as("n_distinct"))
+  }
+
+  /** Opaque-file ingest (`binaryFile` source): each file arrives as
+    * (path, length, content BINARY) — the media/raw-asset on-ramp of a
+    * multimodal pipeline. Written as a fixed number of line-text files
+    * so the byte totals have a closed form (text bytes + one newline
+    * per row) for the oracle; file names are engine-generated, so the
+    * gate surface is the file-count/byte rollup, not names.
+    */
+  def q_source_binaryfile(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(s"binf_${math.abs(d.hashCode).toHexString}")
+    Tables.documents(s, d).select(col("text"))
+      .repartition(4).write.mode("overwrite").text(out)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("length")).cast("long").as("total_bytes"),
+        sum(octet_length(col("content"))).cast("long").as("content_bytes"))
+  }
+
   /** Parse a JSON string column into typed fields (`from_json`) — the
     * streaming-ingest pattern (Kafka value → struct) run over
     * `events.props`.

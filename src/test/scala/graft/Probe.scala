@@ -6,15 +6,12 @@ object Probe {
     val s = GraftSession.local(4)
     s.sparkContext.setLogLevel("ERROR")
     for ((name, sql) <- Seq(
-      "recursive" -> "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t WHERE n < 5) SELECT sum(n) FROM t",
-      "xpath" -> "SELECT xpath_string('<a><b>hi</b></a>', '/a/b')",
-      "base64" -> "SELECT base64('ab'), unbase64(base64('ab')), hex(encode('ab','utf-8'))",
-      "from_xml" -> "SELECT from_xml('<r><x>1</x></r>', 'x INT')",
-      "format" -> "SELECT format_number(1234.567, 2), printf('%d-%s', 7, 'a')",
-      "sentences" -> "SELECT sentences('Hi there. Bye.')"
+      "theta_union" -> "SELECT theta_sketch_estimate(theta_union_agg(sk)) FROM (SELECT theta_sketch_agg(x) sk FROM VALUES (1),(2) t(x) UNION ALL SELECT theta_sketch_agg(x) FROM VALUES (2),(3) t(x))",
+      "theta_intersection" -> "SELECT theta_sketch_estimate(theta_intersection(a, b)) FROM (SELECT (SELECT theta_sketch_agg(x) FROM VALUES (1),(2) t(x)) a, (SELECT theta_sketch_agg(x) FROM VALUES (2),(3) t(x)) b)",
+      "theta_difference" -> "SELECT theta_sketch_estimate(theta_difference(a, b)) FROM (SELECT (SELECT theta_sketch_agg(x) FROM VALUES (1),(2) t(x)) a, (SELECT theta_sketch_agg(x) FROM VALUES (2),(3) t(x)) b)"
     )) {
       try println(s"$name OK: " + s.sql(sql).head)
-      catch { case e: Throwable => println(s"$name FAIL: " + e.getMessage.replaceAll("\n", " ").take(150)) }
+      catch { case e: Throwable => println(s"$name FAIL: " + e.getMessage.replaceAll("\n", " ").take(120)) }
     }
     s.stop()
   }

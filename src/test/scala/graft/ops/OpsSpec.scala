@@ -331,6 +331,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("q_agg_theta: sketch set algebra matches exact pair overlaps below retention") {
+    import spark.implicits._
+    val exact = {
+      val tu = Tables.events(spark, sf).select("event_type", "user_id").distinct()
+        .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for ((a, ua) <- tu; (b, ub) <- tu if a < b)
+        yield (a, b) -> ((ua & ub).size.toLong, (ua | ub).size.toLong)
+    }
+    val got = Relational.q_agg_theta(spark, sf)
+      .as[(String, String, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, overlap, together) =>
+      val (eo, eu) = exact((a, b))
+      assert(overlap.round == eo && together.round == eu,
+        s"($a,$b): sketch ($overlap,$together) vs exact ($eo,$eu)")
+    }
+  }
+
+  test("q_agg_approx_topk: entries equal exact word counts (small vocab => exact)") {
+    import spark.implicits._
+    val rendered = Relational.q_agg_approx_topk(spark, sf).as[String].head()
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count().as[(String, Long)].collect()
+      .sortBy { case (w, n) => (-n, w) }.take(10)
+      .map { case (w, n) => s"$w:$n" }.mkString(",")
+    assert(rendered == exact, s"approx_top_k rendered '$rendered' vs exact '$exact'")
+  }
+
   test("q_agg_hll: DataSketches estimate within 5% of exact; sketches merge across unions") {
     val rows = Relational.q_agg_hll(spark, sf).collect()
     assert(rows.nonEmpty)
