@@ -48,4 +48,39 @@ object Sinks {
     df.repartitionByRange(files, org.apache.spark.sql.functions.col(byCol))
       .sortWithinPartitions(byCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order (Morton-curve) clustered write: interleave the bits of TWO
+    * normalized sort keys and range-partition + sort on the combined
+    * z-value. Each output file then covers a small RECTANGLE in
+    * (c1, c2) space — its parquet footer min/max are tight on BOTH
+    * dimensions, so filtered reads on EITHER key (or both) skip files.
+    * A plain sort on c1 gives perfect c1-skipping but every file spans
+    * the full c2 range; z-ordering trades a little of each for
+    * two-dimensional skipping — the standard lakehouse layout for
+    * two-key scan patterns at 100 TB. Keys are min/max normalized to
+    * 16-bit ranks with one tiny pre-pass aggregate (two scalars
+    * broadcast back; no global sort of raw keys).
+    */
+  def zOrderedParquet(df: DataFrame, path: String, c1: String, c2: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
+      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+    val withZ = df.crossJoin(broadcast(b))
+      .withColumn("__b1",
+        round((col(c1).cast("double") - col("min1")) /
+          greatest(col("max1") - col("min1"), lit(1e-12)) * 65535).cast("long"))
+      .withColumn("__b2",
+        round((col(c2).cast("double") - col("min2")) /
+          greatest(col("max2") - col("min2"), lit(1e-12)) * 65535).cast("long"))
+      .withColumn("__z",
+        (0 until 16).map { i =>
+          (shiftright(col("__b1"), i).bitwiseAND(1) * lit(1L << (2 * i + 1))) +
+            (shiftright(col("__b2"), i).bitwiseAND(1) * lit(1L << (2 * i)))
+        }.reduce(_ + _))
+    withZ.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__b1", "__b2", "min1", "max1", "min2", "max2")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -90,6 +90,36 @@ class SinksSpec extends AnyFunSuite {
     assert(m("gross").asInstanceOf[Double] > 0)
   }
 
+  test("z-ordered write: a point query on the SECOND dim skips files; sorted layout cannot") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    // fraction of output files whose [min,max] on `dim` contains v —
+    // exactly the footer-stats test a reader uses to skip whole files
+    def hitFraction(path: String, dim: String, v: Long): Double = {
+      val files = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg(min(dim).cast("long").as("lo"), max(dim).cast("long").as("hi"))
+        .collect()
+      files.count(r => r.getLong(1) <= v && v <= r.getLong(2)).toDouble / files.length
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    Sinks.zOrderedParquet(li, zDir, "l_partkey", "l_suppkey", 16)
+    Sinks.rangeSortedParquet(li, sDir, "l_partkey", 16)
+    assert(spark.read.parquet(zDir).count() == li.count())
+    val midSupp = li.stat.approxQuantile("l_suppkey", Array(0.5), 0.0)(0).toLong
+    // sorted-by-partkey files all span the full suppkey range → no skip
+    assert(hitFraction(sDir, "l_suppkey", midSupp) >= 0.9,
+      "sorted baseline unexpectedly skips on dim 2 — data assumption broke")
+    // z-ordered files cover suppkey rectangles → most files skippable
+    val zHit = hitFraction(zDir, "l_suppkey", midSupp)
+    assert(zHit <= 0.6, f"dim-2 point query hits $zHit%.2f of z-files — no skipping power")
+    // and dim-1 skipping is retained (not traded away entirely)
+    val midPart = li.stat.approxQuantile("l_partkey", Array(0.5), 0.0)(0).toLong
+    assert(hitFraction(zDir, "l_partkey", midPart) <= 0.6,
+      "z-order must keep useful dim-1 skipping too")
+  }
+
   test("CBO: ANALYZE statistics drive static broadcast selection (no AQE, no hints)") {
     // catalog stats are the PRE-RUNTIME half of the size story: with
     // AQE off and no broadcast hint, the planner can only pick a

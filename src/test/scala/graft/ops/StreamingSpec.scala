@@ -288,6 +288,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(out == Seq((ts(0), "click", 2L, 3.0), (ts(10), "view", 1L, 4.0)))
   }
 
+  test("checkpoint recovery: a restarted query resumes aggregation state, not from zero") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[Ev]
+    def start() = {
+      val agg = in.toDF().groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      val q = agg.writeStream.format("memory").queryName("ckpt_counts")
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      queries = q :: queries
+      q
+    }
+    val q1 = start()
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 2.0, ts(2)))
+    q1.processAllAvailable()
+    assert(spark.table("ckpt_counts").filter(col("user_id") === 1)
+      .head.getLong(1) == 2)
+    q1.stop() // simulated failure/redeploy
+    // new incarnation, same checkpoint: state must carry over
+    val q2 = start()
+    in.addData(Ev(3, 1, "click", 4.0, ts(3)))
+    q2.processAllAvailable()
+    val r = spark.table("ckpt_counts").filter(col("user_id") === 1).head
+    assert(r.getLong(1) == 3 && r.getDouble(2) == 7.0,
+      s"state lost across restart: $r")
+    q2.stop()
+  }
+
+  test("stream-stream LEFT OUTER join emits unmatched rows once the watermark passes") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val c = clicks.toDF().select(col("event_id").as("cid"), col("user_id").as("cu"),
+      col("ts").as("cts")).withWatermark("cts", "0 seconds")
+    val b = buys.toDF().select(col("event_id").as("bid"), col("user_id").as("bu"),
+      col("ts").as("bts")).withWatermark("bts", "0 seconds")
+    val j = c.join(b,
+      col("cu") === col("bu") &&
+        col("bts").between(col("cts"), col("cts") + expr("INTERVAL 10 MINUTES")),
+      "left_outer")
+    val q = startQuery(j.select("cid", "bid"), "louter")
+    // user 1 clicks then buys inside the window; user 2 clicks, never buys
+    clicks.addData(Ev(1, 1, "click", 1.0, ts(0)), Ev(2, 2, "click", 1.0, ts(0)))
+    buys.addData(Ev(10, 1, "purchase", 5.0, ts(5)))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the join window so the unmatched
+    // left row can be finalized as (2, null)
+    clicks.addData(Ev(3, 9, "click", 1.0, ts(60)))
+    buys.addData(Ev(11, 9, "purchase", 1.0, ts(60)))
+    q.processAllAvailable()
+    q.processAllAvailable() // outer results flush one trigger later
+    val rows = spark.table("louter").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 10L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, -1L)), s"unmatched left row never emitted: $rows")
+  }
+
   test("file source admission control: maxFilesPerTrigger bounds every micro-batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_mfpt").toString
