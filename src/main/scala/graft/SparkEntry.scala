@@ -201,6 +201,7 @@ object SparkEntry {
     "q_array_funcs3" -> (Relational.q_array_funcs3 _),
     "q_map_funcs2" -> (Relational.q_map_funcs2 _),
     "q_agg_theta" -> (Relational.q_agg_theta _),
+    "q_pivot2" -> (Relational.q_pivot2 _),
     "q_agg_approx_topk" -> (Relational.q_agg_approx_topk _),
     "q_source_text" -> (Sources.q_source_text _),
     "q_source_binaryfile" -> (Sources.q_source_binaryfile _),
@@ -1253,6 +1254,15 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_pivot2" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click_n,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click'), 0) AS DOUBLE) AS click_v,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase_n,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase_v
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_source_text" ->
       """SELECT count(*) AS n_lines,

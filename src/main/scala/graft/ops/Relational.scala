@@ -1269,6 +1269,23 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** Pivot II: multiple aggregates per pivoted value (count + exact-
+    * decimal sum per event_type column) — one Expand+aggregate pass,
+    * no per-column scans.
+    */
+  def q_pivot2(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "purchase")
+    val p = events(s, d)
+      .filter(col("event_type").isin(types: _*))
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("v"))
+    types.foldLeft(p) { (df, t) =>
+      df.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
+        .withColumn(s"${t}_v", coalesce(col(s"${t}_v"), lit(0.0)))
+    }.orderBy("user_id")
+  }
+
   /** Theta sketches (Apache DataSketches): distinct counting with SET
     * ALGEBRA — union/intersection/difference over sketches, the
     * audience-overlap currency HLL cannot provide. One sketch per

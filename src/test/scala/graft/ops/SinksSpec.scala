@@ -120,6 +120,42 @@ class SinksSpec extends AnyFunSuite {
       "z-order must keep useful dim-1 skipping too")
   }
 
+  test("corrupt-file tolerance: ignoreCorruptFiles reads around a damaged input") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    val good = Tables.nation(spark, sf)
+    good.write.mode("overwrite").parquet(dir.toString)
+    // drop a non-parquet garbage file into the table directory — the
+    // single-bad-file-in-a-million-files reality of a 100 TB lake
+    java.nio.file.Files.write(dir.resolve("part-junk.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Exception] { // default: fail loudly (no silent data loss)
+      spark.read.parquet(dir.toString).count()
+    }
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      // opt-in: the good rows all survive, the bad file is skipped
+      assert(spark.read.parquet(dir.toString).count() == good.count())
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
+  test("parquet compression codecs: zstd and snappy both round-trip; codec is per-write") {
+    val li = Tables.lineitem(spark, sf)
+    val dirs = Seq("zstd", "snappy", "none").map { codec =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$codec").toString
+      li.write.mode("overwrite").option("compression", codec).parquet(dir)
+      codec -> dir
+    }
+    for ((codec, dir) <- dirs)
+      assert(spark.read.parquet(dir).count() == li.count(), s"$codec round-trip")
+    def bytes(dir: String): Long =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val sizes = dirs.toMap.view.mapValues(bytes).toMap
+    assert(sizes("zstd") < sizes("none") && sizes("snappy") < sizes("none"),
+      s"compression must shrink files: $sizes")
+  }
+
   test("CBO: ANALYZE statistics drive static broadcast selection (no AQE, no hints)") {
     // catalog stats are the PRE-RUNTIME half of the size story: with
     // AQE off and no broadcast hint, the planner can only pick a
