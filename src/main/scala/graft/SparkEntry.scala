@@ -189,6 +189,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
+    "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
     "q_tpch_q7ish" -> (Relational.q_tpch_q7ish _),
     "q_tpch_q14ish" -> (Relational.q_tpch_q14ish _),
     "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
@@ -1159,6 +1160,13 @@ object SparkEntry {
         |  CAST(n_chars % 480 + 16 AS BIGINT) AS height_p,
         |  CAST(len(text) AS BIGINT) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tpch_q4ish" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q7ish" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -1325,6 +1325,20 @@ object Relational {
 
   // ---- TPC-H shapes II -------------------------------------------------
 
+  /** Q4 shape (order-priority checking): orders with at least one
+    * qualifying lineitem, counted by priority — the EXISTS/semi-join
+    * aggregation. The semi join never duplicates orders however many
+    * lineitems match, and only the order keys of the probe side move.
+    */
+  def q_tpch_q4ish(s: SparkSession, d: String): DataFrame = {
+    val bigLines = lineitem(s, d).filter(col("l_quantity") >= 45).select("l_orderkey")
+    orders(s, d)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q7 shape (volume shipping): revenue between every (supplier
     * nation, customer nation) pair per ship year. Two independent
     * broadcast-dim legs (supplier→nation, customer→nation) hang off the

@@ -61,4 +61,23 @@ class TypedSpec extends AnyFunSuite {
     val joined = big.joinWith(right, big("o_custkey") === right("o_custkey"))
     joined.collect().foreach { case (a, b) => assert(a.o_custkey == b.o_custkey) }
   }
+
+  test("cogroup: per-key two-sided reconciliation ≡ outer-join aggregate") {
+    val s = spark
+    import s.implicits._
+    // reconcile each customer's order count against a filtered slice —
+    // the arbitrary two-sided per-key logic joins can't express directly
+    val all = orders.groupByKey(_.o_custkey)
+    val urgent = orders.filter(_.o_orderpriority == "1-URGENT").groupByKey(_.o_custkey)
+    val recon = all.cogroup(urgent) { (k, a, b) =>
+      val (na, nb) = (a.size, b.size)
+      if (na > 0 || nb > 0) Iterator((k, na.toLong, nb.toLong)) else Iterator.empty
+    }.collect().map { case (k, na, nb) => k -> ((na, nb)) }.toMap
+    val expected = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("na"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("nb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(recon == expected)
+    recon.values.foreach { case (na, nb) => assert(nb <= na) }
+  }
 }
