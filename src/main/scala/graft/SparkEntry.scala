@@ -203,6 +203,9 @@ object SparkEntry {
     "q_map_funcs2" -> (Relational.q_map_funcs2 _),
     "q_agg_theta" -> (Relational.q_agg_theta _),
     "q_pivot2" -> (Relational.q_pivot2 _),
+    "q_collation" -> (Relational.q_collation _),
+    "q_timezone_funcs" -> (Relational.q_timezone_funcs _),
+    "q_agg_regr" -> (Relational.q_agg_regr _),
     "q_agg_approx_topk" -> (Relational.q_agg_approx_topk _),
     "q_source_text" -> (Sources.q_source_text _),
     "q_source_binaryfile" -> (Sources.q_source_binaryfile _),
@@ -1262,6 +1265,28 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_collation" ->
+      """SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+        |             ELSE lower(p_type) END) AS label,
+        |  count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Asia/Kolkata is a fixed +05:30 offset (no DST) → exact closed form
+    "q_timezone_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '5 hours 30 minutes' AS ist,
+        |  CAST(hour(o_orderdate + INTERVAL '5 hours 30 minutes') AS BIGINT) AS ist_hour,
+        |  o_orderdate AS utc_again
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot2" ->
       """SELECT user_id,

@@ -1269,6 +1269,54 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** Collation-aware grouping (Spark 4 collations): case-insensitive
+    * UTF8_LCASE comparison folds 'PROMO' and 'promo' into one group
+    * WITHOUT rewriting the data through lower() — the comparison
+    * semantics live in the type. The emitted label is min(lower(k))
+    * because the collated group's representative is partition-order
+    * dependent; the count is the collation's observable effect.
+    */
+  def q_collation(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("k",
+        when(col("p_partkey") % 2 === 0, upper(col("p_type")))
+          .otherwise(lower(col("p_type"))))
+      .groupBy(expr("collate(k, 'UTF8_LCASE')").as("ck"))
+      .agg(count(lit(1)).as("n"), min(lower(col("k"))).as("label"))
+      .select(col("label"), col("n"))
+      .orderBy("label")
+
+  /** Timezone conversion (`convert_timezone`/`to_utc_timestamp`): the
+    * event-time localization step. Asia/Kolkata (+05:30, no DST) keeps
+    * the closed form exact in both engines.
+    */
+  def q_timezone_funcs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("convert_timezone('UTC', 'Asia/Kolkata', o_orderdate)").as("ist"),
+        hour(expr("convert_timezone('UTC', 'Asia/Kolkata', o_orderdate)")).cast("long")
+          .as("ist_hour"),
+        to_utc_timestamp(
+          expr("convert_timezone('UTC', 'Asia/Kolkata', o_orderdate)"), "Asia/Kolkata")
+          .as("utc_again"))
+      .orderBy("o_orderkey")
+
+  /** Linear-regression aggregates (`regr_slope`/`regr_intercept`/
+    * `regr_r2`/`regr_count`): the trend-fit family — one partial+final
+    * pass, no driver math. Rounded: the engines' incremental moment
+    * algorithms differ in low-order float bits.
+    */
+  def q_agg_regr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)") + lit(1e-9), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)") + lit(1e-9), 6).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)") + lit(1e-9), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag")
+
   /** Pivot II: multiple aggregates per pivoted value (count + exact-
     * decimal sum per event_type column) — one Expand+aggregate pass,
     * no per-column scans.
