@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent syntax for the engine's scale operators: `import
+  * graft.ops.syntax._` puts them on `DataFrame` directly, so pipeline
+  * code reads like the native API it extends —
+  *
+  * {{{
+  * import graft.ops.syntax._
+  * docs.hashSample(Seq(col("doc_id")), 10)
+  *     .dedupKeepFirst(Seq(col("text")), Seq(col("doc_id")))
+  *     .upsertInto(base, Seq("doc_id"))
+  * }}}
+  *
+  * Pure forwarding — every method delegates to the [[Scale]]/[[Sinks]]
+  * implementations (single source of truth for semantics and the
+  * 100 TB design notes documented there).
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** [[Scale.hashSample]]: reproducible, key-consistent sampling. */
+    def hashSample(keys: Seq[Column], percent: Double): DataFrame =
+      Scale.hashSample(df, keys, percent)
+
+    /** [[Scale.dedupKeepFirst]]: deterministic keep-min-tiebreaker dedup. */
+    def dedupKeepFirst(keys: Seq[Column], tieBreaker: Seq[Column]): DataFrame =
+      Scale.dedupKeepFirst(df, keys, tieBreaker)
+
+    /** [[Scale.upsert]] with `df` as the update set. */
+    def upsertInto(base: DataFrame, keys: Seq[String]): DataFrame =
+      Scale.upsert(base, df, keys)
+
+    /** [[Scale.topKPerGroup]]: salted two-phase per-group top-k. */
+    def topKPerGroup(groupCols: Seq[Column], orderCols: Seq[Column], k: Int,
+                     saltSrc: Seq[Column], salts: Int = 32): DataFrame =
+      Scale.topKPerGroup(df, groupCols, orderCols, k, saltSrc, salts)
+
+    /** [[Scale.asofJoin]] with `df` as the left (probe) side. */
+    def asofJoin(right: DataFrame, key: String, leftTs: String, rightTs: String,
+                 payloadCols: Seq[String]): DataFrame =
+      Scale.asofJoin(df, right, key, leftTs, rightTs, payloadCols)
+
+    /** [[Scale.saltedJoin]] with `df` as the big (skewed) side. */
+    def saltedJoin(small: DataFrame, keys: Seq[String], saltSrc: Seq[Column],
+                   salts: Int = 16, joinType: String = "inner"): DataFrame =
+      Scale.saltedJoin(df, small, keys, saltSrc, salts, joinType)
+
+    /** [[Scale.bloomPrefilterJoin]] with `df` as the fact side. */
+    def bloomJoin(dim: DataFrame, factKey: String, dimKey: String,
+                  expectedKeys: Long = 1000000L, fpp: Double = 0.01,
+                  joinType: String = "inner"): DataFrame =
+      Scale.bloomPrefilterJoin(df, dim, factKey, dimKey, expectedKeys, fpp, joinType)
+
+    /** [[Sinks.rangeSortedParquet]]: sort-key-skippable layout. */
+    def writeRangeSorted(path: String, byCol: String, files: Int): Unit =
+      Sinks.rangeSortedParquet(df, path, byCol, files)
+
+    /** [[Sinks.zOrderedParquet]]: two-dimension-skippable layout. */
+    def writeZOrdered(path: String, c1: String, c2: String, files: Int): Unit =
+      Sinks.zOrderedParquet(df, path, c1, c2, files)
+  }
+}

@@ -140,6 +140,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("syntax: fluent DataFrame ops forward to the Scale implementations") {
+    import graft.ops.syntax._
+    val ords = Tables.orders(spark, sf)
+    assert(ords.hashSample(Seq(col("o_orderkey")), 10).count() ==
+      Scale.hashSample(ords, Seq(col("o_orderkey")), 10).count())
+    val chained = ords
+      .hashSample(Seq(col("o_orderkey")), 50)
+      .dedupKeepFirst(Seq(col("o_custkey")), Seq(col("o_orderkey")))
+    assert(chained.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    val updates = ords.limit(10).withColumn("o_totalprice", lit(0.0))
+    val upserted = updates.upsertInto(ords, Seq("o_orderkey"))
+    assert(upserted.count() == ords.count())
+    assert(upserted.filter(col("o_totalprice") === 0.0).count() == 10)
+  }
+
   test("pageRank: deterministic, root-heavy, leaves at the (1-d) floor, mass bounded") {
     import spark.implicits._
     val ranks = Llm.q_pagerank(spark, sf).as[(Long, Double)].collect().toMap
