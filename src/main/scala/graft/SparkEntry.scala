@@ -208,6 +208,7 @@ object SparkEntry {
     "q_agg_regr" -> (Relational.q_agg_regr _),
     "q_agg_approx_topk" -> (Relational.q_agg_approx_topk _),
     "q_source_text" -> (Sources.q_source_text _),
+    "q_join_bucketed" -> (Sources.q_join_bucketed _),
     "q_source_binaryfile" -> (Sources.q_source_binaryfile _),
     "q_xml_funcs" -> (Relational.q_xml_funcs _),
     "q_encoding_funcs" -> (Relational.q_encoding_funcs _),
@@ -1296,6 +1297,12 @@ object SparkEntry {
         |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase_v
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_source_text" ->
       """SELECT count(*) AS n_lines,

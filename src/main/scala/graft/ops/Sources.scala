@@ -100,6 +100,30 @@ object Sources {
         sum(octet_length(col("content"))).cast("long").as("content_bytes"))
   }
 
+  /** Bucketed co-located join, end-to-end: write both sides bucketed +
+    * sorted on the join key (`Sinks.bucketedTable`), then join the
+    * TABLES — with matching bucket counts Spark plans a sort-merge join
+    * with ZERO Exchange (the per-query shuffle is paid once at ingest;
+    * the layout survives in the catalog). The gate compares against the
+    * plain-join oracle, so the layout's correctness — not just its
+    * plan shape — is verified.
+    */
+  def q_join_bucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = math.abs(d.hashCode).toHexString
+    val (to, tc) = (s"bkt_orders_$tag", s"bkt_customer_$tag")
+    Seq(to, tc).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Sinks.bucketedTable(Tables.orders(s, d), to, tmpDir(to), 8, Seq("o_custkey"))
+    Sinks.bucketedTable(Tables.customer(s, d), tc, tmpDir(tc), 8, Seq("c_custkey"))
+    s.table(to)
+      .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("gross"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Parse a JSON string column into typed fields (`from_json`) — the
     * streaming-ingest pattern (Kafka value → struct) run over
     * `events.props`.
