@@ -184,6 +184,7 @@ object SparkEntry {
     // training-set assembly
     "q_chunk_docs" -> (Llm.q_chunk_docs _),
     "q_dedup_runs" -> (Llm.q_dedup_runs _),
+    "q_quality_classifier" -> (Llm.q_quality_classifier _),
     "q_pagerank" -> (Llm.q_pagerank _),
     "q_mix_sample" -> (Llm.q_mix_sample _),
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
@@ -1139,6 +1140,20 @@ object SparkEntry {
         |      FROM documents),
         |LATERAL unnest(range(0, ((n_words - 1) // 40) + 1)) AS t(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // fixed-weight logistic over closed-form features → exact replay
+    "q_quality_classifier" ->
+      """SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-z)) + 1e-9, 6) AS quality,
+        |  1.0 / (1.0 + exp(-z)) > 0.5 AS keep
+        |FROM (SELECT doc_id,
+        |  -2.0 + 1.5 * least(len(string_split(text,' ')) / 100.0, 1.0)
+        |       + 0.4 * ((n_chars - len(string_split(text,' ')) + 1.0) / len(string_split(text,' ')))
+        |       + 2.0 * (len(list_intersect(string_split(text,' '),
+        |                    string_split('the,a,and,of,to,in,is,it',','))) / 8.0)
+        |       + 1.2 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS z
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // adjacent-run collapse via DuckDB's indexed list comprehension
     "q_dedup_runs" ->

@@ -830,6 +830,37 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Quality classifier, inference-only: a logistic model with FIXED
+    * published-style weights over engineered text features (doc length,
+    * mean word length, stopword ratio, type-token ratio) — the
+    * fasttext-classifier-shaped filter every corpus pipeline runs,
+    * expressed as pure codegen'd column math (no model runtime, no UDF,
+    * no shuffle). Weights are constants, so the oracle reproduces the
+    * score exactly; the epsilon-nudged round absorbs exp() ULP
+    * differences between engines.
+    */
+  def q_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    val stop = "the,a,and,of,to,in,is,it"
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_w", size(col("words")).cast("double"))
+      .withColumn("f_len", least(col("n_w") / 100.0, lit(1.0)))
+      .withColumn("f_wlen",
+        (col("n_chars").cast("double") - col("n_w") + 1.0) / col("n_w"))
+      .withColumn("f_stop",
+        size(array_intersect(col("words"), split(lit(stop), ","))).cast("double") / 8.0)
+      .withColumn("f_ttr",
+        size(array_distinct(col("words"))).cast("double") / col("n_w"))
+      .withColumn("z",
+        lit(-2.0) + lit(1.5) * col("f_len") + lit(0.4) * col("f_wlen") +
+          lit(2.0) * col("f_stop") + lit(1.2) * col("f_ttr"))
+      .select(
+        col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))) + lit(1e-9), 6).as("quality"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z"))) > 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Intra-document repetition collapse: squash runs of consecutive
     * duplicate words to one occurrence (the C4/Gopher "repeated
     * content" cleanup, adjacent-run variant). Indexed `filter` HOF over
