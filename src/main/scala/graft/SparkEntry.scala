@@ -191,6 +191,7 @@ object SparkEntry {
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
+    "q_tpch_q6ish" -> (Relational.q_tpch_q6ish _),
     "q_tpch_q7ish" -> (Relational.q_tpch_q7ish _),
     "q_tpch_q14ish" -> (Relational.q_tpch_q14ish _),
     "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
@@ -1179,6 +1180,14 @@ object SparkEntry {
         |  CAST(n_chars % 480 + 16 AS BIGINT) AS height_p,
         |  CAST(len(text) AS BIGINT) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tpch_q6ish" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q4ish" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -1387,6 +1387,22 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Q6 shape (forecast revenue change): the pure filtered-scan
+    * aggregate — every predicate pushes into the parquet scan, one
+    * partial+final agg, no join, no shuffle of data rows. The
+    * canonical "how fast can you scan" probe.
+    */
+  def q_tpch_q6ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        dsum(expr("l_extendedprice * l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Q7 shape (volume shipping): revenue between every (supplier
     * nation, customer nation) pair per ship year. Two independent
     * broadcast-dim legs (supplier→nation, customer→nation) hang off the

@@ -131,6 +131,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected decorrelated window form:\n$opt")
   }
 
+  test("scan-stage ops are shuffle-free: chunking and mixture sampling add no Exchange") {
+    // the only Exchange either query may contain is the final
+    // presentation sort (rangepartitioning) — the WORK must be map-side
+    def nonSortExchanges(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString()
+      plan.split("Exchange ").count(_.startsWith("hashpartitioning"))
+    }
+    assert(nonSortExchanges(Llm.q_chunk_docs(spark, sf)) == 0,
+      "chunk fan-out must stay inside the scan stage")
+    assert(nonSortExchanges(Llm.q_mix_sample(spark, sf)) == 0,
+      "mixture sampling must be a single filtered pass")
+    assert(nonSortExchanges(Llm.q_dedup_runs(spark, sf)) == 0,
+      "run collapse must be per-row map work")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // under AQE the codegen-staged plan only exists once executed

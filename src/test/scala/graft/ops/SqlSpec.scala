@@ -50,4 +50,31 @@ class SqlSpec extends AnyFunSuite {
       "SELECT vec_id, graft_dot(e, e) AS sq FROM emb_sql ORDER BY vec_id LIMIT 3").collect()
     assert(self.forall(_.getDouble(1) > 0))
   }
+
+  test("parameterized SQL: named markers bind values without string interpolation") {
+    Tables.orders(spark, sf).createOrReplaceTempView("param_orders")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM param_orders WHERE o_totalprice > :thr AND o_orderstatus = :st",
+      Map("thr" -> 300000.0, "st" -> "O")).head.getLong(0)
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000.0 && col("o_orderstatus") === "O").count()
+    assert(n == expected && n > 0)
+    // binding, not splicing: a quote in a string param must not break out
+    val quoted = spark.sql(
+      "SELECT count(*) AS n FROM param_orders WHERE o_orderstatus = :st",
+      Map("st" -> "O' OR '1'='1")).head.getLong(0)
+    assert(quoted == 0, "string param must be bound as a literal, not spliced")
+  }
+
+  test("global temp views live in global_temp and survive session forks") {
+    Tables.nation(spark, sf).createOrReplaceGlobalTempView("g_nation")
+    val viaGlobal = spark.sql("SELECT count(*) FROM global_temp.g_nation").head.getLong(0)
+    assert(viaGlobal == Tables.nation(spark, sf).count())
+    // a NEW session in the same SparkContext sees global temp views
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(*) FROM global_temp.g_nation").head.getLong(0) == viaGlobal)
+    // ...but not plain temp views, which are session-scoped
+    Tables.nation(spark, sf).createOrReplaceTempView("local_nation")
+    intercept[Exception] { s2.sql("SELECT count(*) FROM local_nation").collect() }
+  }
 }
