@@ -206,6 +206,8 @@ object SparkEntry {
     "q_agg_theta" -> (Relational.q_agg_theta _),
     "q_pivot2" -> (Relational.q_pivot2 _),
     "q_collation" -> (Relational.q_collation _),
+    "q_impute_locf" -> (Relational.q_impute_locf _),
+    "q_window_trailing" -> (Relational.q_window_trailing _),
     "q_timezone_funcs" -> (Relational.q_timezone_funcs _),
     "q_agg_regr" -> (Relational.q_agg_regr _),
     "q_agg_approx_topk" -> (Relational.q_agg_approx_topk _),
@@ -1290,6 +1292,26 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // DuckDB date_trunc returns DATE → cast back to TIMESTAMP (trap)
+    "q_impute_locf" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN value END) AS pval
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, pval,
+        |  last_value(pval IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+        |FROM daily ORDER BY user_id, day""".stripMargin,
+
+    "q_window_trailing" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_collation" ->
       """SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)

@@ -1269,6 +1269,41 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** LOCF imputation (last-observation-carried-forward): forward-fill
+    * sparse observations over a dense per-user day series —
+    * `last(col, ignoreNulls)` over an unbounded-preceding frame. The
+    * canonical gap-filling step of feature/time-series pipelines; one
+    * shuffle on the partition key.
+    */
+  def q_impute_locf(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "purchase", col("value"))).as("pval"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("v_locf", last(col("pval"), ignoreNulls = true).over(w))
+      .orderBy("user_id", "day")
+  }
+
+  /** Trailing event-time window (RANGE + INTERVAL frame): per-user
+    * rolling count/sum over the last hour of EVENT TIME, not row
+    * counts — the sliding-metric shape where rows are irregularly
+    * spaced. Peers at identical timestamps are included identically in
+    * both engines (RANGE frame semantics).
+    */
+  def q_window_trailing(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("trail_events")
+    s.sql(
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h
+        |FROM trail_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Collation-aware grouping (Spark 4 collations): case-insensitive
     * UTF8_LCASE comparison folds 'PROMO' and 'promo' into one group
     * WITHOUT rewriting the data through lower() — the comparison
