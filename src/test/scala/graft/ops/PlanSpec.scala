@@ -131,6 +131,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected decorrelated window form:\n$opt")
   }
 
+  test("cache: a cached relation plans InMemoryTableScan; unpersist restores the file scan") {
+    val df = Relational.q_agg_group(spark, sf)
+    df.cache()
+    try {
+      df.count() // materialize
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("InMemoryTableScan"), s"expected cached scan:\n$plan")
+      // catalog-level caching over a temp view behaves the same
+      Tables.nation(spark, sf).createOrReplaceTempView("cached_nation")
+      spark.catalog.cacheTable("cached_nation")
+      try {
+        val p2 = spark.table("cached_nation").queryExecution.executedPlan.toString()
+        assert(p2.contains("InMemoryTableScan") || p2.contains("Scan In-memory table"))
+      } finally spark.catalog.uncacheTable("cached_nation")
+    } finally df.unpersist()
+    val fresh = Relational.q_agg_group(spark, sf).queryExecution.executedPlan.toString()
+    assert(!fresh.contains("InMemoryTableScan"), "unpersist must fall back to the source scan")
+  }
+
   test("scan-stage ops are shuffle-free: chunking and mixture sampling add no Exchange") {
     // the only Exchange either query may contain is the final
     // presentation sort (rangepartitioning) — the WORK must be map-side
