@@ -207,6 +207,9 @@ object SparkEntry {
     "q_pivot2" -> (Relational.q_pivot2 _),
     "q_collation" -> (Relational.q_collation _),
     "q_impute_locf" -> (Relational.q_impute_locf _),
+    "q_math_funcs2" -> (Relational.q_math_funcs2 _),
+    "q_string_funcs3" -> (Relational.q_string_funcs3 _),
+    "q_json_funcs2" -> (Relational.q_json_funcs2 _),
     "q_window_trailing" -> (Relational.q_window_trailing _),
     "q_timezone_funcs" -> (Relational.q_timezone_funcs _),
     "q_agg_regr" -> (Relational.q_agg_regr _),
@@ -1291,6 +1294,34 @@ object SparkEntry {
         |    ',') AS doubled_entries,
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_math_funcs2" ->
+      """SELECT p_partkey,
+        |  round(sin(p_retailprice / 1000.0) + 1e-9, 6) AS sin_v,
+        |  round(cos(p_retailprice / 1000.0) + 1e-9, 6) AS cos_v,
+        |  round(atan2(CAST(p_size AS DOUBLE), p_retailprice / 100.0) + 1e-9, 6) AS at2,
+        |  round(log2(p_size) + 1e-9, 6) AS lg2,
+        |  round(cbrt(p_retailprice) + 1e-9, 6) AS cbr,
+        |  CAST(sign(p_retailprice - 1000.0) AS BIGINT) AS sgn,
+        |  CAST(factorial(p_size % 10) AS BIGINT) AS fact
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_string_funcs3" ->
+      """SELECT p_partkey,
+        |  CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS first_code,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS bucket_chr,
+        |  left(p_name, 5) AS pre5,
+        |  right(p_name, 4) AS suf4,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // props is always {"k": <int>} and to_json has a closed per-row form
+    "q_json_funcs2" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  'STRUCT<k: BIGINT>' AS schema_s,
+        |  '{"event_id":' || event_id || '}' AS tj
         |FROM events ORDER BY event_id""".stripMargin,
 
     // DuckDB date_trunc returns DATE → cast back to TIMESTAMP (trap)

@@ -1269,6 +1269,52 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** Math functions II: trig (sin/cos/atan2), alternate-base logs,
+    * cube root, sign, small-int factorial. Transcendentals are rounded
+    * (libm vs java.lang.Math differ in final ULPs).
+    */
+  def q_math_funcs2(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        round(sin(col("p_retailprice") / 1000.0) + lit(1e-9), 6).as("sin_v"),
+        round(cos(col("p_retailprice") / 1000.0) + lit(1e-9), 6).as("cos_v"),
+        round(atan2(col("p_size").cast("double"), col("p_retailprice") / 100.0) + lit(1e-9), 6)
+          .as("at2"),
+        round(log2(col("p_size")) + lit(1e-9), 6).as("lg2"),
+        round(cbrt(col("p_retailprice")) + lit(1e-9), 6).as("cbr"),
+        signum(col("p_retailprice") - 1000.0).cast("long").as("sgn"),
+        factorial(col("p_size") % 10).as("fact"))
+      .orderBy("p_partkey")
+
+  /** String functions III: character codes (ascii/chr), prefix/suffix
+    * slices (left/right), substring position (instr ≡ strpos).
+    */
+  def q_string_funcs3(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        ascii(substring(col("p_name"), 1, 1)).cast("long").as("first_code"),
+        expr("char(65 + p_partkey % 26)").as("bucket_chr"),
+        expr("left(p_name, 5)").as("pre5"),
+        expr("right(p_name, 4)").as("suf4"),
+        instr(col("p_name"), "a").cast("long").as("a_pos"))
+      .orderBy("p_partkey")
+
+  /** JSON functions II: multi-path extraction (`json_tuple`, the
+    * UDTF-style sibling of get_json_object), static schema inference
+    * (`schema_of_json`), and struct→JSON rendering (`to_json`).
+    */
+  def q_json_funcs2(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), json_tuple(col("props"), "k").as("k_str"))
+      .select(
+        col("event_id"),
+        col("k_str").cast("long").as("k_val"),
+        expr("schema_of_json('{\"k\": 1}')").as("schema_s"),
+        to_json(struct(col("event_id"))).as("tj"))
+      .orderBy("event_id")
+
   /** LOCF imputation (last-observation-carried-forward): forward-fill
     * sparse observations over a dense per-user day series —
     * `last(col, ignoreNulls)` over an unbounded-preceding frame. The
