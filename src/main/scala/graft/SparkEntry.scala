@@ -185,6 +185,7 @@ object SparkEntry {
     "q_chunk_docs" -> (Llm.q_chunk_docs _),
     "q_dedup_runs" -> (Llm.q_dedup_runs _),
     "q_quality_classifier" -> (Llm.q_quality_classifier _),
+    "q_kwic" -> (Llm.q_kwic _),
     "q_pagerank" -> (Llm.q_pagerank _),
     "q_mix_sample" -> (Llm.q_mix_sample _),
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
@@ -1146,6 +1147,14 @@ object SparkEntry {
         |      FROM documents),
         |LATERAL unnest(range(0, ((n_words - 1) // 40) + 1)) AS t(chunk_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_kwic" ->
+      """SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |  coalesce(array_to_string(w[greatest(p - 2, 1):(p - 1)], ' '), '') AS left_ctx,
+        |  coalesce(array_to_string(w[(p + 1):(p + 2)], ' '), '') AS right_ctx
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |LATERAL unnest([i for i in range(1, len(w) + 1) if w[i] = 'merge']) AS t(p)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // fixed-weight logistic over closed-form features → exact replay
     "q_quality_classifier" ->

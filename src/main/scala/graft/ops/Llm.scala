@@ -830,6 +830,27 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Keyword-in-context (KWIC) concordance: every occurrence of a term
+    * with its ±2-word context window — the corpus-inspection op behind
+    * targeted quality audits ("how is this token actually used?").
+    * posexplode inside the scan stage + 1-based slice arithmetic; the
+    * only shuffle is the presentation sort.
+    */
+  def q_kwic(s: SparkSession, d: String): DataFrame = {
+    val term = "merge"
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"), posexplode(col("words")).as(Seq("p0", "w")))
+      .filter(col("w") === term)
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .select(
+        col("doc_id"), col("pos"),
+        array_join(expr("slice(words, greatest(pos - 2, 1), pos - greatest(pos - 2, 1))"), " ")
+          .as("left_ctx"),
+        array_join(expr("slice(words, pos + 1, 2)"), " ").as("right_ctx"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Quality classifier, inference-only: a logistic model with FIXED
     * published-style weights over engineered text features (doc length,
     * mean word length, stopword ratio, type-token ratio) — the
