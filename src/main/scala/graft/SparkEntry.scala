@@ -209,6 +209,8 @@ object SparkEntry {
     "q_collation" -> (Relational.q_collation _),
     "q_impute_locf" -> (Relational.q_impute_locf _),
     "q_math_funcs2" -> (Relational.q_math_funcs2 _),
+    "q_agg_histogram2" -> (Relational.q_agg_histogram2 _),
+    "q_date_funcs3" -> (Relational.q_date_funcs3 _),
     "q_string_funcs3" -> (Relational.q_string_funcs3 _),
     "q_json_funcs2" -> (Relational.q_json_funcs2 _),
     "q_window_trailing" -> (Relational.q_window_trailing _),
@@ -1304,6 +1306,14 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(json_extract(props,'$.k') AS BIGINT) > 10 THEN 1 ELSE 0 END
         |       + CASE WHEN event_id % 7 > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_date_funcs3" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_s,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_math_funcs2" ->
       """SELECT p_partkey,

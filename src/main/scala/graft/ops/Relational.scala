@@ -1269,6 +1269,35 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")
 
+  /** Variable-width histogram (`histogram_numeric`): the adaptive
+    * bucketing aggregate (Greenwald-Khanna-style centroids) — the
+    * approximate sibling of `q_agg_histogram`'s fixed-width buckets.
+    * Centroid placement is engine-specific → rows-only gate; OpsSpec
+    * asserts bucket count and that weights sum to the row count.
+    */
+  def q_agg_histogram2(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(expr("histogram_numeric(l_extendedprice, 8)").as("h"))
+      .select(posexplode(col("h")).as(Seq("bucket", "c")))
+      .select(
+        col("bucket").cast("long").as("bucket"),
+        round(col("c.x"), 2).as("x"),
+        col("c.y").cast("long").as("weight"))
+      .orderBy("bucket")
+
+  /** Date functions III: render patterns (`date_format`), quarter
+    * extraction, month truncation — the report-bucketing family.
+    */
+  def q_date_funcs3(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full_s"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy("o_orderkey")
+
   /** Math functions II: trig (sin/cos/atan2), alternate-base logs,
     * cube root, sign, small-int factorial. Transcendentals are rounded
     * (libm vs java.lang.Math differ in final ULPs).

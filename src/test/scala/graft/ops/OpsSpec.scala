@@ -331,6 +331,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("q_agg_histogram2: 8 adaptive buckets whose weights sum to the row count") {
+    val rows = Relational.q_agg_histogram2(spark, sf).collect()
+    assert(rows.length == 8, s"expected 8 buckets, got ${rows.length}")
+    assert(rows.map(_.getLong(2)).sum == Tables.lineitem(spark, sf).count())
+    val xs = rows.map(_.getDouble(1))
+    assert(xs.sameElements(xs.sorted), "centroids must be ordered")
+  }
+
   test("q_agg_theta: sketch set algebra matches exact pair overlaps below retention") {
     import spark.implicits._
     val exact = {
