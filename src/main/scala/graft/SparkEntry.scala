@@ -194,7 +194,9 @@ object SparkEntry {
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
     "q_tpch_q6ish" -> (Relational.q_tpch_q6ish _),
     "q_tpch_q7ish" -> (Relational.q_tpch_q7ish _),
+    "q_tpch_q13ish" -> (Relational.q_tpch_q13ish _),
     "q_tpch_q14ish" -> (Relational.q_tpch_q14ish _),
+    "q_tpch_q17ish" -> (Relational.q_tpch_q17ish _),
     "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
     "q_tpch_q22ish" -> (Relational.q_tpch_q22ish _),
     "q_listagg" -> (Relational.q_listagg _),
@@ -1224,6 +1226,24 @@ object SparkEntry {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q13ish" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // correlated form in the oracle; the engine runs the de-correlated join
+    "q_tpch_q17ish" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 + 1e-9, 4)
+        |    AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.2 * (
+        |  SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
 
     "q_tpch_q14ish" ->
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,

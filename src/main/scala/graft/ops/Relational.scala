@@ -1533,6 +1533,36 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q13 shape (customer distribution): two-level aggregation — orders
+    * per customer (zeros preserved via left outer), then a histogram of
+    * those counts. The first agg shuffles on custkey; the second is
+    * near-free (distinct count values are few).
+    */
+  def q_tpch_q13ish(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q17 shape (small-quantity-order revenue): rows below 20% of their
+    * part's average quantity. The correlated per-part average is
+    * de-correlated into a grouped agg joined back — one extra shuffle
+    * of (partkey, avg) pairs instead of a per-row subquery.
+    */
+  def q_tpch_q17ish(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity"), 2).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        round(dsum(col("l_extendedprice")) / 7.0 + lit(1e-9), 4).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
   /** Q14 shape (promo revenue share): percentage of monthly revenue
     * from PROMO parts — conditional aggregation over a broadcast-dim
     * join, exact-decimal accumulated on both numerator and denominator
