@@ -199,6 +199,11 @@ object SparkEntry {
     "q_tpch_q17ish" -> (Relational.q_tpch_q17ish _),
     "q_tpch_q19ish" -> (Relational.q_tpch_q19ish _),
     "q_tpch_q22ish" -> (Relational.q_tpch_q22ish _),
+    // TPC-H shapes III (partsupp-free adaptations)
+    "q_tpch_q8ish" -> (Relational.q_tpch_q8ish _),
+    "q_tpch_q12ish" -> (Relational.q_tpch_q12ish _),
+    "q_tpch_q15ish" -> (Relational.q_tpch_q15ish _),
+    "q_tpch_q21ish" -> (Relational.q_tpch_q21ish _),
     "q_listagg" -> (Relational.q_listagg _),
     "q_agg_bitmap" -> (Relational.q_agg_bitmap _),
     "q_explode_outer" -> (Relational.q_explode_outer _),
@@ -1278,6 +1283,68 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tpch_q8ish" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_7'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS nation_rev,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_rev,
+        |  round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_7'
+        |          THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+        |        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |        + 1e-9, 6) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q12ish" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60 THEN '60+'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30 THEN '31-60'
+        |    ELSE '0-30' END AS delay_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q15ish" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // correlated EXISTS/NOT-EXISTS form in the oracle; the engine runs
+    // the de-correlated per-order aggregate + join-back
+    "q_tpch_q21ish" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -1618,6 +1618,107 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Q8 shape (national market share): one supplier nation's share of
+    * a region's market for one part type, per order year. Two
+    * conditional decimal sums in ONE aggregation pass — never two
+    * scans — over a fact join where every dimension leg (part filter,
+    * region-restricted customers, supplier→nation) is broadcast; the
+    * only shuffle is lineitem⋈orders.
+    */
+  def q_tpch_q8ish(s: SparkSession, d: String): DataFrame = {
+    val marketCust = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = supplier(s, d)
+      .join(
+        broadcast(nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_7",
+          expr("l_extendedprice * (1 - l_discount)")).otherwise(lit(0.0))).as("nation_rev"),
+        dsum(expr("l_extendedprice * (1 - l_discount)")).as("total_rev"))
+      .withColumn("mkt_share",
+        round(col("nation_rev") * 100.0 / col("total_rev") + lit(1e-9), 6))
+      .orderBy("o_year")
+  }
+
+  /** Q12 shape (shipping-delay service levels): the testdata lacks
+    * l_shipmode/l_receiptdate, so the Q12 bucketing dimension is the
+    * ship-minus-order delay instead — same plan shape (fact⋈fact equi
+    * join, CASE bucketing, two conditional counts in one agg).
+    */
+  def q_tpch_q12ish(s: SparkSession, d: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(delay > 60, lit("60+")).when(delay > 30, lit("31-60")).otherwise(lit("0-30")))
+      .groupBy("delay_bucket")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
+  /** Q15 shape (top supplier): a per-supplier revenue "view" over a
+    * 3-month ship window, then the suppliers hitting its maximum — the
+    * max is a 1-row broadcast, so no second full shuffle. The DOUBLE
+    * equality against the max is safe because both sides come from the
+    * same decimal-accumulated sum (bit-identical in both engines).
+    */
+  def q_tpch_q15ish(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 shape (suppliers who kept orders waiting): late lines (ship >
+    * order date + 30d, a receiptdate proxy) in finished multi-supplier
+    * orders where NO other supplier was late. The correlated
+    * EXISTS/NOT-EXISTS pair de-correlates into one per-order aggregate
+    * — n_supps ≥ 2 ⇔ EXISTS(other supplier), n_late_supps = 1 ⇔
+    * NOT EXISTS(other late supplier) for a late line — so the fact is
+    * shuffled once for the stats and once for the join-back, never
+    * per-subquery.
+    */
+  def q_tpch_q21ish(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val li = lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val orderStats = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supps"))
+    li.filter(late)
+      .join(orderStats, col("l_orderkey") === col("ok"))
+      .filter(col("n_supps") >= 2 && col("n_late_supps") === 1)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   // ---- ordered string aggregation / generators / provenance -----------
 
   /** Ordered string aggregation (`listagg ... WITHIN GROUP`): the
