@@ -5,13 +5,38 @@ package graft
   * codegen/parquet path, so the timed pass measures the engine rather
   * than single-shot JVM/JIT/codegen initialization (first-query cold
   * penalty measured at 4-5s, warm 0.2s).
+  *
+  * Noise control: each query is timed over `SPARK_GRAFT_BENCH_RUNS`
+  * consecutive runs (default 3) and the MEDIAN is reported — PERF.md
+  * measured ±50% single-shot scatter on trivial queries, which the
+  * median collapses; round-over-round deltas are meaningful at ~±15%.
+  *
+  * Skew instrumentation: a SparkListener records per-task wall times;
+  * for every query the p95/p50 task-time ratio is computed across its
+  * runs. A ratio near 1 means the partitioning spreads work evenly —
+  * the property that decides whether the plan survives a 1000-executor
+  * 100 TB run, now measured instead of code-read. Queries whose ratio
+  * exceeds 2 are emitted in the JSON `skew` map (only offenders, to
+  * keep the line inside the driver's bounded stdout tail); `max_skew`
+  * carries the worst ratio observed so an all-even run is still
+  * distinguishable from a missing measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // per-task wall times (ms) of successful tasks since the last clear
+    val taskTimes = new scala.collection.mutable.ArrayBuffer[Long]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null && t.taskInfo.successful)
+          taskTimes.synchronized { taskTimes += t.taskInfo.duration }
+    })
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm on the smallest sibling sf if present, else the target data
     // itself — a missing warm dir must never silently skip the warmup
@@ -22,21 +47,45 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"[bench-warm] $name: ${e.getMessage}") }
     }
+
+    def pct(sorted: Vector[Long], p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      taskTimes.synchronized(taskTimes.clear())
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      // listener delivery is async; by the time the next query's runs
+      // finish, this query's stragglers would pollute its bucket — give
+      // the bus a beat to drain (best-effort; skew is informational)
+      Thread.sleep(20)
+      val sorted = taskTimes.synchronized(taskTimes.sorted.toVector)
+      val skew =
+        if (sorted.length < 8) 1.0 // too few tasks for a meaningful ratio
+        else pct(sorted, 0.95).toDouble / math.max(pct(sorted, 0.50), 1L)
+      (name, median, skew)
     }
+
     // Millisecond precision keeps the whole line compact (~2.5KB for 100+
     // queries vs ~5.5KB at full double repr): the round-1 driver captured
     // only a bounded tail of stdout and the JSON start fell outside it
     // (BENCH_r01.json "parsed": null, tail begins mid-JSON). Locale.ROOT
     // so the decimal separator is always '.'.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val offenders = results.filter(_._3 > 2.0)
+    val skewJson = offenders.map { case (k, _, s) => "\"" + k + "\":" + r1(s) }
+      .mkString("{", ",", "}")
+    val maxSkew = if (results.isEmpty) 1.0 else results.map(_._3).max
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

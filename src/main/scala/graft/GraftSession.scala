@@ -17,7 +17,22 @@ object GraftSession {
     */
   def local(cpus: Int = 4, partitions: Int = 0): SparkSession = {
     val p = if (partitions > 0) partitions else cpus
-    configure(SparkSession.builder().master(s"local[$cpus]"), p).getOrCreate()
+    val spark = configure(SparkSession.builder().master(s"local[$cpus]"), p).getOrCreate()
+    install(spark)
+    spark
+  }
+
+  /** Engine wiring for sessions built WITHOUT
+    * `spark.sql.extensions=graft.functions.GraftExtensions`: registers
+    * the native SQL functions, the as-of join strategy, and the
+    * bloom-prefilter join rule through the public runtime hooks
+    * (FunctionRegistry / experimental.extraStrategies /
+    * experimental.extraOptimizations). Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    graft.functions.Vec.register(spark)
+    graft.plans.Asof.ensureRegistered(spark)
+    graft.plans.BloomJoin.ensureRegistered(spark)
   }
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b

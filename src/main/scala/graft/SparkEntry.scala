@@ -140,6 +140,7 @@ object SparkEntry {
     "q_dedup_edit" -> (Llm.q_dedup_edit _),
     "q_dedup_embed" -> (Llm.q_dedup_embed _),
     "q_dedup_clusters" -> (Llm.q_dedup_clusters _),
+    "q_dedup_bucket_stats" -> ((s, d) => Llm.minhashBucketStats(Tables.documents(s, d))),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
     "q_sim_ivf" -> (Llm.q_sim_ivf _),

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native text-fingerprint expressions
+  * ([[MinHashSig]], [[WinnowFingerprints]]). Static methods so the
+  * generated whole-stage code calls straight into them — the same
+  * structure as Spark's own `StaticInvoke`-backed expressions.
+  *
+  * The kernels read UTF8String BYTES in place (`getByte`, no
+  * `toString`): versus the UDF formulation this removes the UTF-8 →
+  * java.lang.String decode/copy per row, the Scala-UDF closure
+  * dispatch, and the reflective Array[Long] → Catalyst re-encoding on
+  * output. Hash values are byte-based FNV-1a, which coincides with the
+  * UDF's UTF-16-char FNV-1a on ASCII text (each ASCII char is one byte
+  * with the same value — asserted by the parity spec); non-ASCII text
+  * hashes differently but with identical collision/minhash semantics.
+  *
+  * Tokenization replicates `String.split(' ')` exactly: split at every
+  * single space, keep interior empty tokens, drop trailing empty
+  * tokens, and an empty input yields one empty token.
+  */
+object TextKernels {
+
+  // ---- minhash permutation family (shared with the UDF reference
+  // implementation in graft.ops.Llm so the two cannot drift) -----------
+
+  final val NumHashes = 32
+
+  /** splitmix64 — deterministic pseudo-random mixing (public-domain
+    * constants).
+    */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Odd 30-bit multipliers + 32-bit offsets: sig_j = min over shingles
+    * of a_j*(h & 0xffffffff) + b_j; products stay ≤ 2^62.
+    */
+  final val HashA: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j) & 0x3fffffffL | 1L)
+  final val HashB: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j + 1) & 0xffffffffL)
+
+  /** FNV-1a 64 over a byte range of a UTF8String (unsigned byte widening
+    * — equals the char-based FNV on ASCII).
+    */
+  private def fnv1a(u: UTF8String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (u.getByte(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** FNV-1a hashes of the `split(' ')` tokens of `u` (empty input → one
+    * empty token; trailing empty tokens dropped). Returns the hash array
+    * and its logical length packed as (hashes, n).
+    */
+  private def tokenHashes(u: UTF8String): (Array[Long], Int) = {
+    val nb = u.numBytes
+    if (nb == 0) return (Array(fnv1a(u, 0, 0)), 1) // "" → [""]
+    var cap = 16
+    var hs = new Array[Long](cap)
+    var n = 0 // tokens emitted
+    var lastNonEmpty = -1 // index of last non-empty token
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || u.getByte(i) == ' '.toByte) {
+        if (n == cap) { cap *= 2; hs = java.util.Arrays.copyOf(hs, cap) }
+        hs(n) = fnv1a(u, start, i)
+        if (i > start) lastNonEmpty = n
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    (hs, lastNonEmpty + 1) // drop trailing empties (java split semantics)
+  }
+
+  /** 32-component minhash signature over 3-word shingles; fewer than 3
+    * words falls back to a whole-text shingle. Mirrors the UDF reference
+    * (`Llm.minhashSigUdf`) component for component.
+    */
+  def minhashSig(u0: UTF8String): ArrayData = {
+    val u = if (u0 == null) UTF8String.EMPTY_UTF8 else u0
+    val sigs = Array.fill(NumHashes)(Long.MaxValue)
+    @inline def addShingle(h0: Long): Unit = {
+      val h = h0 & 0xffffffffL
+      var j = 0
+      while (j < NumHashes) {
+        val v = HashA(j) * h + HashB(j)
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+    }
+    val (wh, n) = tokenHashes(u)
+    if (n < 3) {
+      addShingle(splitmix64(fnv1a(u, 0, u.numBytes)))
+    } else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i + 2 < n) {
+        val sh = splitmix64(wh(i) ^ splitmix64(wh(i + 1) ^ splitmix64(wh(i + 2))))
+        if (seen.add(sh)) addShingle(sh)
+        i += 1
+      }
+    }
+    new GenericArrayData(sigs)
+  }
+
+  private final val WinnowK = 5 // k-gram length (words)
+  private final val WinnowW = 4 // window size
+
+  /** Winnowing fingerprints (the MOSS scheme): rolling k-gram hashes,
+    * minimum per w-window, first-occurrence-ordered dedup. Mirrors the
+    * UDF reference (`Llm.winnowUdf`).
+    */
+  def winnow(u0: UTF8String): ArrayData = {
+    val u = if (u0 == null) UTF8String.EMPTY_UTF8 else u0
+    val (wh, n) = tokenHashes(u)
+    if (n < WinnowK)
+      return new GenericArrayData(Array(splitmix64(fnv1a(u, 0, u.numBytes))))
+    val grams = new Array[Long](n - WinnowK + 1)
+    var i = 0
+    while (i < grams.length) {
+      var h = 0L
+      var j = 0
+      while (j < WinnowK) { h = splitmix64(h ^ wh(i + j)); j += 1 }
+      grams(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    val nWin = math.max(1, grams.length - WinnowW + 1)
+    while (w < nWin) {
+      var m = grams(w)
+      var j = 1
+      while (j < WinnowW && w + j < grams.length) {
+        if (grams(w + j) < m) m = grams(w + j)
+        j += 1
+      }
+      out.add(m)
+      w += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    new GenericArrayData(res)
+  }
+}

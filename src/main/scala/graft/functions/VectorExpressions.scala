@@ -111,6 +111,65 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native text-fingerprint expressions: thin codegen wrappers over the
+  * static [[TextKernels]] methods, so the kernel call is emitted
+  * directly into the whole-stage-generated Java (no UDF closure
+  * dispatch, no UTF-8 → String decode, no reflective output
+  * re-encoding). NEVER null on output: a null document hashes like the
+  * empty document, exactly as the UDF reference implementations in
+  * `graft.ops.Llm` behave (asserted by TextExpressionsSpec parity).
+  */
+abstract class TextKernelExpression extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  /** Fully-qualified static kernel method name spliced into codegen. */
+  protected def kernelMethod: String
+  protected def kernel(u: org.apache.spark.unsafe.types.UTF8String): ArrayData
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val value = ev.value
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData $value =
+          $kernelMethod(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+}
+
+case class MinHashSig(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "graft_minhash"
+  override protected def kernelMethod: String = "graft.functions.TextKernels.minhashSig"
+  override protected def kernel(u: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    TextKernels.minhashSig(u)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprints(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "graft_winnow"
+  override protected def kernelMethod: String = "graft.functions.TextKernels.winnow"
+  override protected def kernel(u: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    TextKernels.winnow(u)
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. Routed through
   * the session FunctionRegistry + `call_function` (the public
   * Expression→Column path in Spark 4; `Column(expr)` construction is
@@ -132,6 +191,14 @@ object Vec {
     call_function("graft_l2norm", a)
   }
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def minhash(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_minhash", text)
+  }
+  def winnow(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_winnow", text)
+  }
 
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -140,6 +207,12 @@ object Vec {
     (FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2Norm(es(0))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSig(es(0))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (es: Seq[Expression]) => WinnowFingerprints(es(0))),
   )
 
   /** Register `graft_dot` / `graft_l2norm` for SQL use on a live session. */
@@ -160,5 +233,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     Vec.inject(extensions)
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.BloomJoinRule)
   }
 }

@@ -67,9 +67,11 @@ object Llm {
   /** Odd 30-bit multipliers + 32-bit offsets: sig_j = min over shingles
     * of a_j*(h & 0xffffffff) + b_j. Bit widths chosen so the product
     * stays ≤ 2^62 — no 64-bit overflow (ANSI mode throws on wraparound).
+    * Shared with the native kernel so the two implementations use one
+    * permutation family.
     */
-  private val HashA: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j) & 0x3fffffffL | 1L)
-  private val HashB: Array[Long] = Array.tabulate(NumHashes)(j => splitmix64(2L * j + 1) & 0xffffffffL)
+  private val HashA: Array[Long] = graft.functions.TextKernels.HashA
+  private val HashB: Array[Long] = graft.functions.TextKernels.HashB
 
   /** FNV-1a 64 over a string's UTF-16 code units — fixed, portable. */
   private def fnv1a(s: String): Long = {
@@ -84,13 +86,12 @@ object Llm {
     * allocation); component minima come from linear permutations
     * a_j*h + b_j of the single 32-bit shingle hash.
     *
-    * Deliberately a Scala UDF, not `transform`/`aggregate` lambdas:
-    * Spark's higher-order array functions evaluate their lambda
-    * INTERPRETED per element (no codegen) — measured 40× slower than
-    * this tight JVM loop on the same data. The UDF is deterministic and
-    * per-row, so it stays map-side and embarrassingly parallel.
+    * This UDF is the REFERENCE implementation the native codegen kernel
+    * (`graft.functions.TextKernels.minhashSig`, used by the production
+    * path below) is parity-tested against — two independent formulations
+    * of the same signature, cross-validated in TextExpressionsSpec.
     */
-  private val minhashSigUdf = udf { text: String =>
+  private[graft] val minhashSigUdf = udf { text: String =>
     val ws = if (text == null) Array.empty[String] else text.split(' ')
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
     @inline def addShingle(h0: Long): Unit = {
@@ -118,10 +119,12 @@ object Llm {
   }
 
   /** doc_id, sigs: array<long> of NumHashes minhashes over 3-word
-    * shingles. Pure map work, no shuffle.
+    * shingles. Pure map work, no shuffle; the signature kernel is a
+    * native codegen expression (`graft_minhash`), so it runs inside the
+    * whole-stage-generated loop — no UDF dispatch or String decode.
     */
   private def minhashSigs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), minhashSigUdf(col("text")).as("sigs"))
+    docs.select(col("doc_id"), graft.functions.Vec.minhash(col("text")).as("sigs"))
 
   /** MinHash-LSH near-duplicate pairs: shingle → minhash → band →
     * bucket-join. Candidates only meet inside a (band, band-sig) bucket,
@@ -133,25 +136,43 @@ object Llm {
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(documents(s, d), threshold = 0.5)
 
+  /** Default LSH bucket cap: a bucket of n candidates emits n·(n-1)/2
+    * pairs, so 256 bounds any single bucket at ~32k pairs and bounds the
+    * `collect_list` buffer at 256 × (32-long sig + id) ≈ 70 KB. Buckets
+    * above the cap are degenerate by construction — at corpus scale only
+    * boilerplate/empty documents collide thousands deep, and those carry
+    * no near-dup signal worth a quadratic blowup.
+    */
+  val DefaultMaxBucket = 256
+
   /** Reusable transform: near-duplicate pairs of any `(doc_id, text)`
     * DataFrame via MinHash-LSH banding.
     *
-    * Shape: ONE scan (signatures computed once), ONE shuffle (groupBy the
-    * (band, band-sig) bucket key), pairs generated inside each bucket by
-    * a double explode — versus the classic self-join formulation, which
-    * scans and computes signatures twice and shuffles both sides.
-    * Candidate volume is Σ|bucket|² — inherent to LSH, controlled by the
-    * band width — never n².
+    * Shape: ONE scan (signatures computed once), ONE shuffle (window +
+    * groupBy share the (band, band-sig) hash partitioning), pairs
+    * generated inside each bucket by a double explode — versus the
+    * classic self-join formulation, which scans and computes signatures
+    * twice and shuffles both sides. Candidate volume is Σ|bucket|² —
+    * inherent to LSH, controlled by the band width — never n².
+    *
+    * Skew safety (the 100 TB case): bucket sizes are counted with a
+    * whole-partition WINDOW count — `WindowExec` buffers each partition
+    * in a spillable row buffer, so even a 10M-row degenerate bucket
+    * (boilerplate docs sharing a band signature) cannot OOM an executor
+    * — and buckets over `maxBucket` are dropped BEFORE the
+    * `collect_list`, whose aggregation buffer does NOT spill. The cap
+    * also bounds the quadratic pair volume of a hot bucket. Dropped
+    * buckets are observable via [[minhashBucketStats]] (the production
+    * monitoring hook: run it alongside the dedup to log how much signal
+    * the cap discarded).
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSigs(docs)
-    val exploded = sigs
-      .select(col("doc_id"), col("sigs"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bsig")))).as("bk"))
-      .select(col("doc_id"), col("sigs"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-    exploded
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val wb = Window.partitionBy("band", "bsig")
+    minhashExploded(docs)
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
       .groupBy("band", "bsig")
       .agg(collect_list(struct(col("doc_id"), col("sigs"))).as("items"))
       .filter(size(col("items")) > 1)
@@ -167,6 +188,35 @@ object Llm {
       .filter(col("est_jaccard") >= threshold)
       .orderBy("id1", "id2")
   }
+
+  /** One row per (doc, band): the LSH bucket key stream both
+    * [[minhashPairs]] and [[minhashBucketStats]] aggregate.
+    */
+  private def minhashExploded(docs: DataFrame): DataFrame =
+    minhashSigs(docs)
+      .select(col("doc_id"), col("sigs"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bsig")))).as("bk"))
+      .select(col("doc_id"), col("sigs"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+
+  /** Observability companion to [[minhashPairs]]: one summary row of the
+    * LSH bucket-size distribution — total buckets, max/p-ish sizes, and
+    * how many buckets (and candidate docs) the `maxBucket` cap dropped.
+    * This is the "dropped-bucket metric" a production dedup run logs
+    * next to its output; it reuses the bucket aggregation's fixed-size
+    * buffers (count/max/sum), so it is safe at any skew.
+    */
+  def minhashBucketStats(docs: DataFrame,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashExploded(docs)
+      .groupBy("band", "bsig").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > 1, col("n") * (col("n") - 1) / 2).otherwise(0)).as("candidate_pairs"),
+        count(when(col("n") > maxBucket, 1)).as("dropped_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0)).as("dropped_doc_slots"))
 
   /** End-to-end near-dup resolution: minhash candidate pairs → connected
     * components → canonical doc per cluster (min doc_id). This is the
@@ -290,12 +340,27 @@ object Llm {
 
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
     val emb = col("embedding").cast("array<double>")
-    val withSig = embeddings(s, d)
-      .withColumn("e", emb)
+    val base = embeddings(s, d).withColumn("e", emb).select(col("vec_id"), col("e"))
+    // Planted canary: an exact copy of the smallest vec_id's embedding
+    // under vec_id = -1. The fixture embeddings are random vectors (max
+    // pairwise cosine ≈ 0.51 at sf0.01), so without it the ≥0.95 output
+    // is empty and the gate asserts nothing; the canary guarantees the
+    // pair (-1, minId) exercises signature → bucket → cosine at every
+    // SF. cos(-1, minId) = 1.0 exactly.
+    val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
+    val withSig = base.unionByName(probe)
       .withColumn("sig", embSigUdf(col("e")))
       .select(col("vec_id"), col("e"), col("sig"))
-    // one scan + one shuffle: group per LSH bucket, pairs via double explode
+    // one scan + one shuffle: group per LSH bucket, pairs via double
+    // explode. Same skew guard as minhashPairs: a spillable window count
+    // drops degenerate buckets (e.g. zero/constant embeddings all
+    // hashing to one signature) BEFORE the non-spilling collect_list
+    // buffer, bounding both memory and the quadratic pair volume.
+    val wb = Window.partitionBy("sig")
     withSig
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= DefaultMaxBucket)
+      .drop("__bn")
       .groupBy("sig")
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("items"))
       .filter(size(col("items")) > 1)
@@ -356,10 +421,12 @@ object Llm {
   /** Winnowing document fingerprints (the MOSS scheme): rolling k-gram
     * hashes, then the minimum hash of every w-length window, deduplicated.
     * Guarantee: any shared substring of ≥ w+k-1 words between two
-    * documents yields at least one shared fingerprint. Pure map work
-    * (JVM kernel UDF — same interpreted-HOF rationale as minhash).
+    * documents yields at least one shared fingerprint. Pure map work.
+    * REFERENCE implementation for the native codegen kernel
+    * (`graft.functions.TextKernels.winnow`, the production path) —
+    * cross-validated in TextExpressionsSpec.
     */
-  private val winnowUdf = udf { text: String =>
+  private[graft] val winnowUdf = udf { text: String =>
     val ws = if (text == null) Array.empty[String] else text.split(' ')
     if (ws.length < WinnowK) Array(splitmix64(fnv1a(if (text == null) "" else text)))
     else {
@@ -409,7 +476,7 @@ object Llm {
       .orderBy("doc_id")
 
   def winnowFingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), winnowUdf(col("text")).as("fingerprints"))
+    docs.select(col("doc_id"), graft.functions.Vec.winnow(col("text")).as("fingerprints"))
       .withColumn("n_fp", size(col("fingerprints")).cast("long")) // single kernel eval
 
   // ---- IVF approximate nearest neighbor -------------------------------

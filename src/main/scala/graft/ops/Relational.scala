@@ -170,6 +170,14 @@ object Relational {
     * value in every engine.
     */
   def q_join_asof_native(s: SparkSession, d: String): DataFrame = {
+    // µs quantization on BOTH sides, deliberately: the DuckDB oracle
+    // reads the ns-parquet timestamps as µs TIMESTAMPs (ns → µs
+    // TRUNCATION — verified: sf0.01 carries sub-µs values), so its ASOF
+    // compare and emitted epoch_ns are µs-floored. Floor-dividing here
+    // applies the identical quantization, making the parity hold for
+    // ANY sub-µs data — both engines land on the same µs grid. (A raw
+    // ns-precision join is what q_join_asof_native must NOT do while
+    // the gate is µs-bound: it would diverge at sub-µs boundaries.)
     val base = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), expr("ts_us * 1000").as("pns"))
@@ -601,15 +609,21 @@ object Relational {
       .orderBy("p_brand")
   }
 
-  /** The bloom-prefiltered join through the driver gate: the dim-key
-    * bloom filter scrubs most fact rows BEFORE the join shuffle; the
-    * exact join removes the false positives, so the oracle is again the
-    * plain join SQL.
+  /** The bloom-prefiltered join through the driver gate — WITHOUT any
+    * caller-side bloom code: this is a plain equi-join, and
+    * [[graft.plans.BloomJoinRule]] injects the
+    * `bloom_might_contain(scalar-subquery(bloom_agg(dim keys)))`
+    * prefilter onto the fact side automatically (the dim carries a
+    * selective filter; the shuffle_merge hint pins the shuffle-join
+    * path the bloom exists to prune, standing in for the at-scale case
+    * where the dim exceeds the broadcast threshold). The exact join
+    * scrubs bloom false positives, so the oracle is the plain join SQL.
+    * BloomJoinRuleSpec asserts the rewrite fires; `Scale
+    * .bloomPrefilterJoin` remains the explicit manual form.
     */
   def q_join_bloom(s: SparkSession, d: String): DataFrame = {
     val dim = part(s, d).filter(col("p_size") <= 10).select(col("p_partkey"), col("p_brand"))
-    Scale.bloomPrefilterJoin(lineitem(s, d), dim, "l_partkey", "p_partkey",
-        expectedKeys = 200000L)
+    lineitem(s, d).join(dim.hint("shuffle_merge"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_base"))
       .orderBy("p_brand")
@@ -1220,11 +1234,32 @@ object Relational {
   /** Contingency table via `DataFrameStatFunctions.crosstab` — the
     * pair-frequency profile (distributed conditional count under the
     * hood; one shuffle on the row key).
+    *
+    * CARDINALITY BOUND: crosstab pivots each distinct value of the
+    * SECOND column into a driver-side result COLUMN, so it is only safe
+    * when that column is categorical (≲ 1000 distinct values — here
+    * `l_linestatus` has 2). Pointing it at a high-cardinality key at
+    * 100 TB would materialize millions of columns on the driver;
+    * [[crosstabChecked]] is the guarded entry point that fails fast
+    * instead.
     */
   def q_stat_crosstab(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).stat
-      .crosstab("l_returnflag", "l_linestatus")
+    crosstabChecked(lineitem(s, d), "l_returnflag", "l_linestatus")
       .orderBy("l_returnflag_l_linestatus")
+
+  /** [[q_stat_crosstab]]'s guard: refuses to pivot a second column whose
+    * distinct count exceeds `maxPivotCols`. The pre-count is one cheap
+    * partial+final aggregation — at any scale it is O(distinct) memory —
+    * versus the unbounded driver-side column blowup it prevents.
+    */
+  def crosstabChecked(df: DataFrame, rowCol: String, pivotCol: String,
+                      maxPivotCols: Int = 1000): DataFrame = {
+    val n = df.agg(countDistinct(col(pivotCol))).head().getLong(0)
+    require(n <= maxPivotCols,
+      s"crosstab pivot column '$pivotCol' has $n distinct values (> $maxPivotCols): " +
+        "each becomes a driver-side result column — use groupBy(row, pivot).count() instead")
+    df.stat.crosstab(rowCol, pivotCol)
+  }
 
   /** Boolean aggregates (bool_and/bool_or + every/some aliases) —
     * partial+final combinable, so they stay map-side-combined at scale.

@@ -47,7 +47,11 @@ object Scale {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
     val payload = struct(payloadCols.map(col): _*)
-    val r = right.select(
+    // null keys/timestamps never match (SQL ASOF semantics, same as the
+    // native AsofJoinExec): without this filter the window's
+    // partitionBy(key) would group null-key rows TOGETHER and hand a
+    // null-key left row the latest null-key right payload
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key), col(rightTs).as("__ts"), payload.as("__payload"), lit(0).as("__side"))
     val leftCols = left.columns
     val l = left
@@ -195,6 +199,13 @@ object Scale {
                          factKey: String, dimKey: String,
                          expectedKeys: Long = 1000000L, fpp: Double = 0.01,
                          joinType: String = "inner"): DataFrame = {
+    // dropping bloom-negative fact rows BEFORE the join only preserves
+    // semantics when non-matching fact rows cannot reach the output: an
+    // outer type would owe those rows null-extended results, and an anti
+    // type wants exactly the rows the prefilter discards
+    require(Set("inner", "left_semi", "leftsemi", "semi").contains(joinType),
+      s"bloomPrefilterJoin requires a match-only join type (inner/left_semi), got '$joinType': " +
+        "prefiltering the fact side drops the unmatched rows outer/anti types must keep")
     val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     import org.apache.spark.sql.types._

@@ -314,9 +314,22 @@ final class DPP private (initial: Seq[(String, DataFrame)]) extends Dynamic {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxConcurrency, targets.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      // job group so a timeout can cancel the in-flight Spark actions —
+      // plain shutdown() would let the hung count() jobs keep burning
+      // cluster resources behind the caller's back
+      val jobGroup = s"graft-dpp-materialize-${System.identityHashCode(this)}"
+      val sc = context.headOption.map(_._2.sparkSession.sparkContext)
       try {
-        val fs = targets.map(n => Future(n -> apply(n).count()))
+        val fs = targets.map(n => Future {
+          sc.foreach(_.setJobGroup(jobGroup, s"DPP.materialize($n)", interruptOnCancel = true))
+          n -> apply(n).count()
+        })
         Await.result(Future.sequence(fs), timeout).toMap
+      } catch {
+        case e: java.util.concurrent.TimeoutException =>
+          sc.foreach(_.cancelJobGroup(jobGroup))
+          pool.shutdownNow()
+          throw e
       } finally pool.shutdown()
     } else {
       targets.map(n => n -> apply(n).count()).toMap

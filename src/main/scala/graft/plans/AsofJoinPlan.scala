@@ -176,12 +176,20 @@ object Asof {
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${out.map(_.name)}"))
     val rOut = rPlan.output
+    // AsofJoinExec builds its interpreted key/ts orderings from the LEFT
+    // types only — a type mismatch would surface as a ClassCastException
+    // deep inside the merge iterator; fail at plan time instead
+    val (lKeyA, rKeyA) = (attr(lPlan.output, key), attr(rOut, key))
+    val (lTsA, rTsA) = (attr(lPlan.output, leftTs), attr(rOut, rightTs))
+    require(lKeyA.dataType == rKeyA.dataType,
+      s"as-of key type mismatch: left $key is ${lKeyA.dataType}, right $key is ${rKeyA.dataType}")
+    require(lTsA.dataType == rTsA.dataType,
+      s"as-of ts type mismatch: left $leftTs is ${lTsA.dataType}, right $rightTs is ${rTsA.dataType}")
     val payloadIn = payloadCols.map(c => attr(rOut, c))
     val payloadOut = payloadIn.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     val node = AsofJoinNode(lPlan, rPlan,
-      attr(lPlan.output, key), attr(rOut, key),
-      attr(lPlan.output, leftTs), attr(rOut, rightTs),
+      lKeyA, rKeyA, lTsA, rTsA,
       payloadIn, payloadOut)
     GraftSqlBridge.ofRows(spark, node)
   }

@@ -16,8 +16,8 @@ class EntrySpec extends AnyFunSuite {
   }
 
   // legitimately empty on the tiny sf0.001 inputs: every customer has
-  // orders (no anti-join misses) and no embedding pair reaches cos≥0.95
-  private val emptyOkAtTinySf = Set("q_join_anti", "q_dedup_embed")
+  // orders, so the anti-join has no misses
+  private val emptyOkAtTinySf = Set("q_join_anti")
 
   test("flagship entry and every registered query run and return rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

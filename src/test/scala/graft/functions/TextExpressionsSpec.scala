@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen text kernels (graft_minhash / graft_winnow) must
+  * agree component-for-component with the independent UDF reference
+  * implementations in `graft.ops.Llm` — on the fixture corpus and on
+  * the tokenizer edge cases (`String.split(' ')` semantics: interior
+  * empties kept, trailing empties dropped, "" → [""], null ≡ empty).
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private val edgeCases = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two",                  // below shingle threshold → whole-text fallback
+    "one two three four five six seven", // above winnow K
+    "",                         // empty → [""] token, fallback path
+    "a  b   c d e f g",         // interior empty tokens
+    "trailing spaces   ",       // trailing empties dropped
+    "   leading",               // leading empties kept
+    "exact five word doc here")
+
+  test("graft_minhash ≡ UDF reference on fixture corpus and edge cases") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(edgeCases.toDF("text"))
+      .unionByName(Seq.empty[String].toDF("text")) // keep schema nullable
+    val diff = docs.select(
+      Vec.minhash(col("text")).as("nat"),
+      graft.ops.Llm.minhashSigUdf(col("text")).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(diff == 0)
+  }
+
+  test("graft_winnow ≡ UDF reference on fixture corpus and edge cases") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(edgeCases.toDF("text"))
+    val diff = docs.select(
+      Vec.winnow(col("text")).as("nat"),
+      graft.ops.Llm.winnowUdf(col("text")).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(diff == 0)
+  }
+
+  test("null text hashes like the empty document (never null output)") {
+    import spark.implicits._
+    val df = Seq(Option.empty[String], Some("")).toDF("text")
+      .select(Vec.minhash(col("text")).as("mh"), Vec.winnow(col("text")).as("wn"))
+    val rows = df.collect()
+    assert(!rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+    assert(rows(0).getSeq[Long](0) == rows(1).getSeq[Long](0))
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+  }
+
+  test("kernels run inside whole-stage codegen (no UDF/BatchEvalPython in plan)") {
+    val df = graft.ops.Tables.documents(spark, sf)
+      .select(Vec.minhash(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"kernel fell out of codegen:\n$plan")
+  }
+
+  test("tokenizer edge semantics pinned at the kernel level") {
+    // "a b c" vs "a b c " must hash identically (trailing empties dropped);
+    // "a  b c" differs from "a b c" (interior empty token is a real token)
+    def mh(s: String) =
+      TextKernels.minhashSig(UTF8String.fromString(s)).toLongArray().toSeq
+    assert(mh("alpha beta gamma delta") == mh("alpha beta gamma delta   "))
+    assert(mh("alpha  beta gamma") != mh("alpha beta gamma"))
+  }
+}

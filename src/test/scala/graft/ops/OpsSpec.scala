@@ -115,10 +115,36 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("embedding LSH candidates: exact duplicates of a vector always collide") {
-    // a vector is its own LSH bucket-mate: verify pairs returned satisfy
-    // the cosine threshold and ordering invariant
+    import spark.implicits._
+    // the planted canary (-1 = copy of the smallest vec_id) guarantees at
+    // least one pair flows through signature → bucket → cosine, so the
+    // invariants below assert over real output, never an empty set
     val out = Llm.q_dedup_embed(spark, sf)
-    assert(out.filter(col("id1") >= col("id2") || col("cos") < 0.95).count() == 0)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty, "q_dedup_embed must emit at least the canary pair")
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.95 && c <= 1.0000001 })
+    assert(out.exists { case (a, _, c) => a == -1L && c >= 0.999999 },
+      "canary exact-duplicate pair (cos = 1.0) missing")
+  }
+
+  test("minhash LSH: degenerate hot bucket is capped, job completes with bounded candidates") {
+    import spark.implicits._
+    // 1k identical docs — every band signature collides, so without the
+    // bucket cap this bucket alone emits ~500k pairs from ONE collect_list
+    // buffer; with the cap it is dropped and the genuine small-bucket
+    // near-dup pair still surfaces
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor " * 2
+    val real = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val docs = ((1L to 1000L).map(i => (i, boiler)) ++
+      Seq((2001L, real), (2002L, real.replace("lazy", "sleepy")))).toDF("doc_id", "text")
+    val pairs = Llm.minhashPairs(docs, threshold = 0.5, maxBucket = 256)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((2001L, 2002L)),
+      s"expected only the real near-dup pair, got ${pairs.length} pairs")
+    // the observability companion reports what the cap discarded
+    val stats = Llm.minhashBucketStats(docs, maxBucket = 256)
+      .select("dropped_buckets", "max_bucket").as[(Long, Long)].head()
+    assert(stats._1 >= 1 && stats._2 >= 1000)
   }
 
   test("multimodal fakeDecode: 16-bin normalized histogram") {

@@ -130,6 +130,14 @@ class ScaleSpec extends AnyFunSuite {
     val plainS = factS.join(dimS, col("c_mktsegment") === col("seg"))
     val bloomedS = Scale.bloomPrefilterJoin(factS, dimS, "c_mktsegment", "seg", 100L)
     assert(bloomedS.count() == plainS.count())
+    // outer/anti types are rejected: prefiltering the fact side would
+    // silently drop the unmatched rows those types must keep
+    for (jt <- Seq("left", "full", "left_anti")) {
+      val e = intercept[IllegalArgumentException] {
+        Scale.bloomPrefilterJoin(fact, dim, "l_partkey", "p_partkey", 1000L, 0.01, jt)
+      }
+      assert(e.getMessage.contains("match-only join type"))
+    }
   }
 
   test("dedupKeepFirst keeps exactly the min-tiebreaker row per key") {

@@ -47,6 +47,37 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(got == Map("a" -> Some(300L), "b" -> Some(200L), "c" -> None, "d" -> None))
   }
 
+  test("null keys/timestamps never match — native and window formulations agree") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(10L), "a"),
+      (None: Option[Long], Option(10L), "nullkey"),  // null key: must NOT inherit a null-key right payload
+      (Option(1L), None: Option[Long], "nullts"))    // null ts: no right row precedes it
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (Option(1L), Option(5L), 100L),
+      (None: Option[Long], Option(5L), 666L),        // null-key right payload must never surface
+      (Option(1L), None: Option[Long], 777L))        // null-ts right row must never surface
+      .toDF("k", "ts", "v")
+    val expect = Map("a" -> Some(100L), "nullkey" -> None, "nullts" -> None)
+    val native = Asof.join(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    val window = graft.ops.Scale.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(native == expect, s"native: $native")
+    assert(window == expect, s"window: $window")
+  }
+
+  test("mismatched key/ts types fail at plan time, not inside the merge") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1, 5L, 100L)).toDF("k", "ts", "v") // int key vs long key
+    val e = intercept[IllegalArgumentException] {
+      Asof.join(left, right, "k", "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("plan: AsofJoinExec merge, exactly one shuffle per side, no Union/Window") {
     val left = eventsBase
     val right = eventsBase.filter(col("event_type") === "purchase")
