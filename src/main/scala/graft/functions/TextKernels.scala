@@ -111,6 +111,88 @@ object TextKernels {
     new GenericArrayData(sigs)
   }
 
+  /** `split(' ')` token BOUNDARIES (byte offsets) with the same edge
+    * semantics as [[tokenHashes]]. Returns (starts, ends, count).
+    */
+  private def tokenOffsets(u: UTF8String): (Array[Int], Array[Int], Int) = {
+    val nb = u.numBytes
+    if (nb == 0) return (Array(0), Array(0), 1) // "" → [""]
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var lastNonEmpty = -1
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || u.getByte(i) == ' '.toByte) {
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = start; ends(n) = i
+        if (i > start) lastNonEmpty = n
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    (starts, ends, lastNonEmpty + 1)
+  }
+
+  /** Word n-grams as byte-range slices: gram i = tokens
+    * [i·stride, i·stride+n). Because `split(' ')` tokens are separated
+    * by EXACTLY one space byte, the slice from the first token's start
+    * to the last token's end is byte-identical to joining the tokens
+    * with single spaces — so each gram is one array copy, no decode, no
+    * StringBuilder. stride = 1 gives sliding n-grams
+    * (bigrams/contamination grams); stride = n gives non-overlapping
+    * chunks (C4-style chunk dedup). Null text → empty array, fewer than
+    * n tokens → empty array (matching the UDF references).
+    */
+  def wordNGrams(u: UTF8String, n: Int, stride: Int): ArrayData = {
+    if (u == null) return new GenericArrayData(Array.empty[Any])
+    val (starts, ends, nTok) = tokenOffsets(u)
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val count = (nTok - n) / stride + 1
+    val bytes = u.getBytes
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val s = starts(i * stride)
+      val e = ends(i * stride + n - 1)
+      out(i) = UTF8String.fromBytes(bytes, s, e - s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: sign of per-bit ±1 votes over splitmix-mixed FNV
+    * word hashes. Mirrors the UDF reference (`Llm.simhashUdf`): a NULL
+    * document casts no votes (sig 0), an empty document votes once for
+    * its single empty token.
+    */
+  def simhash(u: UTF8String): Long = {
+    if (u == null) return 0L
+    val (wh, n) = tokenHashes(u)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = splitmix64(wh(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   private final val WinnowK = 5 // k-gram length (words)
   private final val WinnowW = 4 // window size
 

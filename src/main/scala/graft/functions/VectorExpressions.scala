@@ -170,6 +170,141 @@ case class WinnowFingerprints(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** Static kernel behind [[HyperplaneSig]]: the random-hyperplane LSH
+  * signature of an `array<double>` embedding. The Planes×Dim matrix is
+  * deterministic from splitmix64 (components uniform in [-1, 1]) and
+  * shared with the UDF reference implementation in `graft.ops.Llm`.
+  */
+object VecKernels {
+  final val Planes = 12
+  final val Dim = 64
+
+  final val PlanesFlat: Array[Double] = Array.tabulate(Planes * Dim) { i =>
+    (Math.floorMod(TextKernels.splitmix64(i.toLong), 2001L) - 1000L) / 1000.0
+  }
+
+  def hyperplaneSig(a: ArrayData): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < Planes) {
+      var dot = 0.0
+      var c = 0
+      val base = j * Dim
+      while (c < Dim && c < n) { dot += a.getDouble(c) * PlanesFlat(base + c); c += 1 }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** 64-bit SimHash of a document as a codegen expression (static
+  * [[TextKernels.simhash]] kernel; same structure as
+  * [[TextKernelExpression]] but scalar-valued). Never null: a null
+  * document casts no votes and hashes to 0, matching the UDF reference.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextKernels.simhash(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        long ${ev.value} =
+          graft.functions.TextKernels.simhash(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature of an `array<double>` embedding as a
+  * codegen expression. NULL embedding → NULL signature (the row drops
+  * out of the bucket join), matching the UDF reference.
+  */
+case class HyperplaneSig(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+  override def prettyName: String = "graft_embsig"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE> input, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.hyperplaneSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecKernels.hyperplaneSig($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Word n-grams (sliding or strided-chunk) as a codegen expression over
+  * the byte-level [[TextKernels.wordNGrams]] kernel. `n`/`stride` are
+  * plan-time constants (they parameterize the generated call site
+  * directly). Never null: a null document yields an empty gram array,
+  * matching the UDF references in `graft.ops.Llm`.
+  */
+case class WordNGrams(child: Expression, n: Int, stride: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  require(n > 0 && stride > 0, s"n and stride must be positive, got n=$n stride=$stride")
+
+  override def prettyName: String = "graft_word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextKernels.wordNGrams(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.TextKernels.wordNGrams(${c.isNull} ? null : ${c.value}, $n, $stride);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. Routed through
   * the session FunctionRegistry + `call_function` (the public
   * Expression→Column path in Spark 4; `Column(expr)` construction is
@@ -199,6 +334,19 @@ object Vec {
     ensureRegistered()
     call_function("graft_winnow", text)
   }
+  def simhash(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_simhash", text)
+  }
+  def embSig(vec: Column): Column = {
+    ensureRegistered()
+    call_function("graft_embsig", vec)
+  }
+  def wordNGrams(text: Column, n: Int, stride: Int = 1): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_word_ngrams", text, lit(n), lit(stride))
+  }
 
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -213,7 +361,31 @@ object Vec {
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowFingerprints(es(0))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_embsig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_embsig"),
+      (es: Seq[Expression]) => HyperplaneSig(es(0))),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (es: Seq[Expression]) => WordNGrams(es(0),
+        foldToInt(es(1), "n"), foldToInt(es(2), "stride"))),
   )
+
+  /** n/stride must be literal ints — they are baked into the generated
+    * code, not evaluated per row.
+    */
+  private def foldToInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other if other.foldable => other.eval() match {
+      case i: Int => i
+      case v => throw new IllegalArgumentException(
+        s"graft_word_ngrams $what must be an INT literal, got $v")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"graft_word_ngrams $what must be a literal, got $e")
+  }
 
   /** Register `graft_dot` / `graft_l2norm` for SQL use on a live session. */
   def register(spark: SparkSession): Unit =

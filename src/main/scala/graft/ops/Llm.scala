@@ -255,11 +255,12 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** Simhash kernel as a tight JVM loop (same rationale as
-    * `minhashSigUdf`: interpreted HOF lambdas are ~40× slower). Sign of
-    * per-bit ±1 votes over splitmix-mixed FNV word hashes.
+  /** Simhash REFERENCE implementation (sign of per-bit ±1 votes over
+    * splitmix-mixed FNV word hashes) — parity target for the native
+    * codegen kernel `graft_simhash` used by the production path
+    * (TextExpressionsSpec).
     */
-  private val simhashUdf = udf { text: String =>
+  private[graft] val simhashUdf = udf { text: String =>
     val ws = if (text == null) Array.empty[String] else text.split(' ')
     val votes = new Array[Int](64)
     var i = 0
@@ -278,9 +279,11 @@ object Llm {
     sig
   }
 
-  /** Reusable transform: 64-bit simhash signature per `(doc_id, text)`. */
+  /** Reusable transform: 64-bit simhash signature per `(doc_id, text)`
+    * (native codegen kernel — runs inside the whole-stage loop).
+    */
   def simhashSigs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
+    docs.select(col("doc_id"), graft.functions.Vec.simhash(col("text")).as("simhash"))
 
   // ---- n-gram Jaccard (oracle-able variant) ---------------------------
 
@@ -302,26 +305,25 @@ object Llm {
 
   // ---- embedding-cosine near-dup via random-hyperplane LSH ------------
 
-  private val Planes = 12
-  private val Dim = 64
+  private val Planes = graft.functions.VecKernels.Planes
+  private val Dim = graft.functions.VecKernels.Dim
 
   /** Random hyperplane matrix (Planes × Dim, flattened), deterministic
-    * from splitmix64, components uniform in [-1, 1]. Materialized ONCE as
-    * a literal array column — not recomputed per row via hashing.
+    * from splitmix64, components uniform in [-1, 1] — shared with the
+    * native kernel so both implementations sign against one matrix.
     */
-  private val PlanesFlat: Array[Double] = Array.tabulate(Planes * Dim) { i =>
-    (math.floorMod(splitmix64(i.toLong), 2001L) - 1000L) / 1000.0
-  }
+  private val PlanesFlat: Array[Double] = graft.functions.VecKernels.PlanesFlat
 
   /** Near-duplicate embedding pairs: 12-bit random-hyperplane signature
     * → bucket equi-join → exact cosine ≥ 0.95. The brute-force n² cross
     * join never happens; candidate volume is |bucket|² summed, controlled
     * by the signature width. No oracle (hash-dependent).
     */
-  /** Hyperplane-signature kernel as a tight JVM loop (same rationale as
-    * `minhashSigUdf`: interpreted HOF lambdas are ~40× slower).
+  /** Hyperplane-signature REFERENCE implementation — parity target for
+    * the native codegen kernel `graft_embsig` used by the production
+    * path (TextExpressionsSpec).
     */
-  private val embSigUdf = udf { e: Seq[Double] =>
+  private[graft] val embSigUdf = udf { e: Seq[Double] =>
     if (e == null) None // null embedding → null sig → row drops from the bucket join
     else {
       var sig = 0L
@@ -349,7 +351,7 @@ object Llm {
     // SF. cos(-1, minId) = 1.0 exactly.
     val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
     val withSig = base.unionByName(probe)
-      .withColumn("sig", embSigUdf(col("e")))
+      .withColumn("sig", graft.functions.Vec.embSig(col("e")))
       .select(col("vec_id"), col("e"), col("sig"))
     // one scan + one shuffle: group per LSH bucket, pairs via double
     // explode. Same skew guard as minhashPairs: a spillable window count
@@ -640,11 +642,12 @@ object Llm {
 
   private val ChunkW = 8 // words per chunk for cross-doc chunk dedup
 
-  /** One-pass JVM chunker: consecutive non-overlapping `ChunkW`-word
-    * chunks (trailing partial chunk dropped) — interpreted HOF lambdas
-    * (`transform`+`slice`) would be ~40× slower in this hot loop.
+  /** Chunker REFERENCE implementation (consecutive non-overlapping
+    * `ChunkW`-word chunks, trailing partial dropped) — parity target
+    * for the native `graft_word_ngrams(n=8, stride=8)` kernel used by
+    * the production path (TextExpressionsSpec).
     */
-  private val chunk8Udf = udf { text: String =>
+  private[graft] val chunk8Udf = udf { text: String =>
     if (text == null) Array.empty[String]
     else {
       val w = text.split(' ')
@@ -668,7 +671,8 @@ object Llm {
     */
   def q_dedup_lines(s: SparkSession, d: String): DataFrame = {
     val chunks = documents(s, d)
-      .select(col("doc_id"), explode(chunk8Udf(col("text"))).as("chunk"))
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.wordNGrams(col("text"), ChunkW, ChunkW)).as("chunk"))
     val dup = chunks.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
       .select(col("chunk").as("dchunk"))
@@ -822,11 +826,11 @@ object Llm {
           .as("top_frac"))
       .orderBy("doc_id")
 
-  /** One-pass JVM bigram kernel (Spark's array HOF lambdas evaluate
-    * interpreted — the measured 40× penalty on signature loops — and
-    * this also skips materializing the words array per row).
+  /** Bigram REFERENCE implementation — parity target for the native
+    * `graft_word_ngrams(n=2, stride=1)` kernel used by the production
+    * path (TextExpressionsSpec).
     */
-  private val bigramsUdf = udf { text: String =>
+  private[graft] val bigramsUdf = udf { text: String =>
     if (text == null) Array.empty[String]
     else {
       val w = text.split(' ')
@@ -843,7 +847,7 @@ object Llm {
     */
   def q_ngram_topk(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(explode(bigramsUdf(col("text"))).as("bigram"))
+      .select(explode(graft.functions.Vec.wordNGrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)
@@ -863,8 +867,11 @@ object Llm {
 
   private val ContamN = 5 // word n-gram length for contamination checks
 
-  /** One-pass JVM word-n-gram kernel (same rationale as [[bigramsUdf]]). */
-  private val ngram5Udf = udf { text: String =>
+  /** Word-5-gram REFERENCE implementation — parity target for the
+    * native `graft_word_ngrams(n=5, stride=1)` kernel
+    * (TextExpressionsSpec).
+    */
+  private[graft] val ngram5Udf = udf { text: String =>
     if (text == null) Array.empty[String]
     else {
       val w = text.split(' ')
@@ -889,9 +896,10 @@ object Llm {
   def q_contamination(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val bench = docs.filter(col("source") === "src0")
-      .select(explode(ngram5Udf(col("text"))).as("gram")).distinct()
+      .select(explode(graft.functions.Vec.wordNGrams(col("text"), ContamN)).as("gram")).distinct()
     val corpus = docs.filter(col("source") =!= "src0")
-      .select(col("doc_id"), explode(ngram5Udf(col("text"))).as("gram")).distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.wordNGrams(col("text"), ContamN)).as("gram")).distinct()
     corpus.join(bench, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

@@ -47,6 +47,56 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("graft_simhash ≡ UDF reference (incl. null → 0, empty-token votes)") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName((edgeCases.map(Option(_)) :+ None).toDF("text"))
+    val diff = docs.select(
+      Vec.simhash(col("text")).as("nat"),
+      graft.ops.Llm.simhashUdf(col("text")).as("ref"))
+      .filter(not(col("nat") <=> col("ref"))).count()
+    assert(diff == 0)
+    // null casts no votes → sig 0 (matches the UDF's empty word array)
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(Vec.simhash(col("text"))).head().getLong(0) == 0L)
+  }
+
+  test("graft_embsig ≡ UDF reference on fixture embeddings; null vec → null sig") {
+    import spark.implicits._
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .unionByName(Seq(Option.empty[Seq[Double]]).toDF("e"))
+    val diff = emb.select(
+      Vec.embSig(col("e")).as("nat"),
+      graft.ops.Llm.embSigUdf(col("e")).as("ref"))
+      .filter(not(col("nat") <=> col("ref"))).count()
+    assert(diff == 0)
+    assert(Seq(Option.empty[Seq[Double]]).toDF("e")
+      .select(Vec.embSig(col("e"))).head().isNullAt(0))
+  }
+
+  test("graft_word_ngrams ≡ bigram/5-gram/chunk8 UDF references") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName((edgeCases.map(Option(_)) :+ None).toDF("text"))
+    val diff = docs.select(
+      Vec.wordNGrams(col("text"), 2).as("n2"),
+      graft.ops.Llm.bigramsUdf(col("text")).as("r2"),
+      Vec.wordNGrams(col("text"), 5).as("n5"),
+      graft.ops.Llm.ngram5Udf(col("text")).as("r5"),
+      Vec.wordNGrams(col("text"), 8, 8).as("n8"),
+      graft.ops.Llm.chunk8Udf(col("text")).as("r8"))
+      .filter(not(col("n2") === col("r2")) or
+        not(col("n5") === col("r5")) or
+        not(col("n8") === col("r8"))).count()
+    assert(diff == 0)
+    // byte-slice grams: interior empty tokens join exactly like the
+    // StringBuilder reference ("a  b" → bigrams "a " and " b")
+    val g = Seq("a  b").toDF("text")
+      .select(Vec.wordNGrams(col("text"), 2)).head().getSeq[String](0)
+    assert(g == Seq("a ", " b"))
+  }
+
   test("null text hashes like the empty document (never null output)") {
     import spark.implicits._
     val df = Seq(Option.empty[String], Some("")).toDF("text")
