@@ -11,14 +11,18 @@ package graft
   * measured ±50% single-shot scatter on trivial queries, which the
   * median collapses; round-over-round deltas are meaningful at ~±15%.
   *
-  * Skew instrumentation: a SparkListener records per-task wall times;
-  * for every query the p95/p50 task-time ratio is computed across its
-  * runs. A ratio near 1 means the partitioning spreads work evenly —
-  * the property that decides whether the plan survives a 1000-executor
-  * 100 TB run, now measured instead of code-read. Queries whose ratio
-  * exceeds 2 are emitted in the JSON `skew` map (only offenders, to
-  * keep the line inside the driver's bounded stdout tail); `max_skew`
-  * carries the worst ratio observed so an all-even run is still
+  * Skew instrumentation: a SparkListener records (stage, task-wall)
+  * pairs; for every query the p95/p50 task-time ratio is computed
+  * WITHIN the query's dominant stage (the stage with the largest total
+  * task time). Within one stage every task runs the same work over one
+  * partition, so the ratio isolates partition balance — the straggler
+  * property that decides whether the plan survives a 1000-executor
+  * 100 TB run. (Ratio across ALL of a query's tasks is meaningless:
+  * it compares 1 ms scheduler/metadata tasks of cheap stages against
+  * the real work and flags everything.) Queries whose ratio exceeds 2
+  * are emitted in the JSON `skew` map (only offenders, to keep the
+  * line inside the driver's bounded stdout tail); `max_skew` carries
+  * the worst ratio observed so an all-even run is still
   * distinguishable from a missing measurement.
   */
 object Bench {
@@ -29,12 +33,12 @@ object Bench {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // per-task wall times (ms) of successful tasks since the last clear
-    val taskTimes = new scala.collection.mutable.ArrayBuffer[Long]
+    // (stageId, task wall ms) of successful tasks since the last clear
+    val taskTimes = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null && t.taskInfo.successful)
-          taskTimes.synchronized { taskTimes += t.taskInfo.duration }
+          taskTimes.synchronized { taskTimes += ((t.stageId, t.taskInfo.duration)) }
     })
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -64,10 +68,16 @@ object Bench {
       // finish, this query's stragglers would pollute its bucket — give
       // the bus a beat to drain (best-effort; skew is informational)
       Thread.sleep(20)
-      val sorted = taskTimes.synchronized(taskTimes.sorted.toVector)
+      val byStage = taskTimes.synchronized(taskTimes.toVector).groupBy(_._1)
       val skew =
-        if (sorted.length < 8) 1.0 // too few tasks for a meaningful ratio
-        else pct(sorted, 0.95).toDouble / math.max(pct(sorted, 0.50), 1L)
+        if (byStage.isEmpty) 1.0
+        else {
+          // dominant stage = where the query's work actually is; within
+          // it all tasks run identical work over one partition each
+          val ts = byStage.values.maxBy(_.map(_._2).sum).map(_._2).sorted
+          if (ts.length < 8) 1.0 // too few partitions for a meaningful ratio
+          else pct(ts, 0.95).toDouble / math.max(pct(ts, 0.50), 1L)
+        }
       (name, median, skew)
     }
 

@@ -61,6 +61,7 @@ object SparkEntry {
     "q_join_semi" -> (Relational.q_join_semi _),
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
+    "q_join_range_binned" -> (Relational.q_join_range_binned _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
+    "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
@@ -283,6 +285,14 @@ object SparkEntry {
         |  ON l.l_partkey = p.p_partkey
         | AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
         |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+    "q_join_range_binned" ->
+      """SELECT o.o_orderkey, count(*) AS n_ship,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 1000 = 0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns

@@ -714,6 +714,33 @@ object Llm {
       .orderBy("cluster")
   }
 
+  /** SemDeDup semantic near-dedup over the embedding corpus
+    * ([[Scale.semanticDedup]]): k-means bucketing confines the
+    * quadratic cosine screen to within-cluster pairs. One row per item
+    * with its cluster and keep flag.
+    *
+    * k scales with the corpus (target ~64 items/cluster, clamped to
+    * [4, 1024]) so within-cluster pair volume stays ~k·64² at any SF;
+    * past the clamp you shard the clustering hierarchically (coarse
+    * k-means → per-cell k-means), which composes from the same pieces.
+    * Planted canary (same device as q_dedup_embed): vec_id −1 is an
+    * exact copy of the smallest vec_id's embedding — fixture vectors
+    * max out at pairwise cos ≈ 0.51, so without it the ≥0.95 screen
+    * never fires; identical vectors land in the same cluster under ANY
+    * centroid set, so the canary pair survives k-means nondeterminism
+    * by construction. No oracle (iterative float k-means isn't SQL);
+    * OpsSpec asserts the keep-rule invariants brute-force.
+    */
+  def q_dedup_semantic(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
+    val corpus = base.unionByName(probe)
+    val k = math.max(4, math.min(1024, (corpus.count() / 64.0).ceil.toInt))
+    Scale.semanticDedup(corpus, "vec_id", "e", k, threshold = 0.95)
+      .orderBy("vec_id")
+  }
+
   // ---- text analysis --------------------------------------------------
 
   def q_text_stats(s: SparkSession, d: String): DataFrame =

@@ -142,6 +142,35 @@ object Relational {
       .agg(count(lit(1)).as("n_close"), dsum(col("l.l_extendedprice"), 2).as("sum_price"))
       .orderBy("p_partkey")
 
+  /** KEYLESS point-in-interval join — no equi-key exists, so Spark's
+    * built-in plan is a broadcast-nested-loop join: O(|P|·|I|) compares
+    * and a hard broadcast-size ceiling on the interval side. Rewritten
+    * through [[Scale.binnedRangeJoin]]: quantize time into 7-day bins,
+    * explode each interval to the bins it overlaps, equi-join on the
+    * bin id + residual range predicate. Both sides can then be
+    * arbitrarily large (plain shuffle join) and each pair is emitted
+    * exactly once. The shape: "lineitems shipped within 7 days of a
+    * watched order's date" — watched = every 1000th orderkey, so the
+    * interval side grows with SF like a real watchlist.
+    */
+  def q_join_range_binned(s: SparkSession, d: String): DataFrame = {
+    val DayMs = 86400000L
+    // parquet dates surface as TIMESTAMP_NTZ; the session pins UTC, so
+    // the NTZ→LTZ cast is the identity on the epoch and unix_millis is
+    // exact — full ms precision, no day-alignment assumption
+    def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+    val points = lineitem(s, d)
+      .select(col("l_extendedprice"), ms(col("l_shipdate")).as("__pt"))
+    val intervals = orders(s, d)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"), ms(col("o_orderdate")).as("__start"),
+        (ms(col("o_orderdate")) + 7 * DayMs).as("__end"))
+    Scale.binnedRangeJoin(points, intervals, "__pt", "__start", "__end", 7 * DayMs)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (nearest earlier purchase per user) — no Spark built-in.
     * Composed as ONE window pass instead of a range join: shuffle events
     * once by user_id, running MAX of purchase-ts in event-time order.

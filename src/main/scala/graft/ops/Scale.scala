@@ -295,6 +295,100 @@ object Scale {
     KMeansModel(centroids, assigned, wcss.reverse)
   }
 
+  /** Binned range join (point-in-interval): joins `points` rows whose
+    * `pointCol` falls in `[startCol, endCol)` of an `intervals` row,
+    * WITHOUT an equi-key — the case where Spark's only built-in plan is
+    * a broadcast-nested-loop / cartesian product, which is O(|P|·|I|)
+    * compares and requires one side to fit in memory.
+    *
+    * Rewrite: quantize the domain into `binSize`-wide bins. Each point
+    * belongs to exactly ONE bin; each interval is replicated to every
+    * bin it overlaps (`sequence` explode — ⌈len/binSize⌉+1 copies). The
+    * join becomes a plain shuffle EQUI-join on the bin id plus the
+    * residual range predicate, so both sides can be arbitrarily large
+    * and each matching pair is emitted exactly once (a point's single
+    * bin is matched by the one interval copy in that bin).
+    *
+    * Cost model: compares per bin ≈ |points in bin| × |interval copies
+    * in bin| — choose `binSize` near the TYPICAL interval length so
+    * most intervals replicate ~2× and each point meets only the
+    * intervals that could plausibly contain it. A hot bin (data-time
+    * skew) is an ordinary join-key skew: AQE skew-join splits it, or
+    * pre-salt with [[saltedJoin]].
+    *
+    * Columns must be numeric (cast timestamps to epoch ms/µs first).
+    * Degenerate intervals (`end <= start`) match nothing and are
+    * dropped before the explode.
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val p = points.withColumn("__pbin", floor(col(pointCol) / binSize))
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__ibin", explode(sequence(
+        floor(col(startCol) / binSize),
+        // end is EXCLUSIVE: the last candidate bin is the one holding
+        // end-1, so an interval ending exactly on a bin boundary does
+        // not replicate into the bin it cannot match
+        floor((col(endCol) - 1) / binSize))))
+    p.join(i, col("__pbin") === col("__ibin") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__pbin", "__ibin")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, then
+    * within each cluster drop every item that has a cosine-similar
+    * (`>= threshold`) item with a smaller id. Quadratic work is
+    * confined to WITHIN-cluster pairs, so total candidate volume is
+    * Σ|cluster|² — pick `k ≈ n / targetClusterSize` to bound it
+    * (SemDeDup itself runs k in the tens of thousands at
+    * billion-sample scale for exactly this reason).
+    *
+    * Skew safety: clusters over `maxCluster` are EXCLUDED from pair
+    * generation (their members are all kept) via a spillable window
+    * count before the non-spilling `collect_list`, the same guard as
+    * the LSH dedup buckets — a degenerate cluster (e.g. a constant
+    * embedding column) cannot OOM an executor or go quadratic. A
+    * well-sized k keeps real clusters far under the cap.
+    *
+    * Keep rule (standard SemDeDup screening, not transitive-closure
+    * clustering): item i is dropped iff SOME same-cluster j < i has
+    * cos(i,j) >= threshold — each near-dup group keeps exactly its
+    * smallest id; chained similars may all collapse onto one keeper.
+    *
+    * Returns one row per input item: (idCol, cluster, keep).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double,
+                    maxIters: Int = 5,
+                    maxCluster: Int = 4096): DataFrame = {
+    val assigned = kMeans(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+      "__v", k, maxIters)
+      .assigned
+      // pair generation reads this twice (pairs + left join back) and it
+      // costs a full k×dim scan per row to recompute — materialize once
+      .localCheckpoint()
+    val wc = Window.partitionBy("cluster")
+    val dropped = assigned
+      .withColumn("__cn", count(lit(1)).over(wc))
+      .filter(col("__cn") <= maxCluster)
+      .drop("__cn")
+      .groupBy("cluster")
+      .agg(collect_list(struct(col(idCol), col("__v"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(graft.functions.Vec.cosine(col("a.__v"), col("b.__v")) >= threshold)
+      .select(col(s"b.$idCol").as("__dup_id")).distinct()
+    assigned.join(dropped, col(idCol) === col("__dup_id"), "left")
+      .select(col(idCol), col("cluster"), col("__dup_id").isNull.as("keep"))
+  }
+
   /** Distributed PageRank over an edge list (damped, fixed iteration
     * count — link/citation authority scoring). Per iteration: one
     * equi-join of the (edge, out-degree) relation against current ranks

@@ -446,6 +446,80 @@ class OpsSpec extends AnyFunSuite {
       s"CMS estimate $est outside [$exactA, exact+eps*n]")
   }
 
+  test("binnedRangeJoin ≡ naive range join, including bin-boundary and degenerate intervals") {
+    import spark.implicits._
+    val B = 100L // bin size for the test
+    // points at bin boundaries, interiors, and far outside
+    val points = Seq(0L, 1L, 99L, 100L, 101L, 199L, 200L, 250L, 999L)
+      .toDF("pt").withColumn("pid", col("pt"))
+    // intervals: ends exactly ON a bin boundary (must not match pt=200),
+    // spanning 3 bins, sub-bin, degenerate (end==start), inverted
+    val intervals = Seq(
+      (1L, 50L, 200L),   // end on boundary: matches 99,100,101,199 NOT 200
+      (2L, 0L, 301L),    // 4-bin span incl pt=0 (start inclusive)
+      (3L, 120L, 130L),  // sub-bin: matches nothing in the set
+      (4L, 500L, 500L),  // degenerate: matches nothing
+      (5L, 400L, 300L))  // inverted: matches nothing
+      .toDF("iid", "start", "end")
+    val got = Scale.binnedRangeJoin(points, intervals, "pt", "start", "end", B)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want, s"binned=$got naive=$want")
+    assert(want.contains((0L, 2L)) && want.contains((199L, 1L)) && !want.contains((200L, 1L)),
+      "test data must exercise the boundary cases")
+    // exactly-once: no pair may be emitted per-overlapping-bin
+    val n = Scale.binnedRangeJoin(points, intervals, "pt", "start", "end", B).count()
+    assert(n == want.size, s"each pair exactly once: got $n rows for ${want.size} pairs")
+  }
+
+  test("semanticDedup: identical vectors collapse to the min id; dissimilar vectors survive") {
+    import spark.implicits._
+    // ids 1,2: IDENTICAL vectors (same L2 point → same cluster under any
+    // centroid set, cos=1); 4: cos≈0.89 to them (< 0.95); 3: orthogonal.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)),
+      (4L, Array(1.0, 0.5, 0.0)))
+      .toDF("id", "v")
+    val out = Scale.semanticDedup(vecs, "id", "v", k = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 4)
+    assert(out(1L), "smallest id of the dup group is kept")
+    assert(!out(2L), "larger-id exact dup is dropped")
+    assert(out(3L) && out(4L), "sub-threshold similarity must not dedup")
+  }
+
+  test("q_dedup_semantic: canary kept, its twin dropped, keep rule verified brute-force") {
+    import spark.implicits._
+    val out = Llm.q_dedup_semantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n + 1, "one row per item incl. the planted canary")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(-1L)._3, "canary (id -1) is the smaller id of its dup pair — kept")
+    val minReal = out.map(_._1).filter(_ >= 0).min
+    assert(!byId(minReal)._3, s"vec $minReal is an exact copy of the canary — dropped")
+    // brute-force the keep rule: dropped ⇔ ∃ same-cluster smaller id with cos ≥ 0.95
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val vecsAll = embs + (-1L -> embs(minReal))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    out.foreach { case (id, cl, keep) =>
+      val hasSimilarSmaller = out.exists { case (j, cj, _) =>
+        cj == cl && j < id && cos(vecsAll(j), vecsAll(id)) >= 0.95
+      }
+      assert(keep == !hasSimilarSmaller, s"keep rule violated for vec $id (cluster $cl)")
+    }
+  }
+
   test("q_stat_crosstab: cells sum to table count; lateral top-n respects per-group limit") {
     val ct = Relational.q_stat_crosstab(spark, sf).collect()
     val cells = ct.map(r => r.getLong(1) + r.getLong(2)).sum

@@ -52,6 +52,25 @@ class PlanSpec extends AnyFunSuite {
       "band predicate must ride the p_partkey equi-join as a post-filter")
   }
 
+  test("binned range join turns the keyless interval join into an equi-join") {
+    // the naive keyless formulation is Spark's worst plan: BNLJ (or
+    // cartesian) — the exact thing binnedRangeJoin exists to delete
+    val points = Tables.lineitem(spark, sf)
+      .select(unix_millis(col("l_shipdate").cast("timestamp")).as("__pt"))
+    val intervals = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(unix_millis(col("o_orderdate").cast("timestamp")).as("__start"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) + 7L * 86400000L).as("__end"))
+    val naive = points.join(intervals,
+      col("__pt") >= col("__start") && col("__pt") < col("__end"))
+    assert(planOf(naive).contains("BroadcastNestedLoopJoin") ||
+      planOf(naive).contains("CartesianProduct"),
+      "precondition: the keyless range join has no equi plan without binning")
+    val binned = planOf(Relational.q_join_range_binned(spark, sf))
+    assert(!binned.contains("BroadcastNestedLoopJoin") && !binned.contains("CartesianProduct"),
+      s"binned range join must plan as an equi-join:\n$binned")
+  }
+
   test("star join broadcasts the dimension tables") {
     val plan = planOf(Relational.q_join_dims(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
