@@ -25,14 +25,15 @@ object GraftSession {
   /** Engine wiring for sessions built WITHOUT
     * `spark.sql.extensions=graft.functions.GraftExtensions`: registers
     * the native SQL functions, the as-of join strategy, and the
-    * bloom-prefilter join rule through the public runtime hooks
-    * (FunctionRegistry / experimental.extraStrategies /
+    * bloom-prefilter + binned-range join rules through the public
+    * runtime hooks (FunctionRegistry / experimental.extraStrategies /
     * experimental.extraOptimizations). Idempotent.
     */
   def install(spark: SparkSession): Unit = {
     graft.functions.Vec.register(spark)
     graft.plans.Asof.ensureRegistered(spark)
     graft.plans.BloomJoin.ensureRegistered(spark)
+    graft.plans.RangeJoin.ensureRegistered(spark)
   }
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b

@@ -161,6 +161,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
+    "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
     "q_tfidf" -> (Llm.q_tfidf _),
@@ -488,6 +489,18 @@ object SparkEntry {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
         |                                        ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+        |                              ' +', ' ', 'g'))) AS k
+        |  FROM documents)
+        |SELECT b.doc_id,
+        |  (NOT EXISTS (SELECT 1 FROM n c WHERE c.doc_id < 250 AND c.k = b.k)
+        |   AND NOT EXISTS (SELECT 1 FROM n b2
+        |                   WHERE b2.doc_id >= 250 AND b2.doc_id < b.doc_id
+        |                     AND b2.k = b.k)) AS keep
+        |FROM n b WHERE b.doc_id >= 250 ORDER BY b.doc_id""".stripMargin,
 
     "q_join_right" ->
       """SELECT p_partkey, count(l_orderkey) AS li_cnt,

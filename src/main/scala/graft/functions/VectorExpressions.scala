@@ -406,5 +406,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Vec.inject(extensions)
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     extensions.injectOptimizerRule(_ => graft.plans.BloomJoinRule)
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -683,6 +683,70 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup of a NEW batch against an already-ingested
+    * corpus — the production ingest pattern: the corpus is represented
+    * only by its persisted key INDEX (one key column; at scale a
+    * bucketed table on the key so this join never shuffles the index),
+    * never rescanned. A batch row survives iff its key is absent from
+    * the index AND it is the first occurrence (min id) of its key
+    * within the batch. Returns every batch row with a `keep` flag; the
+    * index update for the next batch is `index ∪ keys of kept rows`.
+    *
+    * Shape: one left join + one window, both hash-partitioned on the
+    * key — two shuffles of the BATCH (small by definition), zero of
+    * the corpus beyond the index keys.
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, keyCol: String,
+                       index: DataFrame): DataFrame = {
+    val idx = index.select(col(index.columns.head).as(keyCol))
+      .distinct().withColumn("__in_corpus", lit(true))
+    val w = Window.partitionBy(keyCol).orderBy(idCol)
+    batch.join(idx, Seq(keyCol), "left")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("keep", col("__in_corpus").isNull && col("__rn") === 1)
+      .drop("__in_corpus", "__rn")
+  }
+
+  /** Near-dup flavor of [[incrementalDedup]]: the corpus index holds
+    * MinHash band signatures `(band, bsig)` instead of exact keys; a
+    * batch doc is flagged as a candidate near-dup of the corpus when
+    * ANY of its bands collides with the index (standard LSH contract:
+    * candidates, to be confirmed by an exact kernel on the flagged
+    * minority). Semi-join on (band, bsig) — the index is bucketable on
+    * the same key, so at scale the probe co-locates.
+    */
+  def incrementalMinhashFlags(batch: DataFrame, sigIndex: DataFrame): DataFrame = {
+    val hits = minhashExploded(batch)
+      .join(sigIndex.select("band", "bsig"), Seq("band", "bsig"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("near_corpus", lit(true))
+    batch.join(hits, Seq("doc_id"), "left")
+      .withColumn("near_corpus", coalesce(col("near_corpus"), lit(false)))
+  }
+
+  /** Band-signature index of a corpus — what a production run persists
+    * (bucketed on (band, bsig)) for the next [[incrementalMinhashFlags]]
+    * batch.
+    */
+  def minhashIndex(corpus: DataFrame): DataFrame =
+    minhashExploded(corpus).select("band", "bsig").distinct()
+
+  /** Gate query for [[incrementalDedup]]: docs below 250 are "the
+    * corpus" (only their normalized keys survive as the index), docs
+    * from 250 up are "the new batch". Exact-key dedup on the
+    * q_text_normalize key, so the whole flow is SQL-expressible and
+    * DuckDB-oracled.
+    */
+  def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val n = documents(s, d).select(col("doc_id"), norm.as("k"))
+    val index = n.filter(col("doc_id") < 250).select("k")
+    val batch = n.filter(col("doc_id") >= 250)
+    incrementalDedup(batch, "doc_id", "k", index)
+      .select("doc_id", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Text normalization (the dedup-key step every pipeline runs before
     * exact dedup): strip non-alphanumerics, collapse whitespace, trim,
     * lowercase — then surface the md5 dedup key + normalized length.

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+
+/** Planner-tier binned range join (the rule form of
+  * `Scale.binnedRangeJoin`): a join whose condition is ONLY a band —
+  * `point >= start AND point < end` with the point expression on one
+  * side and both bounds on the other, no equi conjunct — has no
+  * hash-partitionable key, so Spark plans a broadcast-nested-loop or
+  * cartesian join: O(|P|·|I|) compares with a broadcast-size ceiling.
+  * This rule rewrites the join in the optimizer:
+  *
+  *   - point side gains `__graft_pbin = floor(point / binSize)`;
+  *   - interval side explodes to one row per bin the interval overlaps
+  *     (`sequence(floor(lo/binSize), floor(hi/binSize))`, bounds
+  *     adjusted for strictness);
+  *   - the join becomes `pbin = ibin AND <original condition>` — a
+  *     plain shuffle equi-join both sides of which can be arbitrarily
+  *     large, with the band as a residual filter.
+  *
+  * Result-identical to the original join: a point has exactly ONE bin,
+  * and the interval copy in that bin is present iff the interval
+  * overlaps it, so each qualifying pair matches exactly once and no
+  * qualifying pair is lost (x → floor(x/binSize) is monotone, so a
+  * point inside [lo, hi] has its bin inside [binOf(lo), binOf(hi)]).
+  * Interval rows that can match nothing (empty after strictness
+  * adjustment, or null bounds) are filtered before the explode — they
+  * produce no inner/semi output either way, and `sequence` would
+  * reject descending boundaries.
+  *
+  * Fires only when:
+  *   - `spark.graft.rangeJoin.binSize` is set > 0 (the caller knows the
+  *     typical interval width; same contract as a range-join hint —
+  *     pick binSize near it so intervals replicate ~2×);
+  *   - the join is Inner, or LeftSemi with the interval side on the
+  *     right (the exploded side must not be the multiplicity-bearing
+  *     side of a semi join);
+  *   - there is NO cross-side equi conjunct (with one, Catalyst already
+  *     plans a hash join and the band rides along as a post-filter);
+  *   - point and both bounds are integral types (cast timestamps to
+  *     epoch ms/µs first; values must stay within 2^53 so the
+  *     double-division floor is exact — epoch µs are < 2^51).
+  *
+  * Converges in a fixed-point batch by construction: the rewritten
+  * join HAS an equi conjunct, so the rule never matches its own output.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  private def binSize: Long =
+    conf.getConfString("spark.graft.rangeJoin.binSize", "0").toLong
+
+  private def splitConjunctive(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctive(l) ++ splitConjunctive(r)
+    case other => Seq(other)
+  }
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** A band bound normalized to "point OP bound": point refs ⊆ one
+    * side, bound refs ⊆ the other.
+    */
+  private case class Bound(point: Expression, bound: Expression,
+                           lower: Boolean, inclusive: Boolean,
+                           pointOnLeft: Boolean)
+
+  private def bounds(conjuncts: Seq[Expression],
+                     left: LogicalPlan, right: LogicalPlan): Seq[Bound] = {
+    def sideOf(e: Expression): Option[Boolean] = // Some(true)=left
+      if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some(true)
+      else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some(false)
+      else None
+    def mk(a: Expression, b: Expression, lower: Boolean, inclusive: Boolean) =
+      (sideOf(a), sideOf(b)) match {
+        case (Some(sa), Some(sb)) if sa != sb && integral(a) && integral(b) =>
+          Some(Bound(a, b, lower, inclusive, sa))
+        case _ => None
+      }
+    // `a >= b` is genuinely ambiguous until the pairing step: it can
+    // read "point a lower-bounded by b" OR "point b upper-bounding a" —
+    // emit BOTH readings and let the lower+upper-on-the-same-expression
+    // pairing pick the consistent one
+    conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) =>
+        mk(a, b, lower = true, inclusive = true).toSeq ++
+          mk(b, a, lower = false, inclusive = true)
+      case GreaterThan(a, b) =>
+        mk(a, b, lower = true, inclusive = false).toSeq ++
+          mk(b, a, lower = false, inclusive = false)
+      case LessThanOrEqual(a, b) =>
+        mk(a, b, lower = false, inclusive = true).toSeq ++
+          mk(b, a, lower = true, inclusive = true)
+      case LessThan(a, b) =>
+        mk(a, b, lower = false, inclusive = false).toSeq ++
+          mk(b, a, lower = true, inclusive = false)
+      case _ => Nil
+    }
+  }
+
+  private def hasCrossEqui(conjuncts: Seq[Expression],
+                           left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) => crosses(a, b, left, right)
+      case EqualNullSafe(a, b) => crosses(a, b, left, right)
+      case _ => false
+    }
+
+  private def crosses(a: Expression, b: Expression,
+                      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+      b.references.nonEmpty && b.references.subsetOf(right.outputSet)) ||
+      (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(left.outputSet))
+
+  private def floorBin(e: Expression, bin: Long): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(bin.toDouble)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bin = binSize
+    if (bin <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, joinType, Some(cond), hint)
+          if joinType == Inner || joinType == LeftSemi =>
+        val conjuncts = splitConjunctive(cond)
+        val bs = bounds(conjuncts, left, right)
+        val candidate = bs.filter(_.lower).flatMap { lb =>
+          bs.find(b => !b.lower && b.pointOnLeft == lb.pointOnLeft &&
+            b.point.semanticEquals(lb.point)).map((lb, _))
+        }.headOption
+        candidate match {
+          case Some((lb, ub))
+              if !hasCrossEqui(conjuncts, left, right) &&
+                // a semi join must not explode its left (multiplicity) side
+                (joinType == Inner || lb.pointOnLeft) =>
+            val (pointPlan, intervalPlan) =
+              if (lb.pointOnLeft) (left, right) else (right, left)
+            // point side: one bin per row
+            val pbinAlias = Alias(floorBin(lb.point, bin), "__graft_pbin")()
+            val pPlan = Project(pointPlan.output :+ pbinAlias, pointPlan)
+            // interval side: strictness-adjusted [lo, hi], drop empties
+            // (they match nothing; sequence rejects descending bounds)
+            val loL = if (lb.inclusive) Cast(lb.bound, LongType)
+              else Add(Cast(lb.bound, LongType), Literal(1L))
+            val hiL = if (ub.inclusive) Cast(ub.bound, LongType)
+              else Subtract(Cast(ub.bound, LongType), Literal(1L))
+            val nonEmpty = Filter(LessThanOrEqual(loL, hiL), intervalPlan)
+            // Sequence is TimeZoneAwareExpression: it is unresolved (and
+            // fails plan validation) until a zone is pinned, even over longs
+            val seq = Sequence(floorBin(loL, bin), floorBin(hiL, bin),
+              Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            val ibinAttr = AttributeReference("__graft_ibin", LongType)()
+            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(ibinAttr), child = nonEmpty)
+            val newCond = And(EqualTo(pbinAlias.toAttribute, ibinAttr), cond)
+            val (newLeft, newRight) =
+              if (lb.pointOnLeft) (pPlan, gen) else (gen: LogicalPlan, pPlan: LogicalPlan)
+            Project(j.output, Join(newLeft, newRight, joinType, Some(newCond), hint))
+          case _ => j
+        }
+    }
+  }
+}
+
+/** Runtime registration for sessions built without
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object RangeJoin {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(RangeJoinRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RangeJoinRule
+  }
+}

@@ -48,6 +48,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L }) // unrelated absent
   }
 
+  test("incremental dedup: corpus-hit and within-batch dups drop; minhash index flags corpus near-dups") {
+    import spark.implicits._
+    // exact-key flavor: key in corpus / key duplicated inside the batch /
+    // genuinely new key
+    val corpusIdx = Seq("k1", "k2").toDF("k")
+    val batch = Seq((10L, "k1"), (11L, "k3"), (12L, "k3"), (13L, "k4")).toDF("id", "k")
+    val keep = Llm.incrementalDedup(batch, "id", "k", corpusIdx)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+    // LSH flavor: the near-dup/unrelated strings are the ones the
+    // minhashPairs test proves collide / don't collide — deterministic
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different words about spark shuffle partitions and catalyst optimizer rules everywhere"
+    val idx = Llm.minhashIndex(Seq((1L, base)).toDF("doc_id", "text"))
+    val flags = Llm.incrementalMinhashFlags(
+      Seq((10L, base), (11L, nearDup), (12L, unrelated)).toDF("doc_id", "text"), idx)
+      .select("doc_id", "near_corpus").as[(Long, Boolean)].collect().toMap
+    assert(flags(10L) && flags(11L), "exact copy and proven near-dup must flag")
+    assert(!flags(12L), "unrelated text must not flag")
+  }
+
   test("minhash output is well-formed: id1 < id2, est_jaccard in [0.5, 1]") {
     val bad = Llm.q_dedup_minhash(spark, sf)
       .filter(col("id1") >= col("id2") ||

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The auto-injected binned range join: with a binSize configured, a
+  * keyless band join must plan as an equi-join on the bin id (no BNLJ
+  * / cartesian), stay result-identical to the naive join — boundary
+  * and strictness cases included — and must NOT fire where the rewrite
+  * could change semantics (equi conjunct present, semi join with the
+  * interval side on the left) or when unconfigured.
+  */
+class RangeJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def nested(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+  }
+
+  /** Run `body` with the rule enabled at the given bin size; the shared
+    * session must come back with the rule off.
+    */
+  private def withBin[A](bin: Long)(body: => A): A =
+    try { spark.conf.set("spark.graft.rangeJoin.binSize", bin.toString); body }
+    finally spark.conf.unset("spark.graft.rangeJoin.binSize")
+
+  import spark.implicits._
+  private def points = Seq(0L, 1L, 99L, 100L, 101L, 199L, 200L, 250L, 999L)
+    .toDF("pt").withColumn("pid", col("pt"))
+  private def intervals = Seq(
+    (1L, 50L, 200L), (2L, 0L, 301L), (3L, 120L, 130L),
+    (4L, 500L, 500L), (5L, 400L, 300L))
+    .toDF("iid", "start", "end")
+
+  test("keyless band join: BNLJ without the rule, equi-join with it, identical rows") {
+    val join = points.join(intervals,
+      col("pt") >= col("start") && col("pt") < col("end"))
+    assert(nested(join), "precondition: unconfigured rule leaves the BNLJ")
+    val naive = join.select("pid", "iid").as[(Long, Long)].collect().toSet
+    withBin(100L) {
+      val binned = points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end"))
+      assert(!nested(binned), s"rule must delete the BNLJ:\n${planOf(binned)}")
+      val got = binned.select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"binned=$got naive=$naive")
+      assert(binned.count() == naive.size, "each pair exactly once")
+    }
+  }
+
+  test("strict/inclusive bound variants stay result-identical") {
+    for ((lo, hi) <- Seq(
+        (col("pt") > col("start"), col("pt") <= col("end")),
+        (col("pt") >= col("start"), col("pt") <= col("end")),
+        (col("pt") > col("start"), col("pt") < col("end")))) {
+      val naive = points.join(intervals, lo && hi)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      withBin(100L) {
+        val binned = points.join(intervals, lo && hi)
+        assert(!nested(binned))
+        assert(binned.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+      }
+    }
+  }
+
+  test("mirrored operand order (start <= pt AND end > pt) is recognized") {
+    val naive = points.join(intervals,
+      col("start") <= col("pt") && col("end") > col("pt"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    withBin(100L) {
+      val binned = points.join(intervals,
+        col("start") <= col("pt") && col("end") > col("pt"))
+      assert(!nested(binned))
+      assert(binned.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+    }
+  }
+
+  test("left-semi with the interval side on the right fires; on the left it must not") {
+    withBin(100L) {
+      val semi = points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end"), "left_semi")
+      assert(!nested(semi), "semi with exploded right side is safe → must fire")
+      val kept = semi.select("pid").as[Long].collect().toSet
+      val want = Set(0L, 1L, 99L, 100L, 101L, 199L, 200L, 250L) // all in iid=2 except 999
+      assert(kept == want, s"kept=$kept")
+      // interval side on the LEFT of a semi join: exploding the left
+      // would multiply its rows — the rule must leave the join alone
+      val semiIntervalLeft = intervals.join(points,
+        col("pt") >= col("start") && col("pt") < col("end"), "left_semi")
+      assert(nested(semiIntervalLeft), "rule must not explode a semi join's left side")
+      assert(semiIntervalLeft.select("iid").as[Long].collect().toSet == Set(1L, 2L))
+    }
+  }
+
+  test("an equi conjunct disables the rewrite (hash join already exists)") {
+    val p2 = points.withColumn("k", col("pt") % 2)
+    val i2 = intervals.withColumn("k", col("iid") % 2)
+    withBin(100L) {
+      val df = p2.join(i2,
+        p2("k") === i2("k") && col("pt") >= col("start") && col("pt") < col("end"))
+      val plan = planOf(df)
+      assert(!plan.contains("__graft_pbin"), s"rule must not fire on an equi join:\n$plan")
+    }
+  }
+}
