@@ -159,6 +159,7 @@ object SparkEntry {
     "q_contamination" -> (Llm.q_contamination _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
+    "q_sim_quantized" -> (Llm.q_sim_quantized _),
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
     "q_mm_features" -> (Multimodal.q_mm_features _),
     "q_mm_frames" -> (Multimodal.q_mm_frames _),
+    "q_mm_phash" -> (Multimodal.q_mm_phash _),
     // time windows (streaming operators, batch-verified)
     "q_stream_tumbling" -> (Windows.q_stream_tumbling _),
     "q_stream_sliding" -> (Windows.q_stream_sliding _),

@@ -564,6 +564,61 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  // ---- int8-quantized similarity search --------------------------------
+
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * `scale = max|e|/127`, `codes[i] = round(e[i]/scale)` — plus the
+    * exact L2 norm, captured BEFORE precision is dropped. The persisted
+    * corpus then costs 1 byte/component instead of 8 (the at-scale win:
+    * a 100 TB float64 embedding store becomes 12.5 TB of scan/shuffle/
+    * broadcast bytes), and reconstruction is `codes[i]*scale` with
+    * per-component error ≤ scale/2. Pure codegen'd expressions.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val e = col(vecCol)
+    val scale =
+      greatest(array_max(transform(e, abs(_))), lit(1e-30)) / lit(127.0)
+    df.withColumn("q_scale", scale)
+      .withColumn("q_codes",
+        transform(e, x => round(x / col("q_scale")).cast("tinyint")))
+      .withColumn("q_norm", l2norm(e))
+      .drop(vecCol)
+  }
+
+  /** Top-k cosine over the int8-QUANTIZED corpus (same shape as the
+    * exact [[q_sim_topk]]: broadcast pinned query side, window top-k):
+    * `cos ≈ (sa·sb·Σ qa[i]·qb[i]) / (|a|·|b|)` with the exact stored
+    * norms. The int dot runs through the same codegen `graft_dot`
+    * kernel (codes cast back to double inside the whole-stage loop —
+    * the 4-8× saving is in STORAGE/SHUFFLE bytes, which is what
+    * dominates a 100 TB scan, not flops). No oracle (quantization
+    * rounding isn't portable SQL); OpsSpec asserts recall@5 vs the
+    * exact baseline and the per-component reconstruction bound.
+    */
+  def q_sim_quantized(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val quant = quantizeInt8(emb, "e")
+      .select(col("vec_id"), col("q_codes").cast("array<double>").as("qd"),
+        col("q_scale"), col("q_norm"))
+    val q = quant.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("qd").as("qa"),
+        col("q_scale").as("sa"), col("q_norm").as("na"))
+    val c = quant
+      .select(col("vec_id").as("cid"), col("qd").as("qb"),
+        col("q_scale").as("sb"), col("q_norm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_raw",
+        round(col("sa") * col("sb") * dot(col("qa"), col("qb")) /
+          (col("na") * col("nb")), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), round(col("cos_raw"), 6).as("cos_q"))
+      .orderBy("qid", "rn")
+  }
+
   /** Corpus vocabulary: term → collection frequency + document
     * frequency, thresholded. One explode inside the scan stage, one
     * map-side-combined aggregation on the term — the vocabulary-build

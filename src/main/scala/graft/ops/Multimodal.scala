@@ -119,6 +119,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** ====== STUBBED POOLER ======
+    * Stands in for decode→grayscale→downsample in a perceptual hash: 65
+    * mean-brightness segments over the payload bytes (a real dHash
+    * pools the decoded image to a 65-pixel strip the same way). Pure
+    * per-row map, deterministic.
+    */
+  private val PoolSegs = 65
+
+  private[ops] def fakePool(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](PoolSegs)
+    if (bytes.isEmpty) return out
+    var i = 0
+    while (i < PoolSegs) {
+      val lo = (i.toLong * bytes.length / PoolSegs).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * bytes.length / PoolSegs).toInt)
+      var s = 0.0
+      var j = lo
+      while (j < hi && j < bytes.length) { s += (bytes(j) & 0xff); j += 1 }
+      out(i) = s / (math.min(hi, bytes.length) - lo)
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash over the pooled strip: bit i = segment i brighter
+    * than segment i+1. A localized payload edit perturbs one segment →
+    * ≤ 2 signature bits, so near-identical media land within a small
+    * hamming radius — the property [[q_mm_phash]]'s banding exploits.
+    */
+  private[ops] def phash64(bytes: Array[Byte]): Long = {
+    val p = fakePool(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (p(i) > p(i + 1)) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** (doc_id, 64-bit perceptual hash) for every payload — the stubbed
+    * decode runs as a typed per-partition map (same batch shape as
+    * [[features]]); everything downstream is columnar.
+    */
+  def phashes(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, phash64(payload)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Perceptual-hash near-dedup of media payloads (the image-dedup step
+    * of a multimodal training pipeline): dHash signatures, then
+    * candidate pairs via 4×16-bit band buckets — by pigeonhole, two
+    * hashes within hamming distance 3 share at least one exact 16-bit
+    * band, so the ≤3 screen has FULL recall while candidate volume
+    * stays Σ|bucket|², never n². Same spill-safe bucket cap as the LSH
+    * dedups; `bit_count(xor)` is the exact hamming check. Planted
+    * canary (doc −1 = copy of the smallest doc's hash) keeps the gate
+    * non-vacuous — the fixture has no duplicate payloads. Rows-only
+    * (stub decode isn't SQL); pair invariants in OpsSpec.
+    */
+  def q_mm_phash(s: SparkSession, d: String): DataFrame = {
+    val base = phashes(s, d)
+    val probe = base.orderBy("doc_id").limit(1)
+      .select(lit(-1L).as("doc_id"), col("phash"))
+    val all = base.unionByName(probe)
+    val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col("phash"), b * 16).bitwiseAND(0xFFFFL).as("bkey")))
+    val banded = all.select(col("doc_id"), col("phash"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    banded
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= graft.ops.Llm.DefaultMaxBucket)
+      .drop("__bn")
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("phash"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("id1", "id2")
+      .orderBy("id1", "id2")
+  }
+
   /** Typed-metadata parse: media payloads carry a self-describing
     * header (here a deterministic fake: `GFT1|<w>|<h>|` prepended to
     * the body); the op recovers a typed metadata STRUCT from raw bytes

@@ -542,6 +542,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hash: localized edit stays in radius; banding finds the canary pair") {
+    // kernel: deterministic; a 1-byte edit moves one pooled segment →
+    // at most 2 signature bits; a structurally different payload is far
+    val base = ("some long media payload with varied content 0123456789 " * 20).getBytes
+    val edited = base.clone(); edited(500) = (edited(500) + 120).toByte
+    val ramp = Array.tabulate[Byte](base.length)(i => ((i * 7) % 256).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(Multimodal.phash64(base) == Multimodal.phash64(base.clone), "deterministic")
+    assert(ham(Multimodal.phash64(base), Multimodal.phash64(edited)) <= 2,
+      "one-byte edit must stay within the hamming screen")
+    assert(ham(Multimodal.phash64(base), Multimodal.phash64(ramp)) > 3,
+      "structurally different payloads must not pass the screen")
+    // pipeline on the fixture: canary (-1 = copy of the min doc's hash)
+    // flows signature → band bucket → hamming screen at hamming 0
+    val rows = Multimodal.q_mm_phash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minId = Tables.documents(spark, sf).agg(min("doc_id")).head.getLong(0)
+    assert(rows.contains((-1L, minId, 0L)), s"canary pair missing from ${rows.take(5).toSeq}")
+    assert(rows.forall { case (a, b, h) => a < b && h <= 3 })
+  }
+
+  test("int8 quantization: reconstruction within scale/2; quantized top-5 recall vs exact") {
+    import spark.implicits._
+    // reconstruction bound: |codes[i]*scale - e[i]| ≤ scale/2 (+ float slack)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val bad = Llm.quantizeInt8(emb.withColumn("orig", col("e")), "e")
+      .select(explode(zip_with(col("q_codes").cast("array<double>"), col("orig"),
+        (q, o) => abs(q * col("q_scale") - o) - col("q_scale") * 0.5 - lit(1e-12))).as("excess"))
+      .filter(col("excess") > 0).count()
+    assert(bad == 0, s"$bad components reconstruct outside scale/2")
+    // ranking survives quantization: mean recall@5 vs the exact baseline
+    val exact = Llm.q_sim_topk(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Llm.q_sim_quantized(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recall = exact.map { case (q, ids) =>
+      (ids intersect quant(q)).size.toDouble / ids.size }.sum / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 $recall < 0.8")
+  }
+
   test("q_stat_crosstab: cells sum to table count; lateral top-n respects per-group limit") {
     val ct = Relational.q_stat_crosstab(spark, sf).collect()
     val cells = ct.map(r => r.getLong(1) + r.getLong(2)).sum
