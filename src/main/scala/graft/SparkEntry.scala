@@ -166,6 +166,7 @@ object SparkEntry {
     "q_vocab_df" -> (Llm.q_vocab_df _),
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
     "q_tfidf" -> (Llm.q_tfidf _),
+    "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
     "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
@@ -483,6 +484,21 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_quality_perplexity" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |total AS (SELECT count(*) AS total FROM terms),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(-CAST(sum(CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))
+        |                               + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*) + 1e-9, 6) AS nll
+        |  FROM terms t JOIN vocab v USING (term) CROSS JOIN total tt
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, nll, (nll <= 3.55) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -619,6 +619,41 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** CCNet-style language-model quality filter: score every document by
+    * its mean negative log-probability under a UNIGRAM model estimated
+    * from the corpus itself, keep documents under a cutoff (high nll =
+    * unusual token distribution = boilerplate/garbled/off-language —
+    * the Wenzek et al. 2020 CCNet screen, with the unigram LM standing
+    * in for their KenLM since the shape, not the model, is the Spark
+    * part). Shape at 100 TB: one explode in the scan stage, one
+    * map-side-combined vocab agg, one term-keyed join back (the vocab
+    * is Zipf-small — broadcastable or bucketable), one per-doc agg.
+    *
+    * Determinism: per-token log-probs are rounded to 6 then summed as
+    * DECIMAL, so partial-aggregation order can never change the score
+    * (same contract as `Relational.dsum`).
+    */
+  def q_quality_perplexity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / col("total").cast("double")) + lit(1e-9), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("slp").cast("double") / col("n_tokens") + lit(1e-9), 6).as("nll"))
+      // cutoff sits inside the fixture's nll range (3.38–3.70 at
+      // sf0.01) so the screen demonstrably drops the worst tail
+      .withColumn("keep", col("nll") <= 3.55)
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary: term → collection frequency + document
     * frequency, thresholded. One explode inside the scan stage, one
     * map-side-combined aggregation on the term — the vocabulary-build
