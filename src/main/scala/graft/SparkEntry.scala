@@ -167,6 +167,7 @@ object SparkEntry {
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
     "q_tfidf" -> (Llm.q_tfidf _),
     "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
+    "q_bpe_train" -> (Llm.q_bpe_train _),
     "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),

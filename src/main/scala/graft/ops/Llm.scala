@@ -619,6 +619,90 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  // ---- BPE tokenizer training ----------------------------------------
+
+  /** Greedy non-overlapping merge of one adjacent symbol pair — the
+    * per-word apply step of a BPE round. UDF kernel by necessity: the
+    * lookahead fold has no codegen HOF form (same precedent as the
+    * winnow/minhash reference kernels).
+    */
+  private val bpeMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Distributed BPE merge-rule training (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the tokenizer-training step of a pretraining
+    * pipeline, in its scale-correct formulation: the corpus collapses
+    * ONCE to its distinct-word frequency table (Zipf-bounded — ~100M
+    * rows off 100 TB of text), and every merge round runs over words ×
+    * counts, never raw text. Per round: one weighted adjacent-pair
+    * count (map-side combined; `zip_with` over the symbol array inside
+    * the scan stage), a top-1 collect (the driver sees ONE row per
+    * round), and a map-side merge apply; `localCheckpoint` bounds
+    * lineage across rounds. Ties break (count desc, left asc, right
+    * asc), so the learned rules are fully deterministic.
+    *
+    * Returns (ordered merge rules with their frequencies, final
+    * symbolized word table).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, f))
+        words = words
+          .withColumn("syms", bpeMergeUdf(col("syms"), lit(l), lit(r)))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Gate query for [[bpeTrain]]: the first 10 merge rules learned from
+    * the documents corpus, with rank and corpus frequency. Exact
+    * integer counts + total-order tie-break make the output
+    * deterministic at every SF; no oracle (iterative training isn't
+    * SQL) — OpsSpec verifies the learned rules on a hand-computable
+    * corpus against the published algorithm's trace.
+    */
+  def q_bpe_train(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (merges, _) = bpeTrain(documents(s, d), "text", numMerges = 10)
+    merges.zipWithIndex
+      .map { case ((l, r, f), i) => (i.toLong + 1, l, r, l + r, f) }
+      .toDF("rank", "left", "right", "merged", "freq")
+      .orderBy("rank")
+  }
+
   /** CCNet-style language-model quality filter: score every document by
     * its mean negative log-probability under a UNIGRAM model estimated
     * from the corpus itself, keep documents under a cutoff (high nll =

@@ -542,6 +542,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training reproduces the published algorithm's trace on the classic corpus") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.
+    // Hand trace with (freq desc, left asc, right asc) tie-break:
+    //   (e,s,9) → (es,t,9) → (est,</w>,9) → (l,o,7) → (lo,w,7)
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val (merges, words) = Llm.bpeTrain(docs, "text", numMerges = 5)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"got $merges")
+    // merge 4 (l,o) then merge 5 (lo,w) fully fuse "low" → [low, </w>]
+    val lowSyms = words.filter(col("cnt") === 5).select("syms")
+      .as[Seq[String]].head()
+    assert(lowSyms == Seq("low", "</w>"), s"got $lowSyms")
+    // greedy non-overlap: aaa + merge (a,a) → [aa, a], not [aa, aa]
+    val (m2, w2) = Llm.bpeTrain(Seq("aaa aaa").toDF("text"), "text", numMerges = 1)
+    assert(m2.head._1 == "a" && m2.head._2 == "a")
+    assert(w2.select("syms").as[Seq[String]].head() == Seq("aa", "a", "</w>"))
+  }
+
   test("perceptual hash: localized edit stays in radius; banding finds the canary pair") {
     // kernel: deterministic; a 1-byte edit moves one pooled segment →
     // at most 2 signature bits; a structurally different payload is far
