@@ -168,6 +168,7 @@ object SparkEntry {
     "q_tfidf" -> (Llm.q_tfidf _),
     "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
     "q_bpe_train" -> (Llm.q_bpe_train _),
+    "q_bm25" -> (Llm.q_bm25 _),
     "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal
     "q_mm_binary" -> (Multimodal.q_mm_binary _),
@@ -500,6 +501,22 @@ object SparkEntry {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens, nll, (nll <= 3.55) AS keep
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |qt AS (SELECT * FROM terms WHERE term IN ('the', 'data', 'model')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + 1e-9, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -773,6 +773,40 @@ object Llm {
       .orderBy("doc_id", "term")
   }
 
+  /** BM25 ranking (Robertson/Lucene form) for a pinned query-term set —
+    * the retrieval scoring a corpus pipeline serves next to its
+    * inverted index. Shape: doc lengths from one agg over the term
+    * stream; df/tf restricted to the query terms BEFORE any join
+    * (selective early filter); avgdl/N ride a broadcast scalar row.
+    * Per-(doc, term) partial scores are rounded then DECIMAL-summed so
+    * the 2-3-term sum is partitioning-independent; top-50 plans as
+    * TakeOrderedAndProject. DuckDB-oracled, hash-exact.
+    */
+  def q_bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (k1, b) = (1.2, 0.75)
+    val qTerms = Seq("the", "data", "model")
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val qt = terms.filter(col("term").isin(qTerms: _*))
+    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = qt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        round(col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) + lit(1e-9), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")).cast("double") + lit(1e-9), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Inverted index (term → sorted posting list): the retrieval-side
     * structure a corpus pipeline materializes next to the text. One
     * explode + one term-shuffle; posting lists are per-term buckets

@@ -25,6 +25,35 @@ class SinksSpec extends AnyFunSuite {
     assert(purchases.count() == expected)
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the fact's partitions at runtime") {
+    // fact partitioned on the join key; the dim carries the selective
+    // filter — static pruning can't see it, DPP injects a runtime
+    // subquery filter into the fact scan (dynamicpruning expression)
+    val dir = Files.createTempDirectory("graft_dpp_").toString
+    Sinks.partitionedParquet(Tables.events(spark, sf), dir, "event_type")
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // the dim must be file-backed: a LocalRelation's filter constant-folds
+    // away before PartitionPruning looks for a selective predicate
+    val dimDir = Files.createTempDirectory("graft_dpp_dim_").toString
+    Seq(("purchase", 1), ("view", 2)).toDF("etype", "w")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("w") === 1)
+    // at KB test scale the stats-based benefit estimate says "not worth
+    // it"; the fallback ratio path is what a large fact actually takes
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val joined = fact.join(dim, col("event_type") === col("etype"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter on the fact scan in:\n$plan")
+      val expected = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     val d1 = Files.createTempDirectory("graft_bkt_li_").toString
     val d2 = Files.createTempDirectory("graft_bkt_ord_").toString
