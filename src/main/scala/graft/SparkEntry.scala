@@ -64,6 +64,8 @@ object SparkEntry {
     "q_join_range_binned" -> (Relational.q_join_range_binned _),
     "q_scd2" -> (Relational.q_scd2 _),
     "q_graph_triangles" -> (Llm.q_graph_triangles _),
+    "q_drift_psi" -> (Llm.q_drift_psi _),
+    "q_dq_report" -> (Relational.q_dq_report _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
@@ -328,6 +330,44 @@ object SparkEntry {
         |JOIN edges e2 ON e2.a = e1.b
         |WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
         |GROUP BY e1.a ORDER BY e1.a""".stripMargin,
+    "q_drift_psi" ->
+      """WITH b AS (
+        |  SELECT doc_id, least(CAST(floor(n_chars / 400) AS BIGINT), 9) AS bucket
+        |  FROM documents),
+        |counts AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY bucket),
+        |totals AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS tot_ref,
+        |    CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS tot_cur
+        |  FROM b),
+        |axis AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+        |SELECT CAST(axis.bucket AS BIGINT) AS bucket,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+        |  round((((coalesce(n_ref, 0) + 0.5) / (tot_ref + 5.0))
+        |       - ((coalesce(n_cur, 0) + 0.5) / (tot_cur + 5.0)))
+        |    * ln(((coalesce(n_ref, 0) + 0.5) / (tot_ref + 5.0))
+        |       / ((coalesce(n_cur, 0) + 0.5) / (tot_cur + 5.0))) + 1e-9, 6) AS psi_term
+        |FROM axis LEFT JOIN counts ON counts.bucket = axis.bucket CROSS JOIN totals
+        |ORDER BY bucket""".stripMargin,
+    "q_dq_report" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+        |    CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_not_null
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_rows, (n_violations = 0) AS pass FROM (
+        |  SELECT 'discount_range' AS rule, discount_range AS n_violations, n_rows FROM s
+        |  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM s
+        |  UNION ALL SELECT 'quantity_range', quantity_range, n_rows FROM s
+        |  UNION ALL SELECT 'returnflag_domain', returnflag_domain, n_rows FROM s
+        |  UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, n_rows FROM s)
+        |ORDER BY rule""".stripMargin,
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns

@@ -1009,7 +1009,10 @@ object Llm {
     val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
     val corpus = base.unionByName(probe)
     val k = math.max(4, math.min(1024, (corpus.count() / 64.0).ceil.toInt))
-    Scale.semanticDedup(corpus, "vec_id", "e", k, threshold = 0.95)
+    // 3 Lloyd iterations, not convergence: SemDeDup needs decent
+    // BUCKETING (near-identical vectors land together under any
+    // centroid set); extra refinement buys no dedup recall, just jobs
+    Scale.semanticDedup(corpus, "vec_id", "e", k, threshold = 0.95, maxIters = 3)
       .orderBy("vec_id")
   }
 
@@ -1305,6 +1308,36 @@ object Llm {
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
     Scale.triangleCount(e1.union(e2), "src", "dst")
       .orderBy("a")
+  }
+
+  /** Dataset drift profile: Population Stability Index between two
+    * corpus snapshots (here: doc_id < 250 = reference, ≥ 250 = current)
+    * over fixed-width n_chars buckets — the monitoring op a training
+    * pipeline runs on every refresh to catch distribution shift before
+    * it reaches the model. One scan, one conditional agg per bucket,
+    * dense bucket axis via a generated range so silent empty buckets
+    * still report. Laplace-smoothed shares keep ln finite. PSI rule of
+    * thumb: < 0.1 stable, > 0.25 shifted.
+    */
+  def q_drift_psi(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), least(floor(col("n_chars") / 400), lit(9)).cast("long").as("bucket"))
+    val counts = docs.groupBy("bucket").agg(
+      sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("doc_id") >= 250, 1L).otherwise(0L)).as("n_cur"))
+    val totals = docs.agg(
+      sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("tot_ref"),
+      sum(when(col("doc_id") >= 250, 1L).otherwise(0L)).as("tot_cur"))
+    s.range(10).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_ref", (col("n_ref") + 0.5) / (col("tot_ref") + 5.0))
+      .withColumn("p_cur", (col("n_cur") + 0.5) / (col("tot_cur") + 5.0))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")) + lit(1e-9), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
   }
 
   // ---- training-set assembly ------------------------------------------

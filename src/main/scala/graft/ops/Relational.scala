@@ -1260,6 +1260,35 @@ object Relational {
         url_encode(substring(col("text"), 1, 20)).as("enc20"))
       .orderBy("doc_id")
 
+  /** Data-quality validation report (the expectations gate a pipeline
+    * runs before publishing a table): every rule is a conditional
+    * count folded into ONE scan + ONE aggregation — adding a rule adds
+    * a column, not a pass — then unpivoted to a (rule, violations,
+    * pass) report. NULL predicate results count as non-violations
+    * (rules about nullability say so explicitly), matching SQL CASE
+    * semantics.
+    */
+  def q_dq_report(s: SparkSession, d: String): DataFrame = {
+    def viol(bad: Column): Column = sum(when(bad, 1L).otherwise(0L))
+    val agg = lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      viol(!col("l_quantity").between(1, 50)).as("quantity_range"),
+      viol(!col("l_discount").between(0, 0.1)).as("discount_range"),
+      viol(col("l_extendedprice") <= 0).as("price_positive"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("returnflag_domain"),
+      viol(col("l_shipdate").isNull).as("shipdate_not_null"))
+    agg.select(col("n_rows"), expr(
+      """stack(5,
+        |  'discount_range', discount_range,
+        |  'price_positive', price_positive,
+        |  'quantity_range', quantity_range,
+        |  'returnflag_domain', returnflag_domain,
+        |  'shipdate_not_null', shipdate_not_null) AS (rule, n_violations)""".stripMargin))
+      .select(col("rule"), col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy("rule")
+  }
+
   /** SCD2 dimension build: turn a change log (events = status changes
     * per user) into a type-2 slowly-changing dimension — one validity
     * interval per status RUN: consecutive identical statuses collapse

@@ -11,6 +11,18 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("triangleCount: orientation/duplicate/self-loop invariant; K4 has 4 triangles") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} given messy: mixed orientation, duplicates, a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 3L), (2L, 2L))
+      .toDF("s", "t")
+    val got = Scale.triangleCount(edges, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    // K4's 4 triangles counted at their smallest node: {1,2,3},{1,2,4},{1,3,4} at 1; {2,3,4} at 2
+    assert(got == Map(1L -> 3L, 2L -> 1L), s"got $got")
+  }
+
   test("topKPerGroup ≡ direct window top-k") {
     val li = Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
