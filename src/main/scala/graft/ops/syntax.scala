@@ -54,6 +54,24 @@ object syntax {
                   joinType: String = "inner"): DataFrame =
       Scale.bloomPrefilterJoin(df, dim, factKey, dimKey, expectedKeys, fpp, joinType)
 
+    /** [[Scale.binnedRangeJoin]] with `df` as the point side. */
+    def binnedRangeJoin(intervals: DataFrame, pointCol: String,
+                        startCol: String, endCol: String, binSize: Long): DataFrame =
+      Scale.binnedRangeJoin(df, intervals, pointCol, startCol, endCol, binSize)
+
+    /** [[Scale.semanticDedup]]: SemDeDup k-means-bucketed cosine screen. */
+    def semanticDedup(idCol: String, vecCol: String, k: Int, threshold: Double,
+                      maxIters: Int = 5, maxCluster: Int = 4096): DataFrame =
+      Scale.semanticDedup(df, idCol, vecCol, k, threshold, maxIters, maxCluster)
+
+    /** [[Scale.triangleCount]] over `df` as an edge list. */
+    def triangleCount(srcCol: String, dstCol: String): DataFrame =
+      Scale.triangleCount(df, srcCol, dstCol)
+
+    /** [[Llm.incrementalDedup]] with `df` as the new batch. */
+    def incrementalDedup(idCol: String, keyCol: String, index: DataFrame): DataFrame =
+      Llm.incrementalDedup(df, idCol, keyCol, index)
+
     /** [[Sinks.rangeSortedParquet]]: sort-key-skippable layout. */
     def writeRangeSorted(path: String, byCol: String, files: Int): Unit =
       Sinks.rangeSortedParquet(df, path, byCol, files)

@@ -54,6 +54,21 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("HLL sketches survive a parquet round-trip and merge to the whole-corpus estimate") {
+    // the incremental-rollup contract END TO END: per-day sketches are
+    // PERSISTED (binary column), read back by a later run, and merged —
+    // estimate identical to sketching the whole corpus in one pass
+    val dir = Files.createTempDirectory("graft_sketch_").toString
+    val e = Tables.events(spark, sf)
+    e.withColumn("day", to_date(col("ts")))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")).head.getLong(0)
+    val whole = e.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).head.getLong(0)
+    assert(merged == whole, s"round-tripped merge $merged != one-pass $whole")
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     val d1 = Files.createTempDirectory("graft_bkt_li_").toString
     val d2 = Files.createTempDirectory("graft_bkt_ord_").toString
