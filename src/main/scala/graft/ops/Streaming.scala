@@ -67,6 +67,22 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup ingest screen: incoming documents dedup on
+    * their 64-bit SimHash signature (native codegen kernel) within the
+    * watermark — exact duplicates and near-identical boilerplate whose
+    * signature collides collapse AT INGEST, with state bounded to one
+    * (sig → seen) entry per distinct signature inside the watermark
+    * horizon. Signature EQUALITY is the streaming-compatible gate (a
+    * banded hamming screen needs a reshuffle per band — that full
+    * sweep runs downstream in batch, `Llm.minhashPairs`/`q_mm_phash`);
+    * this is the cheap front door that stops the floods.
+    */
+  def nearDupDedupWithinWatermark(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash", graft.functions.Vec.simhash(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Stream-stream join: click events joined to the purchases that
     * follow them within `window_` for the same user. Both sides carry
     * watermarks and the join condition bounds the time skew, so each

@@ -542,6 +542,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("new ops survive empty/degenerate inputs (a production batch is sometimes empty)") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
+    assert(Scale.semanticDedup(noVecs, "id", "v", k = 4, threshold = 0.9).count() == 0)
+    // fewer vectors than k: clusters just stay partially empty
+    val two = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
+    assert(Scale.semanticDedup(two, "id", "v", k = 8, threshold = 0.9)
+      .filter(col("keep")).count() == 2)
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "t")
+    assert(Scale.triangleCount(noEdges, "s", "t").count() == 0)
+    val pts = Seq(1L, 2L).toDF("pt")
+    val noIv = Seq.empty[(Long, Long)].toDF("start", "end")
+    assert(Scale.binnedRangeJoin(pts, noIv, "pt", "start", "end", 10L).count() == 0)
+    // empty corpus index: incremental dedup degrades to within-batch dedup
+    val batch = Seq((1L, "k"), (2L, "k")).toDF("id", "k")
+    val keep = Llm.incrementalDedup(batch, "id", "k", Seq.empty[String].toDF("k"))
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep == Map(1L -> true, 2L -> false))
+    // empty text: BPE learns nothing and says so
+    val (m, _) = Llm.bpeTrain(Seq.empty[String].toDF("text"), "text", 3)
+    assert(m.isEmpty)
+  }
+
   test("BPE training reproduces the published algorithm's trace on the classic corpus") {
     import spark.implicits._
     // Sennrich et al.'s worked example: low×5 lower×2 newest×6 widest×3.

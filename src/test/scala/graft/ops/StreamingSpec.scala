@@ -73,6 +73,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming near-dup screen: identical texts collapse on simhash across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val boiler = "subscribe to our newsletter for the latest updates and offers today"
+    val real = "a genuinely distinct document about distributed query engines and shuffles"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val named = in.toDF().toDF("doc_id", "text", "ts")
+    val q = startQuery(Streaming.nearDupDedupWithinWatermark(named, "10 minutes"), "neardup")
+    in.addData((1L, boiler, ts(1)), (2L, real, ts(2)))
+    q.processAllAvailable()
+    // the same boilerplate arriving later in-watermark → same simhash → dropped
+    in.addData((3L, boiler, ts(3)), (4L, real + " but new", ts(4)))
+    q.processAllAvailable()
+    val ids = spark.table("neardup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"got $ids")
+  }
+
   test("session_window streaming: sessions close when watermark passes end+gap") {
     val s = spark
     import s.implicits._
