@@ -66,6 +66,8 @@ object SparkEntry {
     "q_graph_triangles" -> (Llm.q_graph_triangles _),
     "q_drift_psi" -> (Llm.q_drift_psi _),
     "q_dq_report" -> (Relational.q_dq_report _),
+    "q_split_train" -> (Llm.q_split_train _),
+    "q_corpus_shuffle" -> (Llm.q_corpus_shuffle _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
@@ -368,6 +370,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'returnflag_domain', returnflag_domain, n_rows FROM s
         |  UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, n_rows FROM s)
         |ORDER BY rule""".stripMargin,
+    "q_split_train" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN 'test'
+        |       WHEN substr(md5(text), 1, 1) IN ('2', '3') THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |       AS BIGINT) AS position,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |       AS BIGINT) % 8 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns

@@ -1340,6 +1340,40 @@ object Llm {
       .orderBy("bucket")
   }
 
+  /** Deterministic train/val/test split on a CONTENT hash (md5 of the
+    * dedup key, not the row id): reproducible across runs/partitionings/
+    * engines, and duplicate texts land in the SAME split, so val/test
+    * can never leak a train duplicate. Hex-prefix bucketing: first hex
+    * char 0-1 → test (1/8), 2-3 → val (1/8), rest train — pure
+    * codegen'd string ops, shuffle-free.
+    */
+  def q_split_train(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("text")), 1, 1)
+    documents(s, d)
+      .select(col("doc_id"),
+        when(h.isin("0", "1"), "test")
+          .when(h.isin("2", "3"), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle: re-sequence documents by a content
+    * hash (md5 of doc_id, doc_id tiebreak) — the "shuffle the corpus
+    * before packing/sharding" step, reproducible by construction
+    * (unlike rand()-ordered shuffles, identical across retries,
+    * partitionings, and speculative re-runs). One global sort — at
+    * 100 TB this is the one operation that SHOULD be a total sort
+    * (range-partitioned, spillable); the output position feeds the
+    * downstream shard assignment (`position % n_shards`).
+    */
+  def q_corpus_shuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), row_number().over(w).cast("long").as("position"))
+      .withColumn("shard", col("position") % 8)
+      .orderBy("doc_id")
+  }
+
   // ---- training-set assembly ------------------------------------------
 
   /** Context-window chunking: split each document into overlapping
