@@ -71,6 +71,19 @@ class PlanSpec extends AnyFunSuite {
       s"binned range join must plan as an equi-join:\n$binned")
   }
 
+  test("round-3 analytics: partial aggs, broadcast scalars, no cartesian fact joins") {
+    for ((name, df) <- Seq(
+        ("q_bm25", Llm.q_bm25(spark, sf)),
+        ("q_quality_perplexity", Llm.q_quality_perplexity(spark, sf)),
+        ("q_drift_psi", Llm.q_drift_psi(spark, sf)))) {
+      val plan = planOf(df)
+      assert(plan.contains("partial_"), s"$name: aggregation must be partial+final:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian allowed")
+      // the scalar stats/totals side must ride a broadcast, not a shuffle
+      assert(plan.contains("BroadcastExchange"), s"$name: scalar side should broadcast")
+    }
+  }
+
   test("star join broadcasts the dimension tables") {
     val plan = planOf(Relational.q_join_dims(spark, sf))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
