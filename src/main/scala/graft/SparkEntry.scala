@@ -68,6 +68,8 @@ object SparkEntry {
     "q_dq_report" -> (Relational.q_dq_report _),
     "q_split_train" -> (Llm.q_split_train _),
     "q_corpus_shuffle" -> (Llm.q_corpus_shuffle _),
+    "q_sessionize_batch" -> (Relational.q_sessionize_batch _),
+    "q_event_transitions" -> (Relational.q_event_transitions _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
@@ -383,6 +385,39 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
         |       AS BIGINT) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+        |    lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |p AS (SELECT * FROM pairs WHERE from_type IS NOT NULL),
+        |total AS (SELECT count(*) AS n_total FROM p)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / n_total + 1e-9, 6) AS share
+        |FROM p CROSS JOIN total
+        |GROUP BY from_type, to_type, n_total
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS last_purchase_ns

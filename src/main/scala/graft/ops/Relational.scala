@@ -1260,6 +1260,50 @@ object Relational {
         url_encode(substring(col("text"), 1, 20)).as("enc20"))
       .orderBy("doc_id")
 
+  /** Batch gap-based sessionization — the window-function formulation
+    * (vs the streaming `session_window` operator, `q_stream_session`):
+    * a 30-minute silence starts a new session; session ids are the
+    * running count of session-starts per user (one shuffle on user_id,
+    * two window passes over it). Emits per-session stats. µs-quantized
+    * ts per the oracle precision contract.
+    */
+  def q_sessionize_batch(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        dsum(col("value"), 4).as("value_sum"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Event-type transition counts (the Markov-chain profile of user
+    * behavior): consecutive event pairs per user via one lag window,
+    * then a map-side-combined count per (from, to) with the row share.
+    * One shuffle on user_id + one tiny agg on the pair.
+    */
+  def q_event_transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_total") + lit(1e-9), 6).as("share"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Data-quality validation report (the expectations gate a pipeline
     * runs before publishing a table): every rule is a conditional
     * count folded into ONE scan + ONE aggregation — adding a rule adds
