@@ -95,6 +95,32 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule-rewritten plain join ≡ the DuckDB-oracled explicit helper query") {
+    // q_join_range_binned (Scale.binnedRangeJoin, hash-exact vs DuckDB)
+    // re-expressed as the NAIVE join the rule rewrites: same rows ⇒ the
+    // optimizer path inherits the oracle's verdict
+    val sf = "/root/testdata/sf0.001"
+    import graft.ops.{Relational, Tables}
+    val DayMs = 86400000L
+    def ms(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+    val oracled = Relational.q_join_range_binned(spark, sf).collect().map(_.toSeq).toSeq
+    withBin(7 * DayMs) {
+      val auto = Tables.lineitem(spark, sf)
+        .select(col("l_extendedprice"), ms(col("l_shipdate")).as("pt"))
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderkey") % 1000 === 0)
+            .select(col("o_orderkey"), ms(col("o_orderdate")).as("st"),
+              (ms(col("o_orderdate")) + 7 * DayMs).as("en")),
+          col("pt") >= col("st") && col("pt") < col("en"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"),
+          graft.ops.Relational.dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderkey")
+      assert(!nested(auto), "rule must fire on the naive formulation")
+      assert(auto.collect().map(_.toSeq).toSeq == oracled)
+    }
+  }
+
   test("an equi conjunct disables the rewrite (hash join already exists)") {
     val p2 = points.withColumn("k", col("pt") % 2)
     val i2 = intervals.withColumn("k", col("iid") % 2)
