@@ -677,14 +677,31 @@ object Llm {
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, f))
+        val prev = words
         words = words
           .withColumn("syms", bpeMergeUdf(col("syms"), lit(l), lit(r)))
-          .localCheckpoint()
+          .localCheckpoint() // eager: materialized before prev is released
+        // without this, every round's checkpoint blocks stay cached and
+        // executor storage grows linearly in numMerges (~30k at real
+        // vocabulary scale); the new checkpoint no longer reads the old one
+        unpersistCheckpoint(prev)
       }
       round += 1
     }
     (merges.toSeq, words)
   }
+
+  /** Frees the storage behind an (eager) `localCheckpoint`ed DataFrame.
+    * Checkpoint blocks are persisted at the RDD layer, not through the
+    * CacheManager, so `Dataset.unpersist` cannot reach them; the plan of
+    * a checkpointed Dataset is a single `LogicalRDD` over the persisted
+    * RDD. Callers must only release a checkpoint nothing will read again
+    * (locally-checkpointed blocks are not recomputable).
+    */
+  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Gate query for [[bpeTrain]]: the first 10 merge rules learned from
     * the documents corpus, with rank and corpus frequency. Exact
@@ -1361,18 +1378,21 @@ object Llm {
     * hash (md5 of doc_id, doc_id tiebreak) — the "shuffle the corpus
     * before packing/sharding" step, reproducible by construction
     * (unlike rand()-ordered shuffles, identical across retries,
-    * partitionings, and speculative re-runs). One global sort — at
-    * 100 TB this is the one operation that SHOULD be a total sort
-    * (range-partitioned, spillable); the output position feeds the
-    * downstream shard assignment (`position % n_shards`).
+    * partitionings, and speculative re-runs). The global sequencing is
+    * [[Scale.globalSequence]] — a range-partitioned, spillable total
+    * sort plus per-partition offsets, never a partition-less window
+    * funnelling the corpus through one task; the output position feeds
+    * the downstream shard assignment (`position % n_shards`).
     */
-  def q_corpus_shuffle(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"), row_number().over(w).cast("long").as("position"))
+  def q_corpus_shuffle(s: SparkSession, d: String): DataFrame =
+    Scale.globalSequence(
+      documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__k")),
+      Seq(col("__k"), col("doc_id")), "position")
+      .withColumn("position", col("position").cast("long"))
       .withColumn("shard", col("position") % 8)
+      .select(col("doc_id"), col("position"), col("shard"))
       .orderBy("doc_id")
-  }
 
   // ---- training-set assembly ------------------------------------------
 

@@ -35,6 +35,48 @@ object Scale {
       .drop("__salt", "__lrn", "__rn")
   }
 
+  /** Deterministic global row-sequencing: assigns `posCol` = 1..N in the
+    * total order of `order`, WITHOUT funnelling the dataset through a
+    * single task (the partition-less `row_number()` window plan). Shape:
+    * range-partition on the order keys, sort within partitions, then add
+    * each partition's start offset to the per-partition `row_number` —
+    * the offsets are a P-row driver-side cumulative sum over partition
+    * counts (the same per-partition-stats footprint AQE collects), so
+    * every stage is wide. This is the terasort ranking recipe: the sort
+    * is range-partitioned and spillable, exactly the 100 TB shape.
+    *
+    * Positions depend only on the total order, never on the sampled
+    * range boundaries, so output is reproducible across partitionings,
+    * retries, and cluster sizes. `order` must be a TOTAL order (add a
+    * unique tiebreak) or positions within ties are nondeterministic.
+    *
+    * The sorted input is localCheckpoint'ed once so the count pass and
+    * the rank pass read the same materialization (and the range sort
+    * runs once, not twice); callers running this repeatedly can release
+    * the blocks afterwards via [[Llm.unpersistCheckpoint]].
+    */
+  def globalSequence(df: DataFrame, order: Seq[Column],
+                     posCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__gs_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy("__gs_pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__gs_pid", "__gs_off")
+    // window partitioned by pid: parallelism = P, never a global funnel
+    val w = Window.partitionBy("__gs_pid").orderBy(order: _*)
+    sorted.join(broadcast(offsetsDf), Seq("__gs_pid"))
+      .withColumn(posCol, col("__gs_off") + row_number().over(w))
+      .drop("__gs_pid", "__gs_off")
+  }
+
   /** Generic as-of join: append to every left row the payload of the most
     * recent right row with the same key and `rightTs <= leftTs` (inclusive).
     *
@@ -316,23 +358,33 @@ object Scale {
     * skew) is an ordinary join-key skew: AQE skew-join splits it, or
     * pre-salt with [[saltedJoin]].
     *
-    * Columns must be numeric (cast timestamps to epoch ms/µs first).
-    * Degenerate intervals (`end <= start`) match nothing and are
-    * dropped before the explode.
+    * Columns must be integer-valued (cast timestamps to an epoch
+    * integer first). Bins are computed with integral floor-division
+    * (`(x - pmod(x, bin)) div bin`), exact over the whole Long range —
+    * a double-division floor goes inexact above 2^53 (epoch-ns longs)
+    * and silently drops pairs near bin boundaries. Degenerate
+    * intervals (`end <= start`) match nothing and are dropped before
+    * the explode.
     */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
                       binSize: Long): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
-    val p = points.withColumn("__pbin", floor(col(pointCol) / binSize))
+    // floor(x / binSize) in pure Long arithmetic: x - pmod(x, bin) is
+    // exactly divisible by bin, so `div`'s truncation direction is moot
+    def bin(c: Column): Column = {
+      val x = c.cast("long")
+      call_function("div", x - pmod(x, lit(binSize)), lit(binSize))
+    }
+    val p = points.withColumn("__pbin", bin(col(pointCol)))
     val i = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__ibin", explode(sequence(
-        floor(col(startCol) / binSize),
+        bin(col(startCol)),
         // end is EXCLUSIVE: the last candidate bin is the one holding
         // end-1, so an interval ending exactly on a bin boundary does
         // not replicate into the bin it cannot match
-        floor((col(endCol) - 1) / binSize))))
+        bin(col(endCol) - 1))))
     p.join(i, col("__pbin") === col("__ibin") &&
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__pbin", "__ibin")

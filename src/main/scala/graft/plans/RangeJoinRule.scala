@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Planner-tier binned range join (the rule form of
   * `Scale.binnedRangeJoin`): a join whose condition is ONLY a band —
@@ -43,16 +43,29 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *   - there is NO cross-side equi conjunct (with one, Catalyst already
   *     plans a hash join and the band rides along as a post-filter);
   *   - point and both bounds are integral types (cast timestamps to
-  *     epoch ms/µs first; values must stay within 2^53 so the
-  *     double-division floor is exact — epoch µs are < 2^51).
+  *     an epoch integer first). Bins are computed with integral
+  *     floor-division (`(x - pmod(x, bin)) div bin`), exact over the
+  *     whole Long range — epoch-ns values above 2^53, where a
+  *     double-division floor would bin inexactly and silently drop
+  *     boundary pairs, are safe.
   *
   * Converges in a fixed-point batch by construction: the rewritten
   * join HAS an equi conjunct, so the rule never matches its own output.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
-  private def binSize: Long =
-    conf.getConfString("spark.graft.rangeJoin.binSize", "0").toLong
+  private def binSize: Long = {
+    val raw = conf.getConfString("spark.graft.rangeJoin.binSize", "0").trim
+    scala.util.Try(raw.toLong).toOption match {
+      case Some(n) => math.max(n, 0L)
+      case None =>
+        // a malformed value must not explode every query in the session
+        // from inside the optimizer — warn once per application, rule off
+        logWarning(s"spark.graft.rangeJoin.binSize='$raw' is not a long; " +
+          "RangeJoinRule disabled (set a positive number of domain units)")
+        0L
+    }
+  }
 
   private def splitConjunctive(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunctive(l) ++ splitConjunctive(r)
@@ -119,8 +132,17 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
         b.references.nonEmpty && b.references.subsetOf(left.outputSet))
 
-  private def floorBin(e: Expression, bin: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(bin.toDouble)))
+  /** floor(e / bin) in pure Long arithmetic: `e - pmod(e, bin)` is the
+    * largest multiple of bin ≤ e (pmod is non-negative for bin > 0), so
+    * the integral division is exact and truncation direction is moot.
+    * Unlike a double-division floor this is exact for ALL longs — epoch
+    * nanoseconds sit above 2^53, where doubles can no longer represent
+    * every integer and a point near a bin boundary would bin wrongly.
+    */
+  private def floorBin(e: Expression, bin: Long): Expression = {
+    val x = Cast(e, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, Literal(bin))), Literal(bin))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = binSize

@@ -496,6 +496,75 @@ class OpsSpec extends AnyFunSuite {
     assert(n == want.size, s"each pair exactly once: got $n rows for ${want.size} pairs")
   }
 
+  test("binnedRangeJoin: exact at epoch-ns magnitude (> 2^53) and on negative domains") {
+    import spark.implicits._
+    // ~2^61: double ulp here is 512 ns, so a double-division floor can
+    // misplace values near bin boundaries — the integral floor-div must not
+    val B = 1000000000L // 1 s in ns
+    val base = 2300000000000000000L
+    val points = Seq(base - 300, base - 100, base - 1, base, base + 1,
+        base + 100, base + B - 550, base + B - 1, base + B, base + B + 1)
+      .toDF("pt").withColumn("pid", col("pt") - base)
+    val intervals = Seq(
+      (1L, base - 120, base - 20),          // sub-ulp interval below a boundary
+      (2L, base - 300, base + 5),           // straddles the boundary
+      (3L, base, base + B),                 // exactly one bin
+      (4L, base + B - 600, base + B - 100)) // sub-ulp interval below next boundary
+      .toDF("iid", "start", "end")
+    val got = Scale.binnedRangeJoin(points, intervals, "pt", "start", "end", B)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want, s"binned=$got naive=$want")
+    // negative domain: floor(-1 / 100) must be -1, not 0 (truncation bug)
+    val npts = Seq(-250L, -101L, -100L, -1L, 0L, 99L).toDF("pt")
+      .withColumn("pid", col("pt"))
+    val nivs = Seq((1L, -150L, -50L), (2L, -100L, 100L), (3L, -300L, -200L))
+      .toDF("iid", "start", "end")
+    val ngot = Scale.binnedRangeJoin(npts, nivs, "pt", "start", "end", 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val nwant = npts.join(nivs,
+        col("pt") >= col("start") && col("pt") < col("end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(nwant.nonEmpty && ngot == nwant, s"binned=$ngot naive=$nwant")
+  }
+
+  test("globalSequence ≡ partition-less row_number, without the single-task funnel") {
+    import spark.implicits._
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("k", md5(col("id").cast("string")))
+      .repartition(7) // deliberately scrambled input partitioning
+    val got = Scale.globalSequence(df, Seq(col("k"), col("id")), "pos", 5)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+    val want = df.withColumn("pos", row_number().over(w).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to 500L), "positions are a 1..N permutation")
+  }
+
+  test("unpersistCheckpoint frees localCheckpoint storage; bpeTrain does not accumulate it") {
+    import spark.implicits._
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persistedIds
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    assert(ck.count() == 3)
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "localCheckpoint must persist blocks")
+    Llm.unpersistCheckpoint(ck)
+    assert((persistedIds -- before).isEmpty, "unpersistCheckpoint must release them")
+    // bpeTrain: one checkpoint per merge round must NOT stay cached per
+    // round — at vocabulary scale (~30k merges) that growth is unbounded
+    val pre = persistedIds
+    val docs = Seq.fill(50)("low lower lowest low low new newer").toDF("text")
+    val (merges, words) = Llm.bpeTrain(docs, "text", numMerges = 8)
+    assert(merges.size == 8)
+    val live = (persistedIds -- pre).size
+    assert(live <= 1, s"only the final round's checkpoint may remain, found $live")
+    Llm.unpersistCheckpoint(words)
+  }
+
   test("semanticDedup: identical vectors collapse to the min id; dissimilar vectors survive") {
     import spark.implicits._
     // ids 1,2: IDENTICAL vectors (same L2 point → same cluster under any

@@ -95,6 +95,39 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch-ns magnitudes (> 2^53): rule bins exactly, result identical to naive") {
+    // double ulp at ~2^61 is 512 ns — a double-division floor misplaces
+    // boundary values; the integral floor-div path must not
+    val B = 1000000000L
+    val base = 2300000000000000000L
+    val pts = Seq(base - 300, base - 100, base - 1, base, base + 1,
+        base + 100, base + B - 550, base + B - 1, base + B, base + B + 1)
+      .toDF("pt").withColumn("pid", col("pt") - base)
+    val ivs = Seq(
+      (1L, base - 120, base - 20), (2L, base - 300, base + 5),
+      (3L, base, base + B), (4L, base + B - 600, base + B - 100))
+      .toDF("iid", "start", "end")
+    val naive = pts.join(ivs, col("pt") >= col("start") && col("pt") < col("end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    withBin(B) {
+      val binned = pts.join(ivs, col("pt") >= col("start") && col("pt") < col("end"))
+      assert(!nested(binned), s"rule must fire:\n${planOf(binned)}")
+      val got = binned.select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(naive.nonEmpty && got == naive, s"binned=$got naive=$naive")
+    }
+  }
+
+  test("malformed binSize disables the rule instead of failing every query") {
+    try {
+      spark.conf.set("spark.graft.rangeJoin.binSize", "7d")
+      val join = points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end"))
+      // the optimizer must neither throw nor rewrite
+      assert(nested(join), "unparseable conf = rule off")
+      assert(join.count() == 12L)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binSize")
+  }
+
   test("rule-rewritten plain join ≡ the DuckDB-oracled explicit helper query") {
     // q_join_range_binned (Scale.binnedRangeJoin, hash-exact vs DuckDB)
     // re-expressed as the NAIVE join the rule rewrites: same rows ⇒ the
