@@ -158,6 +158,9 @@ object Scale {
       .localCheckpoint()
     var labels = nodes.select(col(nodeCol).as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // the previous round's checkpoint blocks are dead once the new round
+    // materializes — release them or storage grows linearly in iterations
+    var prevCkpt = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -177,6 +180,8 @@ object Scale {
           least(col("h.label"), coalesce(col("llabel"), col("h.label"))).as("label"),
           col("h.changed"))
         .localCheckpoint() // carry changed through so the probe reads materialized data
+      Llm.unpersistCheckpoint(prevCkpt)
+      prevCkpt = compressed
       converged = compressed.filter(col("changed")).isEmpty
       labels = compressed.drop("changed")
       i += 1
@@ -186,6 +191,7 @@ object Scale {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — raise maxIter")
+    Llm.unpersistCheckpoint(sym) // the returned labels no longer read it
     labels
   }
 
@@ -489,6 +495,9 @@ object Scale {
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
+    // release each superseded round's checkpoint blocks (dead once the
+    // new round materializes) — else storage grows linearly in iters
+    var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks, col("__src") === col("id"))
         .groupBy(col("__dst"))
@@ -498,6 +507,12 @@ object Scale {
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("__c").cast("double"), lit(0.0))).as("rank"))
         .localCheckpoint() // bound lineage growth across iterations
+      prevCkpt.foreach(Llm.unpersistCheckpoint)
+      prevCkpt = Some(ranks)
+    }
+    if (iters > 0) { // final ranks are materialized — the loop tables are dead
+      Llm.unpersistCheckpoint(e)
+      Llm.unpersistCheckpoint(nodes)
     }
     ranks
   }

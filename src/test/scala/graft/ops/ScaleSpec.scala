@@ -99,6 +99,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L), "whole path collapses to min label 1")
   }
 
+  test("iterative loops release superseded checkpoints (bounded executor storage)") {
+    import spark.implicits._
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    // connectedComponents: ~8 pointer-jumping rounds on a 200-node path;
+    // per-round checkpoints must not accumulate (linear growth = OOM at
+    // real iteration counts). Final labels + nothing else may remain.
+    val pre = persisted
+    val n = 200
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val labels = Scale.connectedComponents(nodes, "id", edges, "src", "dst", maxIter = 12)
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+    val ccLive = (persisted -- pre).size
+    assert(ccLive <= 1, s"only the final labels checkpoint may remain, found $ccLive")
+    // pageRank: 5 rounds; only the final ranks checkpoint may remain
+    val pre2 = persisted
+    val ranks = Scale.pageRank(edges, "src", "dst", iters = 5)
+    assert(ranks.count() == n)
+    val prLive = (persisted -- pre2).size
+    assert(prLive <= 1, s"only the final ranks checkpoint may remain, found $prLive")
+  }
+
   test("connectedComponents fails loudly instead of returning split components") {
     import spark.implicits._
     val n = 64
