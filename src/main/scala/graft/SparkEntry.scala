@@ -62,6 +62,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.q_join_anti _),
     "q_join_range" -> (Relational.q_join_range _),
     "q_join_range_binned" -> (Relational.q_join_range_binned _),
+    "q_join_overlap" -> (Relational.q_join_overlap _),
     "q_scd2" -> (Relational.q_scd2 _),
     "q_graph_triangles" -> (Llm.q_graph_triangles _),
     "q_drift_psi" -> (Llm.q_drift_psi _),
@@ -306,6 +307,14 @@ object SparkEntry {
         |  ON l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         |WHERE o.o_orderkey % 1000 = 0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+    "q_join_overlap" ->
+      """SELECT o.o_orderkey, count(*) AS n_overlap,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON o.o_orderdate < l.l_shipdate + l.l_linenumber * INTERVAL 1 DAY
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 500 = 0 AND l.l_orderkey % 100 = 0
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
     "q_scd2" ->
       """WITH changes AS (

@@ -171,6 +171,29 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Interval-OVERLAP join via [[graft.ops.Scale.binnedOverlapJoin]]:
+    * sampled 7-day order windows × lineitem ship windows (1–7 days wide
+    * by line number) that overlap them — intervals on BOTH sides, the
+    * shape whose only built-in keyless plan is a nested-loop product.
+    * Bin width = the left window width, so left rows replicate ≤2×;
+    * each overlapping pair is emitted exactly once (later-start bin),
+    * verified row-for-row by the DuckDB inequality-join oracle.
+    */
+  def q_join_overlap(s: SparkSession, d: String): DataFrame = {
+    val DayMs = 86400000L
+    def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+    val l = orders(s, d).filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), ms(col("o_orderdate")).as("__s1"),
+        (ms(col("o_orderdate")) + 7 * DayMs).as("__e1"))
+    val r = lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_quantity"), ms(col("l_shipdate")).as("__s2"),
+        (ms(col("l_shipdate")) + col("l_linenumber").cast("long") * DayMs).as("__e2"))
+    Scale.binnedOverlapJoin(l, r, "__s1", "__e1", "__s2", "__e2", 7 * DayMs)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_overlap"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (nearest earlier purchase per user) — no Spark built-in.
     * Composed as ONE window pass instead of a range join: shuffle events
     * once by user_id, running MAX of purchase-ts in event-time order.

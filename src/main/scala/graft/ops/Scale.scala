@@ -396,6 +396,53 @@ object Scale {
       .drop("__pbin", "__ibin")
   }
 
+  /** Binned interval-OVERLAP join: joins every `left` interval
+    * `[lStart, lEnd)` with every `right` interval `[rStart, rEnd)` that
+    * overlaps it (`lStart < rEnd AND rStart < lEnd`) — the
+    * intervals×intervals sibling of [[binnedRangeJoin]], and the other
+    * join shape whose only built-in Spark plan without an equi-key is a
+    * broadcast-nested-loop over O(|L|·|R|) compares.
+    *
+    * Rewrite: both sides are replicated to every `binSize`-wide bin
+    * they overlap, the join becomes a shuffle equi-join on the bin id
+    * with the overlap condition as residual. Unlike the point case, an
+    * overlapping PAIR shares every bin their intersection covers, so a
+    * naive bin-join emits duplicates; each pair is emitted exactly once
+    * by keeping only the bin containing `greatest(lStart, rStart)` —
+    * the later start lies inside BOTH intervals whenever they overlap
+    * (it is < both ends), so that bin is always shared and unique.
+    * Result is therefore identical to the nested-loop join, row for
+    * row, with no post-hoc `distinct`.
+    *
+    * Cost model: compares per bin ≈ |left copies| × |right copies| —
+    * pick `binSize` near the typical interval length on the DENSER
+    * side so replication stays ~2×. Integral floor-division binning
+    * (exact over the whole Long range) and the half-open degenerate
+    * drop follow [[binnedRangeJoin]]. The four column names must be
+    * distinct (alias before calling).
+    */
+  def binnedOverlapJoin(left: DataFrame, right: DataFrame,
+                        lStart: String, lEnd: String,
+                        rStart: String, rEnd: String,
+                        binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(Set(lStart, lEnd, rStart, rEnd).size == 4,
+      s"bound column names must be distinct, got ($lStart,$lEnd)×($rStart,$rEnd)")
+    def bin(c: Column): Column = {
+      val x = c.cast("long")
+      call_function("div", x - pmod(x, lit(binSize)), lit(binSize))
+    }
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("__lbin", explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("__rbin", explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+    l.join(r, col("__lbin") === col("__rbin") &&
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        // emit-once: only in the bin holding the later start
+        col("__lbin") === bin(greatest(col(lStart), col(rStart))))
+      .drop("__lbin", "__rbin")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding corpus, then
     * within each cluster drop every item that has a cosine-similar

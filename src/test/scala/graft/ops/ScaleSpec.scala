@@ -99,6 +99,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L), "whole path collapses to min label 1")
   }
 
+  test("binnedOverlapJoin ≡ nested-loop overlap join, each pair exactly once") {
+    import spark.implicits._
+    // random half-open intervals over a negative-through-positive domain
+    // (exercises floor-division binning on negatives), widths 0..40
+    // (width 0 = degenerate, must match nothing)
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int, ic: String, sc: String, ec: String) = {
+      val rows = (1 to n).map { i =>
+        val s = rnd.nextInt(2000).toLong - 1000L
+        (i.toLong, s, s + rnd.nextInt(41).toLong)
+      }
+      rows.toDF(ic, sc, ec)
+    }
+    val left = mk(250, "lid", "ls", "le")
+    val right = mk(350, "rid", "rs", "re")
+    // the raw inequality predicate alone would admit EMPTY intervals
+    // whose start falls inside the other side; [s,s) is the empty set,
+    // so the operator (documented) matches it to nothing — the naive
+    // reference must say so too
+    val want = left.crossJoin(right)
+      .filter(col("ls") < col("le") && col("rs") < col("re") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    for (binSize <- Seq(1L, 7L, 64L, 5000L)) { // tiny, typical, wide, single-bin
+      val got = Scale.binnedOverlapJoin(left, right, "ls", "le", "rs", "re", binSize)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"binSize=$binSize: ${got.size} pairs vs ${want.size} expected")
+    }
+  }
+
   test("iterative loops release superseded checkpoints (bounded executor storage)") {
     import spark.implicits._
     def persisted = spark.sparkContext.getPersistentRDDs.keySet
