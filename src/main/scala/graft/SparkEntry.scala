@@ -170,6 +170,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_sim_quantized" -> (Llm.q_sim_quantized _),
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
+    "q_dedup_spans" -> (Llm.q_dedup_spans _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
@@ -578,6 +579,26 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_chunks, count(dchunk) AS n_dup_chunks
         |FROM ch LEFT JOIN dup ON chunk = dchunk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |occ AS (SELECT doc_id, q, array_to_string(w[q+1:q+7], ' ') AS gram
+        |        FROM d, LATERAL unnest(range(0, greatest(n - 6, 0))) AS t(q)),
+        |dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT o.doc_id, t.pos
+        |        FROM occ o JOIN dup USING (gram),
+        |        LATERAL unnest(range(o.q, o.q + 7)) AS t(pos)),
+        |toks AS (SELECT doc_id, unnest(range(0, n)) AS pos, unnest(w) AS tok FROM d),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |         WHERE c.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(d.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_pipeline_docs" ->
       """WITH normed AS (

@@ -908,6 +908,75 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1): any span of `k` consecutive tokens that
+    * occurs at least `minOcc` times across the whole corpus is removed
+    * from EVERY document; the survivors are re-joined into the cleaned
+    * text. This is the span-level sibling of document-level dedup — it
+    * kills boilerplate (headers, license blocks, navigation chrome)
+    * that document hashing can never catch. Semantics deviation from
+    * the paper: ALL occurrences are removed (the C4 duplicated-line
+    * convention), not all-but-one — simpler, idempotent, and the form
+    * every production cleaning pipeline uses.
+    *
+    * Shape at 100 TB — the paper's suffix array is replaced by three
+    * embarrassingly-parallel passes, no global order anywhere:
+    *  1. window hashes: each doc emits its k-gram 64-bit hashes inside
+    *     the scan stage (array HOFs, codegen; census rows are narrow
+    *     (id, pos, hash) tuples, never gram text);
+    *  2. census: map-side-combined count per hash → the duplicated set;
+    *  3. coverage: occurrences of duplicated hashes explode to the ≤ k
+    *     positions they cover; a left-anti join on (doc, pos) keeps the
+    *     uncovered tokens, and a per-doc sort/agg (bounded by doc
+    *     length) rebuilds the text.
+    * A 64-bit hash collision flags a span as duplicated spuriously
+    * (P ≈ n²/2⁶⁵ over n distinct grams) — it can only over-clean,
+    * never corrupt surviving text.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 7, minOcc: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val base = docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+      .withColumn("__n", size(col("__w")))
+    val occ = base
+      .select(col("__id"),
+        posexplode(
+          when(col("__n") >= k,
+            transform(sequence(lit(0), col("__n") - k),
+              q => xxhash64(concat_ws(" ", slice(col("__w"), q + 1, lit(k))))))
+            .otherwise(array().cast("array<bigint>"))))
+      .toDF("__id", "__q", "__g")
+    val dup = occ.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOcc).select("__g")
+    val covered = occ.join(dup, "__g")
+      .select(col("__id"), explode(sequence(col("__q"), col("__q") + (k - 1))).as("__pos"))
+      .distinct()
+    val toks = base.select(col("__id"), posexplode(col("__w")).as(Seq("__pos", "__tok")))
+    val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")), " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+    base.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"),
+        (col("__n").cast("long") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Gate query for [[dedupSpans]]: clean the documents table of every
+    * 7-token span occurring twice anywhere in the corpus (the fixture
+    * plants cross-doc boilerplate spans — ~9% of tokens go). Verified
+    * text-for-text by a DuckDB oracle that carries the gram STRINGS,
+    * so the 64-bit-hash census is also collision-audited at gate scale.
+    */
+  def q_dedup_spans(s: SparkSession, d: String): DataFrame =
+    dedupSpans(documents(s, d), "doc_id", "text", k = 7, minOcc = 2)
+      .orderBy("doc_id")
+
   /** Incremental dedup of a NEW batch against an already-ingested
     * corpus — the production ingest pattern: the corpus is represented
     * only by its persisted key INDEX (one key column; at scale a

@@ -611,6 +611,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans removes exactly the planted duplicated spans, all occurrences") {
+    import spark.implicits._
+    val boiler = "all rights reserved see terms of use" // 7 tokens, planted twice
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda mu nu"), // unique: untouched
+      (4L, "short doc"), // shorter than k: no grams, untouched
+      (5L, boiler)) // nothing but the span: fully cleaned
+      .toDF("doc_id", "text")
+    val got = Llm.dedupSpans(docs, "doc_id", "text", k = 7, minOcc = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "alpha beta gamma", 3L, 7L)))
+    assert(got(1) == ((2L, "delta epsilon", 2L, 7L)))
+    assert(got(2) == ((3L, "zeta eta theta iota kappa lambda mu nu", 8L, 0L)))
+    assert(got(3) == ((4L, "short doc", 2L, 0L)))
+    assert(got(4) == ((5L, "", 0L, 7L)))
+    // token conservation: n_kept + n_removed = original token count
+    val counts = Llm.dedupSpans(docs, "doc_id", "text", k = 7, minOcc = 2)
+      .select(col("n_kept") + col("n_removed"))
+      .as[Long].collect().sorted.toSeq
+    assert(counts == Seq(2L, 7L, 8L, 9L, 10L))
+    // minOcc above the plant count (3 occurrences): nothing passes the bar
+    assert(Llm.dedupSpans(docs, "doc_id", "text", k = 7, minOcc = 4)
+      .agg(sum("n_removed")).as[Long].head() == 0L)
+  }
+
   test("new ops survive empty/degenerate inputs (a production batch is sometimes empty)") {
     import spark.implicits._
     val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "v")
