@@ -178,6 +178,7 @@ object SparkEntry {
     "q_tfidf" -> (Llm.q_tfidf _),
     "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
     "q_bpe_train" -> (Llm.q_bpe_train _),
+    "q_bpe_encode" -> (Llm.q_bpe_encode _),
     "q_bm25" -> (Llm.q_bm25 _),
     "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal

@@ -691,6 +691,95 @@ object Llm {
     (merges.toSeq, words)
   }
 
+  /** BPE ENCODING with a trained merge list — the apply side of
+    * [[bpeTrain]], i.e. what actually tokenizes the corpus before
+    * training. Standard greedy decoder (Sennrich et al. 2016 §3;
+    * the GPT-2 reference encoder): per word, repeatedly merge the
+    * adjacent pair with the LOWEST merge rank until none applies —
+    * equivalent to replaying the training merges in order, because one
+    * left-to-right pass exhausts a rule (a merge output `a+b` can never
+    * re-create the pair `(a,b)`).
+    *
+    * Shape at 100 TB: the kernel runs once per DISTINCT word
+    * (Zipf-bounded vocabulary, same collapse as training), with the
+    * merge-rank map shipped in the UDF closure (broadcast-sized: the
+    * merge list IS the tokenizer model, ~30k entries). Documents then
+    * pick up their words' token arrays through an equi-join on the word
+    * (vocabulary side broadcastable) and a per-doc positional
+    * flatten bounded by doc length. Raw text never meets the kernel.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case ((l, r), i) => ((l, r), i) }.toMap
+    val encodeUdf = udf { (syms0: Seq[String]) =>
+      var syms = syms0.toVector
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(best)
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+    // same initial symbolization expression as bpeTrain, so the two
+    // sides of the parity invariant (encode(vocab) == trained word
+    // table) start from identical symbol arrays by construction
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0).distinct()
+      .withColumn("__toks",
+        encodeUdf(concat(split(col("__w"), ""), array(lit("</w>")))))
+    val tokRows = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__dw")))
+      .filter(length(col("__dw")) > 0)
+      .join(vocab, col("__dw") === col("__w"))
+      .groupBy("__id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__toks")))),
+        s => s.getField("__toks"))).as("tokens"))
+    docs.select(col(idCol)).distinct()
+      .join(tokRows, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
+  }
+
+  /** Gate query for [[bpeTrain]]+[[bpeEncode]]: train 30 merges on the
+    * documents corpus, tokenize every document with them, and report
+    * per-doc token count and char-per-token compression. Fully
+    * deterministic (training tie-break is total); token arrays are
+    * surfaced as a '|'-joined prefix so the driver's pandas hash path
+    * (no list cells) applies. No oracle — iterative tokenization isn't
+    * SQL; OpsSpec holds the parity + round-trip invariants.
+    */
+  def q_bpe_encode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (merges, _) = bpeTrain(docs, "text", numMerges = 30)
+    bpeEncode(docs, "doc_id", "text", merges.map { case (l, r, _) => (l, r) })
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        array_join(slice(col("tokens"), 1, 10), "|").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Frees the storage behind an (eager) `localCheckpoint`ed DataFrame.
     * Checkpoint blocks are persisted at the RDD layer, not through the
     * CacheManager, so `Dataset.unpersist` cannot reach them; the plan of

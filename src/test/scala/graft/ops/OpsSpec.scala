@@ -682,6 +682,50 @@ class OpsSpec extends AnyFunSuite {
     assert(w2.select("syms").as[Seq[String]].head() == Seq("aa", "a", "</w>"))
   }
 
+  test("BPE encode: greedy rank replay == trained word table; round-trip; Sennrich example") {
+    import spark.implicits._
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val (merges, _) = Llm.bpeTrain(docs, "text", numMerges = 5)
+    val rules = merges.map { case (l, r, _) => (l, r) }
+    // (e,s)(es,t)(est,</w>) fuse the suffix, then (l,o)(lo,w) fuse the
+    // stem: unseen word "lowest" → [low, est</w>]
+    val one = Llm.bpeEncode(Seq((9L, "lowest")).toDF("doc_id", "text"),
+      "doc_id", "text", rules).select("tokens").as[Seq[String]].head()
+    assert(one == Seq("low", "est</w>"), s"got $one")
+
+    // parity on the fixture corpus: encoding every distinct word with the
+    // learned rules must reproduce bpeTrain's final symbolized word table
+    val fdocs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (fm, fwords) = Llm.bpeTrain(fdocs, "text", numMerges = 20)
+    val trained = fwords.select(array_join(col("syms"), "|").as("j"))
+      .as[String].collect().sorted.toSeq
+    val vocabDocs = fdocs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("doc_id", monotonically_increasing_id())
+    val encoded = Llm.bpeEncode(vocabDocs, "doc_id", "w",
+        fm.map { case (l, r, _) => (l, r) })
+      .select(array_join(col("tokens"), "|").as("j"))
+      .as[String].collect().sorted.toSeq
+    assert(encoded == trained, "greedy encode diverges from training replay")
+
+    // round-trip: concatenating tokens and dropping </w> restores the text
+    val sample = fdocs.limit(50)
+    val back = Llm.bpeEncode(sample, "doc_id", "text", fm.map { case (l, r, _) => (l, r) })
+      .select(col("doc_id"),
+        regexp_replace(array_join(col("tokens"), ""), "</w>$", "")
+          .as("rt"))
+      .withColumn("rt", regexp_replace(col("rt"), "</w>", " "))
+    val joined = sample.join(back, "doc_id")
+    assert(joined.filter(col("text") =!= col("rt")).isEmpty,
+      "BPE tokens must losslessly reconstruct the text")
+    // empty/whitespace-only docs survive with an empty token array
+    val empty = Llm.bpeEncode(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", rules).select("tokens").as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
   test("perceptual hash: localized edit stays in radius; banding finds the canary pair") {
     // kernel: deterministic; a 1-byte edit moves one pooled segment →
     // at most 2 signature bits; a structurally different payload is far
