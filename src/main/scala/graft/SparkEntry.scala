@@ -92,6 +92,8 @@ object SparkEntry {
     "q_agg_grouping_id" -> (Relational.q_agg_grouping_id _),
     "q_agg_minmax_by" -> (Relational.q_agg_minmax_by _),
     "q_agg_mode" -> (Relational.q_agg_mode _),
+    "q_outlier_mad" -> (Relational.q_outlier_mad _),
+    "q_feature_bins" -> (Relational.q_feature_bins _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -159,6 +161,7 @@ object SparkEntry {
     "q_lang_filter" -> (Llm.q_lang_filter _),
     "q_lang_id" -> (Llm.q_lang_id _),
     "q_quality_score" -> (Llm.q_quality_score _),
+    "q_c4_filters" -> (Llm.q_c4_filters _),
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
     "q_winnow" -> (Llm.q_winnow _),
@@ -913,6 +916,33 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_outlier_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |wm AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM wm GROUP BY event_type)
+        |SELECT w.event_id, w.event_type, w.value,
+        |  round(w.med + 1e-9, 4) AS med,
+        |  round(d.mad + 1e-9, 4) AS mad,
+        |  round(abs(w.value - w.med) / (d.mad * 1.4826) + 1e-9, 4) AS rz
+        |FROM wm w JOIN mad d USING (event_type)
+        |WHERE round(abs(w.value - w.med) / (d.mad * 1.4826) + 1e-9, 4) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_feature_bins" ->
+      """WITH cuts AS (SELECT quantile_cont(value,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM events),
+        |b AS (SELECT event_id, value,
+        |    CAST(len(list_filter(cuts.cuts, c -> c < value)) + 1 AS INT) AS bin
+        |  FROM events CROSS JOIN cuts)
+        |SELECT bin, count(*) AS n,
+        |  round(min(value) + 1e-9, 4) AS lo,
+        |  round(max(value) + 1e-9, 4) AS hi,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) + 1e-9, 4) AS mean_v
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_agg_percentile" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
@@ -1247,6 +1277,26 @@ object SparkEntry {
         |  round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5
         |        + round(CAST(stop_hits AS DOUBLE) / n_tok + 1e-9, 4) * 0.5 + 1e-9, 4) AS score
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filters" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS stop_hits,
+        |    list_contains(string_split(text, ' '), 'slow') AS has_block
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_tok,
+        |    round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) AS avg_wlen,
+        |    stop_hits, has_block,
+        |    (n_tok >= 30 AND n_tok <= 5000) AS r_len,
+        |    (round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) >= 3.0
+        |     AND round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) <= 12.0) AS r_wlen,
+        |    (stop_hits >= 2) AS r_stop,
+        |    (NOT has_block) AS r_block
+        |  FROM t)
+        |SELECT doc_id, n_tok, avg_wlen, stop_hits, r_len, r_wlen, r_stop, r_block,
+        |  (r_len AND r_wlen AND r_stop AND r_block) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

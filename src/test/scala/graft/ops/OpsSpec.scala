@@ -778,4 +778,80 @@ class OpsSpec extends AnyFunSuite {
     val perNation = lat.groupBy("n_name").count().collect()
     assert(perNation.forall(_.getLong(1) <= 2) && perNation.length == 25)
   }
+
+  /** Interpolated percentile matching Spark's `percentile` / DuckDB's
+    * `quantile_cont`: index p*(n-1), linear between neighbors.
+    */
+  private def pctl(sorted: Array[Double], p: Double): Double = {
+    val idx = p * (sorted.length - 1)
+    val lo = idx.toInt
+    if (lo == sorted.length - 1) sorted(lo)
+    else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (idx - lo)
+  }
+
+  test("q_c4_filters: flags match a driver-side replay; keep is the conjunction; rules discriminate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+    val stops = Set("the", "and", "of", "to", "in")
+    val expected = docs.map { case (id, text, nChars) =>
+      val ws = text.split(" ") // Java default drops trailing empties, same as Spark's split
+      val n = ws.length.toLong
+      val sh = ws.count(stops).toLong
+      val awl = BigDecimal((nChars - (n - 1)).toDouble / n + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (rLen, rWlen, rStop, rBlock) =
+        (n >= 30 && n <= 5000, awl >= 3.0 && awl <= 12.0, sh >= 2, !ws.contains("slow"))
+      id -> (rLen, rWlen, rStop, rBlock, rLen && rWlen && rStop && rBlock)
+    }.toMap
+    val got = Llm.q_c4_filters(spark, sf)
+      .select("doc_id", "r_len", "r_wlen", "r_stop", "r_block", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, a, b, c, dd, k) =>
+      assert(expected(id) == ((a, b, c, dd, k)), s"doc $id") }
+    // the cascade must discriminate: some rule rejects, some docs survive
+    assert(got.exists(!_._4) && got.exists(!_._5) && got.exists(_._6))
+  }
+
+  test("q_outlier_mad: robust z matches a driver-side median/MAD replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").as[(Long, String, Double)].collect()
+    val byType = ev.groupBy(_._2)
+    val stats = byType.map { case (t, rows) =>
+      val vs = rows.map(_._3).sorted
+      val med = pctl(vs, 0.5)
+      val mad = pctl(rows.map(r => math.abs(r._3 - med)).sorted, 0.5)
+      t -> ((med, mad))
+    }
+    val expected = ev.flatMap { case (id, t, v) =>
+      val (med, mad) = stats(t)
+      val rz = BigDecimal(math.abs(v - med) / (mad * 1.4826) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (rz > 3.0) Some(id -> rz) else None
+    }.toMap
+    val res = Relational.q_outlier_mad(spark, sf)
+      .select("event_id", "rz").as[(Long, Double)].collect().toMap
+    assert(res.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- res.keySet).take(5)} extra=${(res.keySet -- expected.keySet).take(5)}")
+    expected.foreach { case (id, rz) => assert(math.abs(res(id) - rz) < 1e-9, s"event $id") }
+    assert(res.nonEmpty, "outlier screen is vacuous at sf0.001")
+  }
+
+  test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
+    val bins = Relational.q_feature_bins(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.events(spark, sf).count()
+    assert(bins.map(_._2).sum == total)
+    assert(bins.map(_._1).toSeq == (1 to 10))
+    // equal-frequency: every decile within 2% of n/10 (ties can shift rows)
+    bins.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= total * 0.02, s"bin $b count $n") }
+    // bins are ordered, non-overlapping ranges
+    bins.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
 }
