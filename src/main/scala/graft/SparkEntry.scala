@@ -169,6 +169,8 @@ object SparkEntry {
     "q_ngram_topk" -> (Llm.q_ngram_topk _),
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
+    "q_contamination_fuzzy" -> (Llm.q_contamination_fuzzy _),
+    "q_dsir_weights" -> (Llm.q_dsir_weights _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_sim_quantized" -> (Llm.q_sim_quantized _),
@@ -839,6 +841,25 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM corpus JOIN bench USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH terms AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt_s,
+        |    count(*) FILTER (WHERE lang = 'en') AS cnt_t
+        |  FROM terms GROUP BY term),
+        |tot AS (SELECT sum(cnt_s) AS tot_s, sum(cnt_t) AS tot_t,
+        |    count(*) AS v FROM vocab),
+        |lr AS (SELECT term,
+        |    CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
+        |             - ln(CAST(cnt_s + 1 AS DOUBLE) / CAST(tot_s + v AS DOUBLE))
+        |             + 1e-9, 6) AS DECIMAL(18,6)) AS lr
+        |  FROM vocab CROSS JOIN tot),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tok, sum(l.lr) AS slr
+        |  FROM terms t JOIN lr l USING (term) GROUP BY t.doc_id)
+        |SELECT a.doc_id, d.lang, a.n_tok,
+        |  round(CAST(a.slr AS DOUBLE) / a.n_tok + 1e-9, 6) AS dsir_lr
+        |FROM agg a JOIN documents d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_orders,

@@ -1412,6 +1412,92 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy benchmark decontamination: MinHash-LSH candidate join of the
+    * TRAINING side against the EVAL side (here: even/odd doc_id halves as
+    * the two corpora), catching paraphrased or lightly-edited benchmark
+    * leakage that [[q_contamination]]'s exact n-gram intersection misses.
+    * Both sides band their signatures and meet in a shuffle equi-join on
+    * (band, bucket-signature) — candidates are Σ|train-bucket|·|eval-
+    * bucket|, never train × eval — with the same spillable-window bucket
+    * cap as [[minhashPairs]] guarding degenerate buckets on the large
+    * (train) side. The eval side is benchmark-sized at 100 TB, so AQE
+    * broadcasts its exploded bands; train bytes never shuffle twice. No
+    * oracle (hash-dependent); OpsSpec plants a paraphrased eval doc and
+    * asserts it is caught and that unrelated docs are not.
+    */
+  def q_contamination_fuzzy(s: SparkSession, d: String): DataFrame = {
+    val train = documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0)
+    // Planted canary (same device as q_dedup_embed): the smallest train
+    // doc re-enters as eval doc_id = -1, so the (minTrainId, -1) pair
+    // exercises sig → band → join → estimate at every SF even when the
+    // random fixture halves share no true near-dups.
+    val canary = train.orderBy("doc_id").limit(1)
+      .select(lit(-1L).as("doc_id"), col("text"))
+    val eval_ = documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text")).unionByName(canary)
+    contaminationFuzzy(train, eval_, threshold = 0.5)
+  }
+
+  def contaminationFuzzy(train: DataFrame, eval_ : DataFrame,
+                         threshold: Double,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val wb = Window.partitionBy("band", "bsig")
+    val t = minhashExploded(train)
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("doc_id").as("train_id"), col("sigs").as("tsigs"),
+        col("band"), col("bsig"))
+    val e = minhashExploded(eval_)
+      .select(col("doc_id").as("eval_id"), col("sigs").as("esigs"),
+        col("band"), col("bsig"))
+    t.join(e, Seq("band", "bsig"))
+      .select(col("train_id"), col("eval_id"),
+        (aggregate(zip_with(col("tsigs"), col("esigs"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .dropDuplicates("train_id", "eval_id")
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023): score every
+    * document by the log-likelihood ratio of its tokens under a TARGET
+    * unigram model (here: the `lang = 'en'` subset) vs the SOURCE model
+    * (the full corpus), add-one smoothed. High scores mark documents
+    * that look like the target domain — the selection signal for
+    * importance resampling of a raw crawl toward a curated domain. The
+    * corpus collapses ONCE to the Zipf-bounded vocabulary (term →
+    * source/target counts); per-term log-ratios are rounded then summed
+    * as DECIMAL (the `dsum` contract) so partial-aggregation order can
+    * never change a score. Final score is per-token (length-normalized).
+    */
+  def q_dsir_weights(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+    val vocab = terms
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt_s"),
+        count(when(col("lang") === "en", 1)).as("cnt_t"))
+    val totals = vocab.agg(
+      sum("cnt_s").as("tot_s"), sum("cnt_t").as("tot_t"),
+      count(lit(1)).as("v"))
+    val termLr = vocab.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(
+          log((col("cnt_t") + 1).cast("double") / (col("tot_t") + col("v")).cast("double")) -
+            log((col("cnt_s") + 1).cast("double") / (col("tot_s") + col("v")).cast("double")) +
+            lit(1e-9), 6)
+          .cast(DecimalType(18, 6)).as("lr"))
+    terms.join(termLr, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr")).as("slr"))
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("slr").cast("double") / col("n_tok") + lit(1e-9), 6).as("dsir_lr"))
+      .orderBy("doc_id")
+  }
+
   /** Keyword-in-context (KWIC) concordance: every occurrence of a term
     * with its ±2-word context window — the corpus-inspection op behind
     * targeted quality audits ("how is this token actually used?").

@@ -839,6 +839,56 @@ class OpsSpec extends AnyFunSuite {
     assert(res.nonEmpty, "outlier screen is vacuous at sf0.001")
   }
 
+  test("contaminationFuzzy: paraphrased eval doc caught, unrelated not; gate query emits the canary pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val train = Seq((2L, base),
+      (4L, "totally different training text about catalyst optimizer rules and shuffle partitions everywhere")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((3L, base.replace("lazy", "sleepy")), // paraphrase of train doc 2
+      (5L, "an unrelated benchmark question concerning medieval history and crop rotation practices")
+    ).toDF("doc_id", "text")
+    val hits = Llm.contaminationFuzzy(train, eval_, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists(h => h._1 == 2L && h._2 == 3L && h._3 >= 0.5), s"paraphrase missed: ${hits.toSeq}")
+    assert(!hits.exists(h => h._1 == 4L || h._2 == 5L), s"false positive: ${hits.toSeq}")
+    // gate query: canary guarantees >= 1 row; sides keep their parity
+    val gate = Llm.q_contamination_fuzzy(spark, sf).as[(Long, Long, Double)].collect()
+    assert(gate.exists(_._2 == -1L), "canary pair missing")
+    assert(gate.forall(h => h._1 % 2 == 0 && (h._2 % 2 != 0 || h._2 == -1L)))
+  }
+
+  test("q_dsir_weights: scores match a driver-side replay; en docs score higher than non-en") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect()
+    val termsByDoc = docs.map { case (id, text, lang) => (id, lang, text.split(" ")) }
+    val cntS = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cntT = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    termsByDoc.foreach { case (_, lang, ws) =>
+      ws.foreach { w => cntS(w) += 1; if (lang == "en") cntT(w) += 1 } }
+    val (totS, totT, v) = (cntS.values.sum, cntT.values.sum, cntS.size.toLong)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lr = cntS.keys.map { w =>
+      w -> r6(math.log((cntT(w) + 1).toDouble / (totT + v)) -
+        math.log((cntS(w) + 1).toDouble / (totS + v)) + 1e-9)
+    }.toMap
+    val expected = termsByDoc.map { case (id, _, ws) =>
+      // engine: exact DECIMAL sum, then double division — replay the same
+      val slr = ws.map(lr).sum
+      id -> r6(slr.toDouble / ws.length + 1e-9).toDouble
+    }.toMap
+    val got = Llm.q_dsir_weights(spark, sf)
+      .select("doc_id", "lang", "dsir_lr").as[(Long, String, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, _, sc) =>
+      assert(math.abs(sc - expected(id)) < 1e-9, s"doc $id: $sc vs ${expected(id)}") }
+    // the signal works: target-language docs average above the rest
+    val (en, rest) = got.partition(_._2 == "en")
+    val avg = (xs: Array[(Long, String, Double)]) => xs.map(_._3).sum / xs.length
+    assert(avg(en) > avg(rest), s"en ${avg(en)} !> rest ${avg(rest)}")
+  }
+
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
     val bins = Relational.q_feature_bins(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
