@@ -94,6 +94,9 @@ object SparkEntry {
     "q_agg_mode" -> (Relational.q_agg_mode _),
     "q_outlier_mad" -> (Relational.q_outlier_mad _),
     "q_feature_bins" -> (Relational.q_feature_bins _),
+    "q_sample_group" -> (Relational.q_sample_group _),
+    "q_incr_rollup" -> (Relational.q_incr_rollup _),
+    "q_join_setsim" -> (Llm.q_join_setsim _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -936,6 +939,34 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sample_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_type || ':' || CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
+
+    "q_incr_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_setsim" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents WHERE source = 'src0'),
+        |n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM w a JOIN w b USING (w) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id1, id2, inter, na.n + nb.n - inter AS uni
+        |  FROM inter JOIN n na ON na.doc_id = id1 JOIN n nb ON nb.doc_id = id2)
+        |SELECT id1, id2, inter, uni,
+        |  round(CAST(inter AS DOUBLE) / uni + 1e-9, 6) AS jac
+        |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

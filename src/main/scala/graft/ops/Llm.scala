@@ -1460,6 +1460,81 @@ object Llm {
       .orderBy("train_id", "eval_id")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family, Xiao et al. 2008 §3): every pair of documents whose word
+    * SETS have Jaccard ≥ t — deterministic ground truth where
+    * MinHash-LSH is only probabilistic, at the price of exact-verify
+    * arithmetic per candidate. The pruning that keeps it off doc×doc:
+    * rank tokens by global document frequency (rarest first, (df, word)
+    * total order); a set of size n exposes only its first
+    * n − ⌈t·n⌉ + 1 rarest tokens, because two sets with Jaccard ≥ t
+    * MUST share a token in those prefixes. Candidates meet in a shuffle
+    * equi-join on the prefix token — Σ per-token products of PREFIX
+    * occurrence counts (rare tokens by construction), never doc×doc —
+    * then the size filter |A| ≥ t·|B| and the exact
+    * intersect/union check decide. One candidate pair can share several
+    * prefix tokens → `dropDuplicates` before the verify.
+    *
+    * `maxToken` (opt-in) applies the [[minhashPairs]] spillable window
+    * cap to degenerate prefix tokens. Default = no cap, because unlike
+    * the LSH ops this join's contract is EXACTNESS — capping trades
+    * recall for skew-safety and is only for corpora whose df ranking
+    * has already collapsed (boilerplate floods). The gate query keeps
+    * the exact contract (its oracle is a brute-force join).
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+                 t: Double, maxToken: Int = Int.MaxValue): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("ws0"))
+    val tok = words.select(col("id"), explode(col("ws0")).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "w")
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("w")))),
+        s => s.getField("w")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(t) * col("n")) + lit(1)).cast("int"))
+    val prefix = ranked
+      .select(col("id"), col("toks"), col("n"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("w"))
+    val capped =
+      if (maxToken == Int.MaxValue) prefix
+      else prefix
+        .withColumn("__wn", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("__wn") <= maxToken)
+        .drop("__wn")
+    val a = capped.select(col("w"), col("id").as("id1"),
+      col("toks").as("t1"), col("n").as("n1"))
+    val b = capped.select(col("w"), col("id").as("id2"),
+      col("toks").as("t2"), col("n").as("n2"))
+    a.join(b, Seq("w"))
+      .filter(col("id1") < col("id2"))
+      .filter(col("n1") >= ceil(lit(t) * col("n2")) &&
+        col("n2") >= ceil(lit(t) * col("n1")))
+      .dropDuplicates("id1", "id2")
+      .withColumn("inter",
+        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= t)
+      .select(col("id1"), col("id2"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni") + lit(1e-9), 6).as("jac"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Gate query for [[setSimJoin]]: word-set Jaccard ≥ 0.9 pairs within
+    * one source shard (the within-shard dedup shape), verified
+    * row-for-row by a brute-force DuckDB oracle. The fixture's 31-word
+    * vocabulary is a worst case for prefix filtering — real corpora's
+    * Zipf tails make prefixes far more selective — so the gate scopes to
+    * a shard and a high threshold to keep the DENSE-result case honest
+    * without timing a pathological all-pairs output.
+    */
+  def q_join_setsim(s: SparkSession, d: String): DataFrame =
+    setSimJoin(documents(s, d).filter(col("source") === "src0"),
+      "doc_id", "text", t = 0.9)
+
   /** DSIR-style importance weights (Xie et al. 2023): score every
     * document by the log-likelihood ratio of its tokens under a TARGET
     * unigram model (here: the `lang = 'en'` subset) vs the SOURCE model

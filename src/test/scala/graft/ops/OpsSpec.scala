@@ -889,6 +889,60 @@ class OpsSpec extends AnyFunSuite {
     assert(avg(en) > avg(rest), s"en ${avg(en)} !> rest ${avg(rest)}")
   }
 
+  test("setSimJoin: pair set and Jaccard values match a brute-force replay at sf0.001/src0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sets = docs.map { case (id, text) => id -> text.split(" ").toSet }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val t = 0.9
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      inter = (sets(a) intersect sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if inter.toDouble / uni >= t
+    } yield (a, b) -> ((inter.toLong, uni.toLong))).toMap
+    val got = Llm.q_join_setsim(spark, sf)
+      .select("id1", "id2", "inter", "uni").as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    expected.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+    assert(expected.nonEmpty, "setsim gate is vacuous at sf0.001")
+    // opt-in token cap bounds candidates but may drop pairs — subset law
+    val capped = Llm.setSimJoin(
+      Tables.documents(spark, sf).filter(col("source") === "src0"),
+      "doc_id", "text", t = 0.9, maxToken = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(expected.keySet))
+  }
+
+  test("q_sample_group: exactly N per group, deterministic across runs, drawn from the group") {
+    val a = Relational.q_sample_group(spark, sf).collect()
+    val b = Relational.q_sample_group(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "sample is not reproducible")
+    val perGroup = a.groupBy(_.getString(0))
+    val groupSizes = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (g, rows) =>
+      assert(rows.length == math.min(20, groupSizes(g)), s"group $g")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("q_incr_rollup: merged partial states equal a direct full recompute") {
+    val merged = Relational.q_incr_rollup(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("value_sum"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .orderBy("event_type").collect()
+    assert(merged.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
     val bins = Relational.q_feature_bins(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
