@@ -97,6 +97,9 @@ object SparkEntry {
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
+    "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
+    "q_share_of_total" -> (Relational.q_share_of_total _),
+    "q_word_pmi" -> (Llm.q_word_pmi _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -939,6 +942,44 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT event_id, value AS value_a FROM events WHERE event_id % 7 <> 0),
+        |b AS (SELECT event_id,
+        |    value + CASE WHEN event_id % 3 = 0 THEN 10.0 ELSE 0.0 END AS value_b
+        |  FROM events WHERE event_id % 5 <> 0),
+        |f AS (SELECT coalesce(a.event_id, b.event_id) AS event_id, value_a, value_b
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        |SELECT event_id,
+        |  CASE WHEN value_a IS NULL THEN 'added'
+        |       WHEN value_b IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  value_a, value_b
+        |FROM f
+        |WHERE value_a IS NULL OR value_b IS NULL OR value_a <> value_b
+        |ORDER BY event_id""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) /
+        |        CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE) + 1e-9, 6) AS share
+        |FROM a ORDER BY 1, 2""".stripMargin,
+
+    "q_word_pmi" ->
+      """WITH dw AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS nw FROM dw GROUP BY w),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n12
+        |  FROM dw a JOIN dw b USING (doc_id) WHERE a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT w1, w2, n12,
+        |  round(ln(CAST(n12 AS DOUBLE) * n_docs / (c1.nw * c2.nw)) + 1e-9, 6) AS pmi
+        |FROM p JOIN wc c1 ON c1.w = w1 JOIN wc c2 ON c2.w = w2 CROSS JOIN tot
+        |ORDER BY w1, w2""".stripMargin,
 
     "q_sample_group" ->
       """SELECT event_type, rn, event_id, value FROM (

@@ -1573,6 +1573,37 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Word co-occurrence PMI (pointwise mutual information over
+    * document-level co-occurrence) — the distributional-association
+    * profile behind collocation mining and boilerplate detection. The
+    * corpus collapses to (doc, distinct word) once; pairs come from a
+    * SELF-JOIN ON doc_id, so the volume is Σ_doc C(|distinct words|, 2)
+    * — bounded by per-doc vocabulary, never corpus-vocab². At 100 TB
+    * the guard is a per-doc distinct-word cap (slice the rarest K
+    * before pairing); word marginals are Zipf-small and broadcast.
+    * PMI = ln(n12·N / (n1·n2)), support-thresholded.
+    */
+  def q_word_pmi(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val wc = dw.groupBy("w").agg(count(lit(1)).as("nw"))
+    val pairs = dw.select(col("doc_id"), col("w").as("w1"))
+      .join(dw.select(col("doc_id"), col("w").as("w2")), "doc_id")
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= 50)
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(wc.select(col("w").as("w1"), col("nw").as("n1"))), "w1")
+      .join(broadcast(wc.select(col("w").as("w2"), col("nw").as("n2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n12"),
+        round(log(col("n12").cast("double") * col("n_docs") / (col("n1") * col("n2"))) +
+          lit(1e-9), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   /** Keyword-in-context (KWIC) concordance: every occurrence of a term
     * with its ±2-word context window — the corpus-inspection op behind
     * targeted quality audits ("how is this token actually used?").

@@ -2050,6 +2050,52 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Snapshot reconciliation diff (CDC-style): FULL OUTER join of two
+    * table snapshots on the key, classifying every key as added /
+    * removed / changed and dropping the identical rows — the
+    * data-validation pass run before promoting a rebuilt table. One
+    * key-shuffle join; unchanged rows (the overwhelming majority in a
+    * real diff) are filtered before the presentation sort.
+    */
+  def q_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("value"))
+    val snapA = e.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      .select(col("event_id"), col("value").as("value_a"))
+    val snapB = e.filter(pmod(col("event_id"), lit(5)) =!= 0)
+      .select(col("event_id"),
+        (col("value") +
+          when(pmod(col("event_id"), lit(3)) === 0, 10.0).otherwise(0.0)).as("value_b"))
+    snapA.join(snapB, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("value_a").isNull, "added")
+          .when(col("value_b").isNull, "removed")
+          .when(col("value_a") =!= col("value_b"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("event_id", "status", "value_a", "value_b")
+      .orderBy("event_id")
+  }
+
+  /** Ratio-to-report (share of total within a group): grouped DECIMAL
+    * revenue + one window sum over the tiny aggregate — the share math
+    * happens on the GROUPED rows (one per flag × status), so the window
+    * never touches the fact table. DECIMAL accumulation keeps the
+    * window sum independent of row order inside the partition.
+    */
+  def q_share_of_total(s: SparkSession, d: String): DataFrame = {
+    val agg = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.partitionBy("l_returnflag")
+    agg
+      .withColumn("share",
+        round(col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(w).cast("double") + lit(1e-9), 6))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("rev_dec").cast("double").as("revenue"), col("share"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Deterministic fixed-size per-group sample (reservoir semantics
     * without the reservoir): rank rows inside each group by the md5 of
     * their (group, key) identity and keep the first N — reproducible

@@ -943,6 +943,60 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
   }
 
+  test("q_snapshot_diff: statuses partition the symmetric difference; same-rows absent") {
+    import spark.implicits._
+    val diff = Relational.q_snapshot_diff(spark, sf)
+      .select("event_id", "status").as[(Long, String)].collect().toMap
+    val ids = Tables.events(spark, sf).select("event_id").as[Long].collect()
+    ids.foreach { id =>
+      val inA = id % 7 != 0
+      val inB = id % 5 != 0
+      val changed = inA && inB && id % 3 == 0
+      val want =
+        if (inA && !inB) Some("removed")
+        else if (!inA && inB) Some("added")
+        else if (changed) Some("changed")
+        else None
+      assert(diff.get(id) == want, s"event $id")
+    }
+    assert(Set("added", "removed", "changed").subsetOf(diff.values.toSet))
+  }
+
+  test("q_share_of_total: shares are positive and sum to 1 within each group") {
+    val rows = Relational.q_share_of_total(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    rows.foreach { case (_, sh) => assert(sh > 0 && sh <= 1.0) }
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      assert(math.abs(xs.map(_._2).sum - 1.0) < 1e-4, s"group $g sums to ${xs.map(_._2).sum}") }
+  }
+
+  test("q_word_pmi: counts and PMI match a driver-side replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val sets = docs.map { case (_, t) => t.split(" ").toSet }
+    val nw = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val n12 = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    sets.foreach { ws =>
+      ws.foreach(w => nw(w) += 1)
+      val sorted = ws.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size)
+        n12((sorted(i), sorted(j))) += 1
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = n12.collect { case (k, c) if c >= 50 =>
+      k -> ((c, r6(math.log(c.toDouble * n / (nw(k._1) * nw(k._2))) + 1e-9)))
+    }.toMap
+    val got = Llm.q_word_pmi(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (c, pmi)) =>
+      assert(got(k)._1 == c && math.abs(got(k)._2 - pmi) < 1e-9, s"pair $k") }
+    assert(expected.nonEmpty)
+  }
+
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
     val bins = Relational.q_feature_bins(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
