@@ -100,6 +100,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
     "q_share_of_total" -> (Relational.q_share_of_total _),
     "q_word_pmi" -> (Llm.q_word_pmi _),
+    "q_window_median" -> (Relational.q_window_median _),
+    "q_ccnet_buckets" -> (Llm.q_ccnet_buckets _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -647,6 +649,37 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_window_median" ->
+      """SELECT event_id, user_id, value,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 1e-9, 4) AS med7
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |total AS (SELECT count(*) AS total FROM terms),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    round(-CAST(sum(CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))
+        |                               + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*) + 1e-9, 6) AS nll
+        |  FROM terms t JOIN vocab v USING (term) CROSS JOIN total tt
+        |  GROUP BY t.doc_id),
+        |cuts AS (SELECT quantile_cont(nll, [0.3333333333333333, 0.6666666666666666]) AS cuts
+        |  FROM scored),
+        |b AS (SELECT s.doc_id, s.nll,
+        |    CASE WHEN s.nll <= cuts.cuts[1] THEN 'head'
+        |         WHEN s.nll <= cuts.cuts[2] THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scored s CROSS JOIN cuts)
+        |SELECT bucket, count(*) AS n_docs,
+        |  round(min(nll) + 1e-9, 6) AS nll_min,
+        |  round(max(nll) + 1e-9, 6) AS nll_max,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*) + 1e-9, 6) AS nll_mean
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_quality_perplexity" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1573,6 +1573,36 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity BUCKETING (head/middle/tail): the unigram-LM
+    * NLL from [[q_quality_perplexity]] split at its corpus terciles —
+    * CCNet trains on "head" (lowest-perplexity) data first and uses the
+    * buckets as curriculum/quality tiers. Composition of two verified
+    * patterns: the perplexity screen's DECIMAL-summed scores and
+    * [[graft.ops.Relational.q_feature_bins]]' broadcast-cutpoint
+    * assignment (ONE exact-percentile agg, map-side bin pick — no
+    * global sort). Output is the per-bucket census a corpus run
+    * publishes: doc count, NLL range, mean NLL.
+    */
+  def q_ccnet_buckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nll = q_quality_perplexity(s, d).select(col("doc_id"), col("nll"))
+    val cuts = nll.agg(percentile(col("nll"),
+      lit(Array(1.0 / 3, 2.0 / 3))).as("cuts"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= element_at(col("cuts"), 1), "head")
+          .when(col("nll") <= element_at(col("cuts"), 2), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min("nll") + lit(1e-9), 6).as("nll_min"),
+        round(max("nll") + lit(1e-9), 6).as("nll_max"),
+        round((sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))) + lit(1e-9), 6).as("nll_mean"))
+      .orderBy("bucket")
+  }
+
   /** Word co-occurrence PMI (pointwise mutual information over
     * document-level co-occurrence) — the distributional-association
     * profile behind collocation mining and boilerplate detection. The

@@ -2050,6 +2050,25 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Rolling MEDIAN over a bounded row frame (±3 around each event in
+    * its user's timeline) — the robust smoother for noisy telemetry,
+    * where a rolling MEAN chases every spike. An exact `percentile`
+    * aggregate evaluated over a sliding window frame: the frame holds
+    * ≤7 rows, so per-row cost is O(frame log frame) and the only
+    * shuffle is the user_id partition — same scale shape as any lag
+    * window. (For wide frames at 100 TB you'd switch to a t-digest
+    * sketch column; the exact form is right at smoothing widths.)
+    */
+  def q_window_median(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-3, 3)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("med7",
+        round(percentile(col("value"), lit(0.5)).over(w) + lit(1e-9), 4))
+      .orderBy("event_id")
+  }
+
   /** Snapshot reconciliation diff (CDC-style): FULL OUTER join of two
     * table snapshots on the key, classifying every key as added /
     * removed / changed and dropping the identical rows — the

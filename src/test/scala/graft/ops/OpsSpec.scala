@@ -659,6 +659,14 @@ class OpsSpec extends AnyFunSuite {
     // empty text: BPE learns nothing and says so
     val (m, _) = Llm.bpeTrain(Seq.empty[String].toDF("text"), "text", 3)
     assert(m.isEmpty)
+    // round-4 ops: empty corpora / single-row groups degrade, not die
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Llm.setSimJoin(noDocs, "doc_id", "text", t = 0.8).count() == 0)
+    assert(Llm.contaminationFuzzy(noDocs, noDocs, threshold = 0.5).count() == 0)
+    val oneDoc = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Llm.setSimJoin(oneDoc, "doc_id", "text", t = 0.8).count() == 0)
+    // one side empty: decontamination reports nothing, never errors
+    assert(Llm.contaminationFuzzy(oneDoc, noDocs, threshold = 0.5).count() == 0)
   }
 
   test("BPE training reproduces the published algorithm's trace on the classic corpus") {
@@ -995,6 +1003,40 @@ class OpsSpec extends AnyFunSuite {
     expected.foreach { case (k, (c, pmi)) =>
       assert(got(k)._1 == c && math.abs(got(k)._2 - pmi) < 1e-9, s"pair $k") }
     assert(expected.nonEmpty)
+  }
+
+  test("q_window_median: rolling median matches a driver-side frame replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "value").as[(Long, Long, Double)].collect()
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 3), math.min(sorted.length, i + 4))
+          .map(_._3).sorted
+        sorted(i)._1 -> r4(pctl(frame, 0.5) + 1e-9)
+      }
+    }.toMap
+    val got = Relational.q_window_median(spark, sf)
+      .select("event_id", "med7").as[(Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - expected(id)) < 1e-9, s"event $id: $m vs ${expected(id)}") }
+  }
+
+  test("q_ccnet_buckets: buckets partition the corpus into ordered near-terciles") {
+    val b = Llm.q_ccnet_buckets(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(b.keySet == Set("head", "middle", "tail"))
+    val total = Tables.documents(spark, sf).count()
+    assert(b.values.map(_._1).sum == total)
+    // tercile-ish sizes (ties can shift membership)
+    b.foreach { case (k, (n, _, _)) =>
+      assert(math.abs(n - total / 3.0) <= total * 0.05, s"bucket $k has $n") }
+    // quality tiers are ordered: head's worst <= middle's best, etc.
+    assert(b("head")._3 <= b("middle")._2 + 1e-9)
+    assert(b("middle")._3 <= b("tail")._2 + 1e-9)
   }
 
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {

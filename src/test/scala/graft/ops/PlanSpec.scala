@@ -197,6 +197,30 @@ class PlanSpec extends AnyFunSuite {
       "run collapse must be per-row map work")
   }
 
+  test("round-4 ops: broadcast stats joins, no cartesian candidates, aggregate-only windows") {
+    // MAD screen: the per-group stats join back by BROADCAST — the fact
+    // table must not shuffle for either join
+    val mad = planOf(Relational.q_outlier_mad(spark, sf))
+    assert(mad.contains("BroadcastHashJoin"), s"expected broadcast stats join in:\n$mad")
+    // decile binning: cut points arrive by broadcast, not a global sort
+    val bins = planOf(Relational.q_feature_bins(spark, sf))
+    assert(bins.contains("BroadcastNestedLoopJoin") || bins.contains("BroadcastExchange"))
+    assert(!bins.contains("CartesianProduct"))
+    // exact set-similarity: candidates from the prefix-token EQUI-join
+    val setsim = planOf(Llm.q_join_setsim(spark, sf))
+    assert(!setsim.contains("CartesianProduct") && !setsim.contains("BroadcastNestedLoopJoin"),
+      s"setsim candidates must come from an equi-join:\n$setsim")
+    // PMI: pair generation is an equi-join on doc_id; marginals broadcast
+    val pmi = planOf(Llm.q_word_pmi(spark, sf))
+    assert(!pmi.contains("CartesianProduct"))
+    assert(pmi.contains("BroadcastHashJoin"), "marginal joins must broadcast")
+    // share-of-total: the window runs over the AGGREGATE rows — the fact
+    // table passes through exactly one (aggregation) exchange, and the
+    // window's re-shuffle moves only grouped rows
+    val share = Relational.q_share_of_total(spark, sf)
+    assert(planOf(share).contains("Window"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // under AQE the codegen-staged plan only exists once executed
