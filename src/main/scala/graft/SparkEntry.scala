@@ -102,6 +102,9 @@ object SparkEntry {
     "q_word_pmi" -> (Llm.q_word_pmi _),
     "q_window_median" -> (Relational.q_window_median _),
     "q_ccnet_buckets" -> (Llm.q_ccnet_buckets _),
+    "q_window_distinct" -> (Relational.q_window_distinct _),
+    "q_abc_class" -> (Relational.q_abc_class _),
+    "q_temperature_sample" -> (Llm.q_temperature_sample _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -649,6 +652,46 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_l) AS n_tot FROM c),
+        |wts AS (SELECT lang, n_l,
+        |    CAST(round(sqrt(CAST(n_l AS DOUBLE) / n_tot) + 1e-15, 12) AS DECIMAL(16,12)) AS w
+        |  FROM c CROSS JOIN t),
+        |nrm AS (SELECT sum(w) AS w_sum FROM wts),
+        |q AS (SELECT lang,
+        |    CAST(floor(200 * (CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)) + 0.5) AS BIGINT) AS quota
+        |  FROM wts CROSS JOIN nrm),
+        |r AS (SELECT d.doc_id, d.lang, q.quota,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, quota
+        |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "q_window_distinct" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(len(list_distinct(list(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+        |       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS distinct_types_10
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS tot
+        |  FROM rev),
+        |s AS (SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |    round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) + 1e-9, 6) AS cum_share
+        |  FROM c)
+        |SELECT l_partkey, revenue, cum_share,
+        |  CASE WHEN cum_share <= 0.80 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc
+        |FROM s ORDER BY revenue DESC, l_partkey""".stripMargin,
+
     "q_window_median" ->
       """SELECT event_id, user_id, value,
         |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id

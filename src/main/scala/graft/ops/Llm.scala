@@ -1840,6 +1840,43 @@ object Llm {
   private val MixFractions: Seq[(String, String)] = // lang -> 2-hex-digit threshold / 256
     Seq("en" -> "e6", "de" -> "80", "fr" -> "80", "es" -> "40", "zh" -> "40")
 
+  /** Temperature-based multilingual rebalancing (the mBERT/XLM α-
+    * sampling scheme, α = 0.5): language quotas ∝ share^α — flattening
+    * the Zipf of languages so low-resource ones are upsampled relative
+    * to proportional sampling — then a deterministic md5-ranked draw of
+    * each language's quota. Everything derives from the data in three
+    * tiny aggregations (language census → α-weights → normalized
+    * quotas, all broadcast); the corpus is touched by ONE ranked window
+    * on the language key. α-weights round to 12 digits and sum as
+    * DECIMAL so normalization is engine- and order-exact; quotas use
+    * floor(x + 0.5) — both sides of the oracle compute identical
+    * doubles (sqrt is IEEE-correctly-rounded, unlike pow).
+    */
+  def q_temperature_sample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val target = 200
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val tot = counts.agg(sum("n_l").as("n_tot"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(sqrt(col("n_l").cast("double") / col("n_tot")) + lit(1e-15), 12)
+          .cast(DecimalType(16, 12)))
+    val norm = weights.agg(sum("w").as("w_sum"))
+    val quotas = weights.crossJoin(broadcast(norm))
+      .withColumn("quota",
+        floor(lit(target) * (col("w").cast("double") / col("w_sum").cast("double")) +
+          lit(0.5)).cast("long"))
+      .select("lang", "quota")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang", "rn", "quota")
+      .orderBy("doc_id")
+  }
+
   def q_mix_sample(s: SparkSession, d: String): DataFrame = {
     val thr = MixFractions.map { case (l, t) => (lit(l), lit(t)) }
       .flatMap { case (l, t) => Seq(l, t) }

@@ -2050,6 +2050,54 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Sliding-window DISTINCT count — a genuine engine gap: Spark has no
+    * `count_distinct` window aggregate, so the composition is
+    * `collect_list` over the frame → `array_distinct` → `size`, all
+    * codegen'd array kernels. Correct because distinct-of-collected is
+    * order-independent even though the collected order is not. The
+    * frame is bounded (last 10 events), so per-row state is O(frame);
+    * the only shuffle is the user partition. (Unbounded-frame distinct
+    * at 100 TB is a different op: sketch columns, see `q_agg_hll`.)
+    */
+  def q_window_distinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-9, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("distinct_types_10",
+        size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+      .orderBy("event_id")
+  }
+
+  /** ABC / Pareto classification: rank parts by revenue, classify by
+    * CUMULATIVE share (A = first 80% of revenue, B = next 15%, C =
+    * tail). The running sum and total run over the PART-LEVEL aggregate
+    * (dimension-sized — thousands of rows where the fact has billions),
+    * so the single-partition cumulative window is safe by construction;
+    * the fact table contributes exactly one grouped aggregation.
+    * DECIMAL accumulation end-to-end keeps every share exact.
+    */
+  def q_abc_class(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val wOrd = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+    val wAll = Window.partitionBy(lit(1))
+    rev
+      .withColumn("cum_dec", sum(col("rev_dec")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
+      .withColumn("cum_share",
+        round((col("cum_dec").cast("double") / col("tot_dec").cast("double")) + lit(1e-9), 6))
+      .withColumn("abc",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("rev_dec").cast("double").as("revenue"),
+        col("cum_share"), col("abc"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
   /** Rolling MEDIAN over a bounded row frame (±3 around each event in
     * its user's timeline) — the robust smoother for noisy telemetry,
     * where a rolling MEAN chases every spike. An exact `percentile`

@@ -188,4 +188,25 @@ object Streaming {
           }
       }
   }
+
+  /** Per-window top-k finisher for streams. Ranking is not allowed on
+    * top of a streaming aggregation (the rank of a still-open window
+    * would have to retract), so the streaming-correct composition is:
+    * watermarked windowed counts in UPDATE mode → `foreachBatch` MERGES
+    * the updated (window, type) rows into the serving store → this
+    * finisher re-ranks the store's rows. Update mode only re-emits
+    * CHANGED rows, so ranking a raw micro-batch would miss unchanged
+    * competitors — the rank must run over the merged store (see
+    * StreamingSpec's leader-flip scenario). Stream state stays bounded
+    * by the watermark; the finisher's input is (windows × types) —
+    * dimension-sized, never raw events.
+    */
+  def topKPerWindow(windowCounts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    windowCounts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

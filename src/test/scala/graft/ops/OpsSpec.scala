@@ -1039,6 +1039,54 @@ class OpsSpec extends AnyFunSuite {
     assert(b("middle")._3 <= b("tail")._2 + 1e-9)
   }
 
+  test("q_window_distinct: trailing distinct count matches a driver-side frame replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type").as[(Long, Long, String)].collect()
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.indices.map { i =>
+        sorted(i)._1 -> sorted.slice(math.max(0, i - 9), i + 1).map(_._3).distinct.length.toLong
+      }
+    }.toMap
+    val got = Relational.q_window_distinct(spark, sf)
+      .select("event_id", "distinct_types_10").as[(Long, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, n) => assert(n == expected(id), s"event $id") }
+  }
+
+  test("q_abc_class: classes follow cumulative share; every class present; shares monotone") {
+    val rows = Relational.q_abc_class(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getString(3)))
+    // cum_share is monotone non-decreasing in revenue-desc order, ends at ~1
+    rows.sliding(2).foreach {
+      case Array((_, s1, _), (_, s2, _)) => assert(s1 <= s2 + 1e-9)
+      case _ =>
+    }
+    assert(math.abs(rows.last._2 - 1.0) < 1e-6)
+    assert(rows.map(_._3).toSet == Set("A", "B", "C"))
+    // class boundaries respect the thresholds
+    rows.foreach { case (_, sh, c) =>
+      val want = if (sh <= 0.80) "A" else if (sh <= 0.95) "B" else "C"
+      assert(c == want)
+    }
+  }
+
+  test("q_temperature_sample: quotas hit the target, α<1 flattens language shares, deterministic") {
+    val rows = Llm.q_temperature_sample(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = byLang.values.sum
+    assert(math.abs(total - 200) <= byLang.size, s"quota total $total") // per-lang floor(+0.5)
+    val corpus = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTot = corpus.values.sum.toDouble
+    val (hi, lo) = (corpus.maxBy(_._2)._1, corpus.minBy(_._2)._1)
+    // α-flattening: dominant language underweighted vs corpus, rarest overweighted
+    assert(byLang(hi).toDouble / total < corpus(hi) / nTot, s"$hi not flattened")
+    assert(byLang(lo).toDouble / total > corpus(lo) / nTot, s"$lo not boosted")
+    assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
     val bins = Relational.q_feature_bins(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -248,6 +248,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(seen.values().stream().mapToLong(identity(_)).sum() == 3)
   }
 
+  test("streaming top-k per window: update-mode counts merge into a store the finisher re-ranks") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // serving store keyed by (window, type): update-mode rows OVERWRITE —
+    // ranking must happen over this merged view, never the raw batch
+    // (a batch only carries the types whose counts changed)
+    val counts = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    val q = Streaming.tumblingCounts(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          counts.put((r.getTimestamp(0).getTime, r.getString(1)), r.getLong(2))
+        }
+        ()
+      }
+      .start()
+    queries = q :: queries
+    def leaderboard(): Map[(Long, Int), (String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val df = counts.asScala.toSeq
+        .map { case ((w, t), n) => (new Timestamp(w), t, n) }
+        .toDF("window_start", "event_type", "n")
+      Streaming.topKPerWindow(df, k = 2).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+    }
+    // window [00:00,00:10): click×3, view×2, error×1
+    in.addData(
+      Ev(1, 1, "click", 1, ts(1)), Ev(2, 1, "click", 1, ts(2)), Ev(3, 1, "view", 1, ts(3)),
+      Ev(4, 2, "view", 1, ts(4)), Ev(5, 2, "error", 1, ts(5)), Ev(6, 2, "click", 1, ts(6)))
+    q.processAllAvailable()
+    val w0 = ts(0).getTime
+    val lb1 = leaderboard()
+    assert(lb1((w0, 1)) == ("click", 3L), s"lb=$lb1")
+    assert(lb1((w0, 2)) == ("view", 2L))
+    // a later batch flips the leader: view gains 2 more → view×4 > click×3.
+    // The flip is only visible because the rank runs over the MERGED store;
+    // this batch's update rows alone contain no 'click' row at all.
+    in.addData(Ev(7, 3, "view", 1, ts(7)), Ev(8, 3, "view", 1, ts(8)))
+    q.processAllAvailable()
+    val lb2 = leaderboard()
+    assert(lb2((w0, 1)) == ("view", 4L), s"lb=$lb2")
+    assert(lb2((w0, 2)) == ("click", 3L))
+  }
+
   test("update output mode re-emits a window's row each time it changes") {
     val s = spark
     import s.implicits._
