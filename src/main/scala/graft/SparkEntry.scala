@@ -105,6 +105,8 @@ object SparkEntry {
     "q_window_distinct" -> (Relational.q_window_distinct _),
     "q_abc_class" -> (Relational.q_abc_class _),
     "q_temperature_sample" -> (Llm.q_temperature_sample _),
+    "q_twap" -> (Relational.q_twap _),
+    "q_interval_union" -> (Relational.q_interval_union _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -652,6 +654,38 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |w AS (SELECT user_id, value,
+        |    lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt_us
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_obs, CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+        |        / sum(dt_us) + 1e-9, 6) AS twap
+        |FROM w WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + 600000000 AS end_us FROM events),
+        |f AS (SELECT user_id, event_id, ts_us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, ts_us, end_us,
+        |    CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (SELECT user_id, ts_us, end_us,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |i AS (SELECT user_id, island, min(ts_us) AS i_start, max(end_us) AS i_end
+        |  FROM h GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |t AS (SELECT sum(n_l) AS n_tot FROM c),

@@ -2050,6 +2050,62 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Time-weighted average (TWAP): each observation weighted by how
+    * long it stayed current (µs until the user's next event, ONE lead
+    * window). The value is exact-2-decimal, so `value×Δt` is computed
+    * in DECIMAL (exact) and only the final ratio drops to double —
+    * partial-aggregation order cannot move the result. One user-key
+    * shuffle; the last observation (no successor) carries zero weight
+    * and is excluded, the standard TWAP convention.
+    */
+  def q_twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dt_us")).as("span_us"),
+        round(sum(col("value").cast(DecimalType(18, 2)) * col("dt_us")).cast("double") /
+          sum(col("dt_us")) + lit(1e-9), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Interval UNION per key (islands & gaps): every event opens a
+    * 10-minute activity interval; overlapping/touching intervals merge
+    * into islands via the classic cumulative-max-of-ends flag, islands
+    * number by a running sum, and the rollup reports island count +
+    * total covered time — "how much wall-clock was this user active?",
+    * the dedup-aware alternative to naively summing interval lengths.
+    * Two window passes and two aggregations over ONE user-key shuffle;
+    * the (ts, event_id) order is total, so the exclusive-frame cummax
+    * is engine-deterministic even under timestamp ties.
+    */
+  def q_interval_union(s: SparkSession, d: String): DataFrame = {
+    val ivUs = 600000000L // 10 minutes
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + ivUs).as("end_us"))
+      .withColumn("prev_max_end", max(col("end_us")).over(wPrev))
+      .withColumn("ni",
+        when(col("prev_max_end").isNull || col("ts_us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min("ts_us").as("i_start"), max("end_us").as("i_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   /** Sliding-window DISTINCT count — a genuine engine gap: Spark has no
     * `count_distinct` window aggregate, so the composition is
     * `collect_list` over the frame → `array_distinct` → `size`, all

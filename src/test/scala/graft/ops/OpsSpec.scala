@@ -1087,6 +1087,57 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_twap: decimal-weighted time average matches a driver-side replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("user_id", "event_id", "ts_us", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val obs = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val span = obs.map(_._2).sum
+      val wsum = obs.map { case (v, dt) =>
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(dt) }.sum
+      u -> ((obs.length.toLong, span, r6(wsum.toDouble / span + 1e-9)))
+    }
+    val got = Relational.q_twap(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (n, span, tw)) =>
+      val (gn, gs, gt) = got(u)
+      assert(gn == n && gs == span && math.abs(gt - tw) < 1e-9, s"user $u") }
+  }
+
+  test("q_interval_union: island merge matches a driver-side sweep") {
+    import spark.implicits._
+    val iv = 600000000L
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("user_id", "ts_us").as[(Long, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val starts = rows.map(_._2).sorted
+      var islands = 0L; var covered = 0L
+      var curS = -1L; var curE = -1L
+      starts.foreach { s =>
+        if (curE < 0 || s > curE) {
+          if (curE >= 0) covered += curE - curS
+          islands += 1; curS = s; curE = s + iv
+        } else curE = math.max(curE, s + iv)
+      }
+      if (curE >= 0) covered += curE - curS
+      u -> ((islands, covered))
+    }
+    val got = Relational.q_interval_union(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // sanity: merging can only shorten vs naive sum of interval lengths
+    got.foreach { case (u, (_, cov)) =>
+      assert(cov <= ev.count(_._1 == u).toLong * iv) }
+  }
+
   test("q_feature_bins: bins partition the table; counts are near-equal; bounds nest") {
     val bins = Relational.q_feature_bins(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
