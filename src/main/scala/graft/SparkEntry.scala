@@ -107,6 +107,7 @@ object SparkEntry {
     "q_temperature_sample" -> (Llm.q_temperature_sample _),
     "q_twap" -> (Relational.q_twap _),
     "q_interval_union" -> (Relational.q_interval_union _),
+    "q_benford" -> (Relational.q_benford _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -654,6 +655,19 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_benford" ->
+      """WITH o AS (SELECT regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS digit,
+        |    count(*) AS n
+        |  FROM events WHERE value > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM o),
+        |s AS (SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / n_tot + 1e-9, 6) AS obs_share,
+        |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) + 1e-9, 6) AS benford_share
+        |  FROM o CROSS JOIN t)
+        |SELECT digit, n, obs_share, benford_share,
+        |  round(pow(obs_share - benford_share, 2) / benford_share + 1e-9, 6) AS chi2_term
+        |FROM s ORDER BY digit""".stripMargin,
+
     "q_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |w AS (SELECT user_id, value,
@@ -974,7 +988,7 @@ object SparkEntry {
         |agg AS (SELECT t.doc_id, count(*) AS n_tok, sum(l.lr) AS slr
         |  FROM terms t JOIN lr l USING (term) GROUP BY t.doc_id)
         |SELECT a.doc_id, d.lang, a.n_tok,
-        |  round(CAST(a.slr AS DOUBLE) / a.n_tok + 1e-9, 6) AS dsir_lr
+        |  round(CAST(a.slr AS DOUBLE) / a.n_tok + 1e-9, 6) + 0.0 AS dsir_lr
         |FROM agg a JOIN documents d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "q_join_dims" ->
@@ -1087,7 +1101,7 @@ object SparkEntry {
         |  FROM dw a JOIN dw b USING (doc_id) WHERE a.w < b.w
         |  GROUP BY 1, 2 HAVING count(*) >= 50)
         |SELECT w1, w2, n12,
-        |  round(ln(CAST(n12 AS DOUBLE) * n_docs / (c1.nw * c2.nw)) + 1e-9, 6) AS pmi
+        |  round(ln(CAST(n12 AS DOUBLE) * n_docs / (c1.nw * c2.nw)) + 1e-9, 6) + 0.0 AS pmi
         |FROM p JOIN wc c1 ON c1.w = w1 JOIN wc c2 ON c2.w = w2 CROSS JOIN tot
         |ORDER BY w1, w2""".stripMargin,
 

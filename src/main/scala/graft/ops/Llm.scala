@@ -1569,7 +1569,11 @@ object Llm {
       .agg(count(lit(1)).as("n_tok"), sum(col("lr")).as("slr"))
       .join(documents(s, d).select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok"),
-        round(col("slr").cast("double") / col("n_tok") + lit(1e-9), 6).as("dsir_lr"))
+        // + 0.0 normalizes IEEE −0.0 → +0.0 (a near-zero score can round
+        // to signed zero; DuckDB keeps the sign, BigDecimal-based round
+        // does not — both engines apply the same normalization)
+        (round(col("slr").cast("double") / col("n_tok") + lit(1e-9), 6) + lit(0.0))
+          .as("dsir_lr"))
       .orderBy("doc_id")
   }
 
@@ -1629,8 +1633,9 @@ object Llm {
       .join(broadcast(wc.select(col("w").as("w2"), col("nw").as("n2"))), "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n12"),
-        round(log(col("n12").cast("double") * col("n_docs") / (col("n1") * col("n2"))) +
-          lit(1e-9), 6).as("pmi"))
+        // + 0.0: normalize a signed-zero rounded PMI (see q_dsir_weights)
+        (round(log(col("n12").cast("double") * col("n_docs") / (col("n1") * col("n2"))) +
+          lit(1e-9), 6) + lit(0.0)).as("pmi"))
       .orderBy("w1", "w2")
   }
 

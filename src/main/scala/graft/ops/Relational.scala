@@ -2050,6 +2050,35 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Benford first-digit profile — the classic fraud / data-quality
+    * screen: the observed first-significant-digit distribution next to
+    * Benford's law `log10(1 + 1/d)` with each digit's chi-square
+    * contribution. Digit extraction is STRING-based (first [1-9] in the
+    * plain-decimal rendering) rather than `floor(v / 10^floor(log10 v))`
+    * because libm log10 is not bit-identical across engines at power-of-
+    * ten boundaries while double→string shortest-rendering is. (Scope:
+    * plain-decimal magnitudes; scientific-notation renderings at
+    * ≥1e7 would need a normalization pass first.) One scan + one 9-row
+    * aggregation — nothing at scale.
+    */
+  def q_benford(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d)
+      .filter(col("value") > 0)
+      .select(regexp_extract(col("value").cast("string"), "[1-9]", 0).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("n_tot"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("obs_share",
+        round(col("n").cast("double") / col("n_tot") + lit(1e-9), 6))
+      .withColumn("benford_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) + lit(1e-9), 6))
+      .withColumn("chi2_term",
+        round(pow(col("obs_share") - col("benford_share"), 2) / col("benford_share") +
+          lit(1e-9), 6))
+      .select("digit", "n", "obs_share", "benford_share", "chi2_term")
+      .orderBy("digit")
+  }
+
   /** Time-weighted average (TWAP): each observation weighted by how
     * long it stayed current (µs until the user's next event, ONE lead
     * window). The value is exact-2-decimal, so `value×Δt` is computed

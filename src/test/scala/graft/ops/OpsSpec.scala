@@ -1087,6 +1087,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_benford: digit census matches a driver-side replay; shares close") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf).select("value").as[Double].collect().filter(_ > 0)
+    val expected = vals.map(v => v.toString.find(c => c >= '1' && c <= '9').get.toString)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Relational.q_benford(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (d, (n, _, _)) => assert(n == expected(d), s"digit $d") }
+    // shares are distributions
+    assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-4)
+    // closed form spot-check: benford share of digit 1 is log10(2)
+    val b1 = rows.toMap.apply("1")._3
+    assert(math.abs(b1 - math.log10(2.0)) < 1e-5)
+  }
+
   test("q_twap: decimal-weighted time average matches a driver-side replay") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
