@@ -108,6 +108,8 @@ object SparkEntry {
     "q_twap" -> (Relational.q_twap _),
     "q_interval_union" -> (Relational.q_interval_union _),
     "q_benford" -> (Relational.q_benford _),
+    "q_event_streaks" -> (Relational.q_event_streaks _),
+    "q_two_hop" -> (Llm.q_two_hop _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -655,6 +657,43 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_event_streaks" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |r AS (SELECT user_id, event_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM o),
+        |g AS (SELECT user_id, run_id, event_type,
+        |    count(*) AS len, min(event_id) AS first_event
+        |  FROM r GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, event_type, len, first_event,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, event_type, first_event) AS rn
+        |  FROM g)
+        |SELECT user_id, event_type AS streak_type, len AS streak_len, first_event
+        |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_two_hop" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT x.doc_id AS s, y.doc_id AS t
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+        |  UNION ALL
+        |  SELECT x.doc_id, y.doc_id
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 2
+        |  WHERE x.doc_id % 2 = 0),
+        |und AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+        |two AS (SELECT DISTINCT a.s AS a, b.t AS c
+        |  FROM und a JOIN und b ON a.t = b.s WHERE b.t <> a.s)
+        |SELECT two.a, count(*) AS n_two_hop
+        |FROM two LEFT JOIN und ON und.s = two.a AND und.t = two.c
+        |WHERE und.s IS NULL
+        |GROUP BY two.a ORDER BY two.a""".stripMargin,
+
     "q_benford" ->
       """WITH o AS (SELECT regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS digit,
         |    count(*) AS n

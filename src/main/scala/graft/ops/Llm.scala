@@ -1742,6 +1742,36 @@ object Llm {
       .orderBy("a")
   }
 
+  /** Two-hop neighborhood census (friends-of-friends): per vertex, the
+    * count of vertices reachable in exactly two hops that are neither
+    * the vertex itself nor a direct neighbor — the link-expansion
+    * signal behind related-page mining and graph feature engineering.
+    * Same deterministic chain+chord graph as [[q_graph_triangles]].
+    * Shape: adjacency self-join on the MIDDLE vertex (Σ deg(b)² pair
+    * volume — bounded-degree here; at 100 TB a power-law graph needs a
+    * degree cap or high-degree-vertex mirroring first), then a distinct
+    * + one anti-join to remove direct neighbors. No all-pairs anywhere.
+    */
+  def q_two_hop(s: SparkSession, d: String): DataFrame = {
+    val ids = documents(s, d).select(col("doc_id"))
+    val e1 = ids.as("x").join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val e2 = ids.as("x").filter(col("doc_id") % 2 === 0)
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 2)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val dir = e1.union(e2)
+    val und = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val two = und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+      .filter(col("b.dst") =!= col("a.src"))
+      .select(col("a.src").as("a"), col("b.dst").as("c"))
+      .distinct()
+    two.join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"), "left_anti")
+      .groupBy("a").agg(count(lit(1)).as("n_two_hop"))
+      .orderBy("a")
+  }
+
   /** Dataset drift profile: Population Stability Index between two
     * corpus snapshots (here: doc_id < 250 = reference, ≥ 250 = current)
     * over fixed-width n_chars buckets — the monitoring op a training

@@ -2050,6 +2050,33 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Longest same-type event streak per user (gaps-and-islands on a
+    * CATEGORICAL run): lag-change flags number the runs, one grouped
+    * count sizes them, and a deterministic (length desc, type asc,
+    * first event asc) rank picks each user's longest — engagement-
+    * pattern mining ("7 errors in a row") on ONE user-key shuffle.
+    */
+  def q_event_streaks(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("event_id")
+    val runs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(ord).isNull ||
+          lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(count(lit(1)).as("len"), min("event_id").as("first_event"))
+    val pick = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("event_type"), col("first_event"))
+    runs
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("streak_type"),
+        col("len").as("streak_len"), col("first_event"))
+      .orderBy("user_id")
+  }
+
   /** Benford first-digit profile — the classic fraud / data-quality
     * screen: the observed first-significant-digit distribution next to
     * Benford's law `log10(1 + 1/d)` with each digit's chi-square

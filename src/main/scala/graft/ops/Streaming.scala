@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A single event row for typed stateful streaming ops (mirrors the
   * `events` table, FIXTURES.md).
@@ -128,6 +128,51 @@ object Streaming {
       totals.update((n, sum))
       Iterator.single((key, n, sum))
     }
+  }
+
+  /** Idle-key flush via `transformWithState` EVENT-TIME TIMERS — the
+    * Spark 4 timer API (the piece `flatMapGroupsWithState` exposes only
+    * as coarse timeouts): each key re-arms ONE timer at
+    * last-event-time + idleMs; when the watermark passes it,
+    * `handleExpiredTimer` emits the accumulated count and clears state.
+    * The abandoned-cart / idle-session pattern. Re-arming deletes the
+    * previous timer, so state per key is one counter and one timer —
+    * watermark-bounded, never growing with event volume.
+    */
+  class IdleFlushProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Ev, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (count.exists()) count.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      count.update(n)
+      getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm: one live timer
+      getHandle.registerTimer(maxTs + idleMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear()
+      Iterator.single((key, n))
+    }
+  }
+
+  /** `(user_id, n_events)` emitted once a user goes idle for `idleMs`. */
+  def idleFlush(events: Dataset[Ev], idleMs: Long): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** `user_id, n_events, value_sum` updated per micro-batch. */

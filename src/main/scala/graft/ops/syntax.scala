@@ -72,6 +72,20 @@ object syntax {
     def incrementalDedup(idCol: String, keyCol: String, index: DataFrame): DataFrame =
       Llm.incrementalDedup(df, idCol, keyCol, index)
 
+    /** [[Scale.binnedOverlapJoin]] with `df` as the left interval side. */
+    def binnedOverlapJoin(right: DataFrame, lStart: String, lEnd: String,
+                          rStart: String, rEnd: String, binSize: Long): DataFrame =
+      Scale.binnedOverlapJoin(df, right, lStart, lEnd, rStart, rEnd, binSize)
+
+    /** [[Llm.setSimJoin]]: exact Jaccard ≥ t self-join of `df`. */
+    def setSimSelfJoin(idCol: String, textCol: String, t: Double,
+                       maxToken: Int = Int.MaxValue): DataFrame =
+      Llm.setSimJoin(df, idCol, textCol, t, maxToken)
+
+    /** [[Llm.contaminationFuzzy]] with `df` as the training corpus. */
+    def fuzzyDecontaminate(eval_ : DataFrame, threshold: Double): DataFrame =
+      Llm.contaminationFuzzy(df, eval_, threshold)
+
     /** [[Sinks.rangeSortedParquet]]: sort-key-skippable layout. */
     def writeRangeSorted(path: String, byCol: String, files: Int): Unit =
       Sinks.rangeSortedParquet(df, path, byCol, files)

@@ -1087,6 +1087,43 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_event_streaks: longest-run pick matches a driver-side replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").as[(Long, Long, String)].collect()
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // runs of consecutive equal types, keeping (type, len, firstEvent)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      sorted.foreach { case (_, id, t) =>
+        if (runs.nonEmpty && runs.last._1 == t)
+          runs(runs.length - 1) = (t, runs.last._2 + 1, runs.last._3)
+        else runs += ((t, 1L, id))
+      }
+      u -> runs.minBy { case (t, len, first) => (-len, t, first) }
+    }
+    val got = Relational.q_event_streaks(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("q_two_hop: counts match a driver-side BFS on the chain+chord graph") {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect().toSet
+    val dir = ids.flatMap(i => Seq(i -> (i + 1)).filter(e => ids(e._2))) ++
+      ids.filter(_ % 2 == 0).flatMap(i => Seq(i -> (i + 2)).filter(e => ids(e._2)))
+    val und = (dir ++ dir.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = ids.flatMap { a =>
+      val direct = und.getOrElse(a, Set.empty)
+      val two = direct.flatMap(b => und.getOrElse(b, Set.empty)) - a -- direct
+      if (two.nonEmpty) Some(a -> two.size.toLong) else None
+    }.toMap
+    val got = Llm.q_two_hop(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("q_benford: digit census matches a driver-side replay; shares close") {
     import spark.implicits._
     val vals = Tables.events(spark, sf).select("value").as[Double].collect().filter(_ > 0)

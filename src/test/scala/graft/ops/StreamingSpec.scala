@@ -224,6 +224,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("transformWithState timers: idle keys flush when the watermark passes last-event + gap") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.idleFlush(in.toDS(), idleMs = 10 * 60 * 1000)
+        .toDF("user_id", "n_events"), "idleflush")
+      // user 1 active at 00:01..00:03; user 2 at 00:05 — nothing idle yet
+      in.addData(Ev(1, 1, "click", 1, ts(1)), Ev(2, 1, "click", 1, ts(3)), Ev(3, 2, "view", 1, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("idleflush").count() == 0)
+      // user 2 reappears at 00:30 → watermark 00:30 passes user 1's
+      // timer (00:03 + 10min = 00:13): user 1 flushes with n=2.
+      // User 2's own timer re-armed to 00:40 — still live.
+      in.addData(Ev(4, 2, "view", 1, ts(30)))
+      q.processAllAvailable()
+      // timer fires on the NEXT batch boundary after the watermark moves
+      in.addData(Ev(5, 3, "view", 1, ts(31)))
+      q.processAllAvailable()
+      val rows = spark.table("idleflush").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L)), s"got $rows")
+      assert(!rows.exists(_._1 == 2L), s"user 2 must still be live: $rows")
+      // after the flush the counter resets: user 1 returns, goes idle again → n=1
+      in.addData(Ev(6, 1, "click", 1, ts(40)))
+      q.processAllAvailable()
+      in.addData(Ev(7, 3, "view", 1, ts(60)))
+      q.processAllAvailable()
+      in.addData(Ev(8, 3, "view", 1, ts(61)))
+      q.processAllAvailable()
+      val rows2 = spark.table("idleflush").as[(Long, Long)].collect().toList
+      assert(rows2.count(r => r == ((1L, 1L))) == 1, s"got $rows2")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink: every micro-batch delivered exactly once with its batchId") {
     val s = spark
     import s.implicits._
