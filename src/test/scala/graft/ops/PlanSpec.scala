@@ -221,6 +221,26 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(share).contains("Window"))
   }
 
+  test("round-4 window ops shuffle the fact exactly once (the partition key)") {
+    // q_twap / q_interval_union / q_event_streaks / q_window_median /
+    // q_window_distinct all claim "ONE user-key shuffle" in their docs —
+    // pin it: exactly one hashpartitioning Exchange in each plan (the
+    // trailing presentation sort is rangepartitioning, not counted)
+    def hashExchanges(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString()
+      plan.split("Exchange ").count(_.startsWith("hashpartitioning"))
+    }
+    assert(hashExchanges(Relational.q_window_median(spark, sf)) == 1)
+    assert(hashExchanges(Relational.q_window_distinct(spark, sf)) == 1)
+    assert(hashExchanges(Relational.q_twap(spark, sf)) == 1)
+    assert(hashExchanges(Relational.q_interval_union(spark, sf)) == 1)
+    // streaks: run numbering + run sizing + the longest-pick window all
+    // hash-partition on user_id — Catalyst reuses ONE exchange for the
+    // windows; the grouped run-sizing agg re-partitions on the finer
+    // (user, run, type) key, so two total
+    assert(hashExchanges(Relational.q_event_streaks(spark, sf)) <= 2)
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // under AQE the codegen-staged plan only exists once executed
