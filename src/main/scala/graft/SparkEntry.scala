@@ -110,6 +110,8 @@ object SparkEntry {
     "q_benford" -> (Relational.q_benford _),
     "q_event_streaks" -> (Relational.q_event_streaks _),
     "q_two_hop" -> (Llm.q_two_hop _),
+    "q_percent_change" -> (Relational.q_percent_change _),
+    "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -657,6 +659,28 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_percent_change" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev FROM m)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) + 1e-9, 6) + 0.0 AS mom_pct
+        |FROM l ORDER BY month""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS fs,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |lat AS (SELECT fp - fs AS latency_us FROM u
+        |  WHERE fs IS NOT NULL AND fp IS NOT NULL AND fp >= fs)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(latency_us, 0.25) + 1e-9, 4) AS p25_us,
+        |  round(quantile_cont(latency_us, 0.50) + 1e-9, 4) AS p50_us,
+        |  round(quantile_cont(latency_us, 0.75) + 1e-9, 4) AS p75_us
+        |FROM lat""".stripMargin,
+
     "q_event_streaks" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
         |    CASE WHEN lag(event_type) OVER w IS NULL

@@ -2050,6 +2050,50 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Period-over-period growth (month-over-month revenue %): the fact
+    * collapses ONCE to the month level (DECIMAL revenue), then lag +
+    * ratio run over the dimension-sized month axis — the single-
+    * partition window is safe by construction (months, not rows).
+    * Signed-zero guard on the rounded pct (see q_dsir_weights).
+    */
+  def q_percent_change(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .select(col("month"), col("rev_dec").cast("double").as("revenue"),
+        (round((col("rev_dec") - col("prev_dec")).cast("double") /
+          col("prev_dec").cast("double") + lit(1e-9), 6) + lit(0.0)).as("mom_pct"))
+      .orderBy("month")
+  }
+
+  /** Funnel conversion latency: for users whose first purchase follows
+    * their first signup, the signup→purchase delay distribution
+    * (p25/p50/p75, exact interpolated) plus conversion count. Stage
+    * timestamps come from CONDITIONAL min aggregation in one pass over
+    * the fact — no per-stage self-joins — and the percentile runs over
+    * the user-level (dimension-sized) latency set.
+    */
+  def q_funnel_latency(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_signup"))
+      .select((col("first_purchase") - col("first_signup")).as("latency_us"))
+    val pcts = percentile(col("latency_us"), lit(Array(0.25, 0.5, 0.75)))
+    perUser.agg(
+      count(lit(1)).as("n_converted"),
+      round(element_at(pcts, 1) + lit(1e-9), 4).as("p25_us"),
+      round(element_at(pcts, 2) + lit(1e-9), 4).as("p50_us"),
+      round(element_at(pcts, 3) + lit(1e-9), 4).as("p75_us"))
+  }
+
   /** Longest same-type event streak per user (gaps-and-islands on a
     * CATEGORICAL run): lag-change flags number the runs, one grouped
     * count sizes them, and a deterministic (length desc, type asc,

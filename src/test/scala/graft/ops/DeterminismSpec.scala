@@ -14,10 +14,15 @@ class DeterminismSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  // float-heavy agg, global window, salted join, hash sample, iterative
+  // float-heavy agg, global window, salted join, hash sample, iterative —
+  // plus the round-4 ops whose determinism claims are load-bearing:
+  // DECIMAL-summed DSIR scores, broadcast-cutpoint bins, md5-ranked
+  // quota draws, decimal-weighted TWAP, merged incremental state
   private val probes = Seq(
     "q_tpch_q1ish", "q_window_rank", "q_join_salted", "q_sample_hash",
-    "q_quality_classifier", "q_agg_stats2")
+    "q_quality_classifier", "q_agg_stats2",
+    "q_dsir_weights", "q_feature_bins", "q_temperature_sample",
+    "q_twap", "q_incr_rollup")
 
   private def run(name: String): Seq[String] =
     graft.SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -1087,6 +1087,52 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_percent_change: MoM ratios match a driver-side replay; first month is null") {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_totalprice"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      .toMap
+    val months = monthly.keys.toSeq.sorted
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Relational.q_percent_change(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(got.map(_._1) == months.toList)
+    got.zipWithIndex.foreach { case ((m, rev, pct), i) =>
+      assert(math.abs(rev - monthly(m).toDouble) < 1e-6)
+      if (i == 0) assert(pct.isEmpty)
+      else {
+        val prev = monthly(months(i - 1))
+        val want = r6((monthly(m) - prev).toDouble / prev.toDouble + 1e-9)
+        assert(math.abs(pct.get - want) < 1e-9, s"month $m")
+      }
+    }
+  }
+
+  test("q_funnel_latency: conversion count and latency percentiles match a replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("user_id", "event_type", "ts_us").as[(Long, String, Long)].collect()
+    val lats = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val fs = rows.filter(_._2 == "signup").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (fs, fp) match {
+        case (Some(a), Some(b)) if b >= a => Some((b - a).toDouble)
+        case _ => None
+      }
+    }.sorted.toArray
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Relational.q_funnel_latency(spark, sf).collect().head
+    assert(row.getLong(0) == lats.length)
+    assert(lats.nonEmpty, "no conversions at sf0.001 — latency gate vacuous")
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(row.getDouble(i + 1) - r4(pctl(lats, p) + 1e-9)) < 1e-9, s"p$p") }
+  }
+
   test("q_event_streaks: longest-run pick matches a driver-side replay") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
