@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan, GreaterThanOrEqual, IntegralDivide, Least, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -51,6 +51,26 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * Converges in a fixed-point batch by construction: the rewritten
   * join HAS an equi conjunct, so the rule never matches its own output.
+  *
+  * ALSO handles the other keyless band shape — interval × interval
+  * OVERLAP (`lStart < rEnd AND rStart < lEnd`, strict or inclusive):
+  * both sides explode to the bins of their [least(s,e), greatest(s,e)]
+  * span and meet in a bin equi-join, with the original condition as
+  * residual plus a charge-once conjunct that keeps only the bin holding
+  * `greatest(lStart, rStart)`. Result-identical for ALL inputs:
+  *   - a pair satisfying the overlap has its later start inside both
+  *     intervals' least/greatest spans (if m = rStart > lStart then
+  *     rStart < lEnd ≤ greatest(lStart, lEnd), and symmetrically), so
+  *     the charged bin exists on both exploded sides — exactly one
+  *     emission;
+  *   - inverted (end < start) and empty intervals are NOT special-cased
+  *     away: the least/greatest span over-approximates and the original
+  *     condition decides, so semantics never change (unlike the
+  *     explicit `Scale.binnedOverlapJoin` API, which documents an
+  *     end>start precondition);
+  *   - null bounds make the span null → `explode` yields no rows, and
+  *     the original condition would have been null anyway.
+  * Inner joins only (both sides change multiplicity under the explode).
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -185,8 +205,45 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             val (newLeft, newRight) =
               if (lb.pointOnLeft) (pPlan, gen) else (gen: LogicalPlan, pPlan: LogicalPlan)
             Project(j.output, Join(newLeft, newRight, joinType, Some(newCond), hint))
-          case _ => j
+          case _ =>
+            rewriteOverlap(j, conjuncts, bs, bin).getOrElse(j)
         }
+    }
+  }
+
+  /** The interval×interval OVERLAP rewrite (see object scaladoc): fires
+    * when the band conjuncts contain two UPPER bounds whose point
+    * expressions sit on OPPOSITE sides — each side is then an interval
+    * (its point = start, the other bound's expression = its end).
+    */
+  private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
+                             bs: Seq[Bound], bin: Long): Option[LogicalPlan] = {
+    val Join(left, right, joinType, Some(cond), hint) = j: @unchecked
+    if (joinType != Inner || hasCrossEqui(conjuncts, left, right)) return None
+    val uppers = bs.filterNot(_.lower)
+    val pair = (for {
+      b1 <- uppers if b1.pointOnLeft
+      b2 <- uppers if !b2.pointOnLeft
+    } yield (b1, b2)).headOption
+    pair.map { case (b1, b2) =>
+      val (ls, le) = (Cast(b1.point, LongType), Cast(b2.bound, LongType))
+      val (rs, re) = (Cast(b2.point, LongType), Cast(b1.bound, LongType))
+      val lbinAttr = AttributeReference("__graft_lbin", LongType)()
+      val rbinAttr = AttributeReference("__graft_rbin", LongType)()
+      def spanGen(child: LogicalPlan, s: Expression, e: Expression,
+                  attr: AttributeReference): LogicalPlan = {
+        val seq = Sequence(floorBin(Least(Seq(s, e)), bin),
+          floorBin(Greatest(Seq(s, e)), bin),
+          Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+        Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child = child)
+      }
+      val newLeft = spanGen(left, ls, le, lbinAttr)
+      val newRight = spanGen(right, rs, re, rbinAttr)
+      // charge-once: only the bin holding the later start emits the pair
+      val charge = EqualTo(lbinAttr, floorBin(Greatest(Seq(ls, rs)), bin))
+      val newCond = And(And(EqualTo(lbinAttr, rbinAttr), charge), cond)
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
     }
   }
 }

@@ -164,4 +164,74 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(!plan.contains("__graft_pbin"), s"rule must not fire on an equi join:\n$plan")
     }
   }
+
+  // ---- interval × interval OVERLAP rewrite ---------------------------
+
+  private def lIv = Seq(
+    (1L, 0L, 100L), (2L, 90L, 210L), (3L, 500L, 501L),
+    (4L, 300L, 300L),   // empty
+    (5L, 700L, 600L))   // inverted — must keep BNLJ semantics
+    .toDF("lid", "ls", "le")
+  private def rIv = Seq(
+    (10L, 50L, 60L), (11L, 95L, 400L), (12L, 600L, 650L),
+    (13L, 150L, 150L),  // empty
+    (14L, 800L, 550L))  // inverted
+    .toDF("rid", "rs", "re")
+
+  test("overlap join: BNLJ without the rule, bin equi-join with it, identical incl. inverted intervals") {
+    for ((c1, c2) <- Seq(
+        (col("ls") < col("re"), col("rs") < col("le")),   // strict
+        (col("ls") <= col("re"), col("rs") <= col("le")), // inclusive
+        (col("re") > col("ls"), col("le") > col("rs")))) { // mirrored
+      val cond = c1 && c2
+      val naive = lIv.join(rIv, cond)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      withBin(100L) {
+        val rewritten = lIv.join(rIv, cond)
+        assert(!nested(rewritten), s"overlap rule must delete the BNLJ:\n${planOf(rewritten)}")
+        val rows = rewritten.select("lid", "rid").as[(Long, Long)].collect()
+        assert(rows.toSet == naive, s"got ${rows.toSet} want $naive")
+        assert(rows.length == naive.size, "each overlapping pair exactly once")
+      }
+    }
+  }
+
+  test("overlap rewrite ≡ the DuckDB-oracled explicit helper on the gate data") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.ops.Tables
+    val DayMs = 86400000L
+    def ms(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+    val oracled = graft.ops.Relational.q_join_overlap(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    withBin(7 * DayMs) {
+      val l = Tables.orders(spark, sf).filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"), ms(col("o_orderdate")).as("s1"),
+          (ms(col("o_orderdate")) + 7 * DayMs).as("e1"))
+      val r = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_quantity"), ms(col("l_shipdate")).as("s2"),
+          (ms(col("l_shipdate")) + col("l_linenumber").cast("long") * DayMs).as("e2"))
+      val auto = l.join(r, col("s1") < col("e2") && col("s2") < col("e1"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlap"),
+          graft.ops.Relational.dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderkey")
+      assert(!nested(auto), "overlap rule must fire on the naive formulation")
+      assert(auto.collect().map(_.toSeq).toSeq == oracled)
+    }
+  }
+
+  test("overlap rewrite declines semi joins and equi-keyed joins") {
+    withBin(100L) {
+      val semi = lIv.join(rIv,
+        col("ls") < col("re") && col("rs") < col("le"), "left_semi")
+      assert(!planOf(semi).contains("__graft_lbin"),
+        "semi join multiplicities must not be rewritten")
+      val l2 = lIv.withColumn("k", col("lid") % 2)
+      val r2 = rIv.withColumn("k", col("rid") % 2)
+      val equi = l2.join(r2,
+        l2("k") === r2("k") && col("ls") < col("re") && col("rs") < col("le"))
+      assert(!planOf(equi).contains("__graft_lbin"),
+        "an equi conjunct already gives a hash join")
+    }
+  }
 }
