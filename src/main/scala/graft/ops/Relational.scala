@@ -214,6 +214,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join (nearest FOLLOWING purchase per event) — the
+    * direction event-study pipelines need ("what happened next") that
+    * SQL `ASOF` keywords don't offer. Same single-window-pass shape as
+    * the backward form, with the order reversed: a running MIN of
+    * purchase-ts over the ts-DESC order is exactly the nearest
+    * purchase at-or-after each event. One user-key shuffle, no join
+    * node, peers (ts ties) included by the default RANGE frame in both
+    * engines.
+    */
+  def q_join_asof_forward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("pus", when(col("event_type") === "purchase", col("ts_us")))
+      .withColumn("next_purchase_ns", min("pus").over(w) * 1000L)
+      .select("event_id", "user_id", "next_purchase_ns")
+      .orderBy("event_id")
+  }
+
   /** The same as-of join through the NATIVE Catalyst operator
     * (`graft.plans.AsofJoinNode` → `AsofJoinExec` co-partitioned merge)
     * instead of the union+window rewrite — both formulations are gated

@@ -1170,6 +1170,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_join_asof_forward matches a driver-side reference on sf0.001") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_ns")
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = events.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._4 / 1000 * 1000).sorted).toMap
+    val expected: Map[Long, Option[Long]] = events.map { case (id, uid, _, ts) =>
+      val tsUs = ts / 1000 * 1000
+      id -> purchases.getOrElse(uid, Array.empty[Long]).find(_ >= tsUs)
+    }.toMap
+    val got = Relational.q_join_asof_forward(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("q_benford: digit census matches a driver-side replay; shares close") {
     import spark.implicits._
     val vals = Tables.events(spark, sf).select("value").as[Double].collect().filter(_ > 0)
