@@ -113,6 +113,7 @@ object SparkEntry {
     "q_two_hop" -> (Llm.q_two_hop _),
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
+    "q_null_profile" -> (Relational.q_null_profile _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -667,6 +668,23 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_null_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_et,
+        |    count(DISTINCT event_type) AS nd_et,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_uid,
+        |    count(DISTINCT user_id) AS nd_uid,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_val,
+        |    count(DISTINCT value) AS nd_val,
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |    count(DISTINCT props) AS nd_props
+        |  FROM events)
+        |SELECT 'event_type' AS column_name, n, null_et AS n_null, nd_et AS n_distinct FROM a
+        |UNION ALL SELECT 'props', n, null_props, nd_props FROM a
+        |UNION ALL SELECT 'user_id', n, null_uid, nd_uid FROM a
+        |UNION ALL SELECT 'value', n, null_val, nd_val FROM a
+        |ORDER BY column_name""".stripMargin,
+
     "q_percent_change" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

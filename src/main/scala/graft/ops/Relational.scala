@@ -2069,6 +2069,37 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Describe-style column profile (the census behind a data catalog
+    * entry): per column, row count, null count, and EXACT distinct
+    * count — one pass for the scan + the distinct expansions, then a
+    * `stack` unpivot into the report shape (rule = column, not pass;
+    * same layout contract as q_dq_report). At 100 TB the exact
+    * distincts become the cost center — swap `countDistinct` for
+    * `approx_count_distinct`/HLL sketches (q_agg_hll) and keep the
+    * same report shape.
+    */
+  def q_null_profile(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_et"),
+        countDistinct(col("event_type")).as("nd_et"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_uid"),
+        countDistinct(col("user_id")).as("nd_uid"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_val"),
+        countDistinct(col("value")).as("nd_val"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        countDistinct(col("props")).as("nd_props"))
+      .select(col("n"), expr(
+        """stack(4,
+          |  'event_type', null_et, nd_et,
+          |  'props', null_props, nd_props,
+          |  'user_id', null_uid, nd_uid,
+          |  'value', null_val, nd_val) AS (column_name, n_null, n_distinct)""".stripMargin))
+      .select("column_name", "n", "n_null", "n_distinct")
+      .orderBy("column_name")
+  }
+
   /** Period-over-period growth (month-over-month revenue %): the fact
     * collapses ONCE to the month level (DECIMAL revenue), then lag +
     * ratio run over the dimension-sized month axis — the single-

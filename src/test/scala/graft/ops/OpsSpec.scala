@@ -1087,6 +1087,22 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_null_profile: census matches a driver-side replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "user_id", "value", "props")
+      .as[(String, Long, Double, String)].collect()
+    val rows = Relational.q_null_profile(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("event_type", "props", "user_id", "value"))
+    rows.values.foreach { case (n, _, _) => assert(n == ev.length) }
+    assert(rows("event_type")._3 == ev.map(_._1).distinct.length)
+    assert(rows("user_id")._3 == ev.map(_._2).distinct.length)
+    assert(rows("value")._3 == ev.map(_._3).distinct.length)
+    assert(rows("props")._3 == ev.map(_._4).distinct.length)
+    rows.values.foreach { case (_, nNull, _) => assert(nNull == 0) } // fixture has no nulls
+  }
+
   test("q_percent_change: MoM ratios match a driver-side replay; first month is null") {
     import spark.implicits._
     val monthly = Tables.orders(spark, sf)
