@@ -74,6 +74,7 @@ object SparkEntry {
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_asof_forward" -> (Relational.q_join_asof_forward _),
+    "q_join_asof_fwd_native" -> (Relational.q_join_asof_fwd_native _),
     "q_join_salted" -> (Relational.q_join_salted _),
     "q_join_bloom" -> (Relational.q_join_bloom _),
     "q_join_nullsafe" -> (Relational.q_join_nullsafe _),
@@ -463,6 +464,13 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q_join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS next_purchase_ns
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_asof_fwd_native" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_ns(p.ts) AS BIGINT) AS next_purchase_ns
         |FROM events e ASOF LEFT JOIN
         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p

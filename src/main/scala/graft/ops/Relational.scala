@@ -257,6 +257,22 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Forward as-of through the NATIVE operator (`forward = true` on
+    * `AsofJoinExec`'s merge): same µs-quantization contract as
+    * [[q_join_asof_native]], same DuckDB `ASOF <=` oracle as the window
+    * formulation [[q_join_asof_forward]] — three implementations, one
+    * verdict.
+    */
+  def q_join_asof_fwd_native(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), expr("ts_us * 1000").as("pns"))
+    graft.plans.Asof.join(base, purchases, "user_id", "ts_us", "ts_us", Seq("pns"),
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("asof_pns").as("next_purchase_ns"))
+      .orderBy("event_id")
+  }
+
   // ---- aggregation ----------------------------------------------------
 
   def q_agg_group(s: SparkSession, d: String): DataFrame =

@@ -27,6 +27,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * row with the same key and `rightTs <= leftTs`; ties on (key, ts)
   * resolve to the greatest payload; null keys/timestamps never match.
   *
+  * `forward = true` flips the direction: the FIRST right row with
+  * `rightTs >= leftTs` (the event-study "what happened next" join);
+  * ties resolve to the SMALLEST payload (the first row in the required
+  * (key, ts, payload) ordering). Still one forward pass with O(1)
+  * state: rows skipped for an earlier left row (`rightTs < leftTs`)
+  * can never match a later one because left timestamps ascend, and the
+  * candidate row itself is NOT consumed — it may match the next left
+  * row too.
+  *
   * `payloadOut` attributes are produced BY the node (not aliases — the
   * analyzer's CleanupAliases strips Alias from non-Project nodes), the
   * same pattern as Spark's `Generate.generatorOutput`.
@@ -35,7 +44,8 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTs: Attribute, rightTs: Attribute,
                         payloadIn: Seq[Attribute],
-                        payloadOut: Seq[Attribute]) extends BinaryNode {
+                        payloadOut: Seq[Attribute],
+                        forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -45,8 +55,8 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts, pIn, pOut) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, pIn, pOut) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lts, rts, pIn, pOut, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, pIn, pOut, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +65,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTs: Attribute, rightTs: Attribute,
                         payloadIn: Seq[Attribute],
-                        payloadOut: Seq[Attribute]) extends BinaryExecNode {
+                        payloadOut: Seq[Attribute],
+                        forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -119,26 +130,46 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyType)
           val lt = if (lRow.isNullAt(lTsIdx)) null else lRow.get(lTsIdx, tsType)
           if (lk == null || lt == null) return outProj(joined(lRow, nullPayload))
-          // consume right rows while (rk, rt) <= (lk, lt): rows with a
-          // smaller key are discarded, matching rows update the payload
-          var continue = true
-          while (continue && rHead != null) {
-            val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
-            val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
-            if (rk == null || rt == null) advanceRight() // null never matches
-            else {
-              val c = keyOrd.compare(rk, lk)
-              if (c < 0) advanceRight()
-              else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
-                matchedKey = InternalRow.copyValue(rk)
-                lastPayload = payloadProj(rHead).copy()
-                advanceRight()
-              } else continue = false
+          if (forward) {
+            // skip right rows strictly BEFORE (lk, lt) in key-major
+            // order; the first remaining row is the candidate and is
+            // NOT consumed — it may also match the next left row
+            var continue = true
+            var headKey: Any = null
+            while (continue && rHead != null) {
+              val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
+              val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
+              if (rk == null || rt == null) advanceRight() // null never matches
+              else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0 || (c == 0 && tsOrd.compare(rt, lt) < 0)) advanceRight()
+                else { headKey = rk; continue = false }
+              }
             }
+            val m = rHead != null && headKey != null && keyOrd.compare(headKey, lk) == 0
+            outProj(joined(lRow, if (m) payloadProj(rHead) else nullPayload))
+          } else {
+            // consume right rows while (rk, rt) <= (lk, lt): rows with a
+            // smaller key are discarded, matching rows update the payload
+            var continue = true
+            while (continue && rHead != null) {
+              val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
+              val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
+              if (rk == null || rt == null) advanceRight() // null never matches
+              else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) advanceRight()
+                else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
+                  matchedKey = InternalRow.copyValue(rk)
+                  lastPayload = payloadProj(rHead).copy()
+                  advanceRight()
+                } else continue = false
+              }
+            }
+            val matches = lastPayload != null && matchedKey != null &&
+              keyOrd.compare(matchedKey, lk) == 0
+            outProj(joined(lRow, if (matches) lastPayload else nullPayload))
           }
-          val matches = lastPayload != null && matchedKey != null &&
-            keyOrd.compare(matchedKey, lk) == 0
-          outProj(joined(lRow, if (matches) lastPayload else nullPayload))
         }
       }
     }
@@ -159,10 +190,12 @@ object Asof {
 
   /** `left` gains `asof_<c>` columns holding, per row, payload column
     * `c` of the last `right` row with the same `key` and
-    * `right.ts <= left.ts` (nulls when no such row).
+    * `right.ts <= left.ts` (nulls when no such row). With
+    * `forward = true`: the FIRST right row with `right.ts >= left.ts`.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
-           leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, payloadCols: Seq[String],
+           forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -190,7 +223,7 @@ object Asof {
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     val node = AsofJoinNode(lPlan, rPlan,
       lKeyA, rKeyA, lTsA, rTsA,
-      payloadIn, payloadOut)
+      payloadIn, payloadOut, forward)
     GraftSqlBridge.ofRows(spark, node)
   }
 }

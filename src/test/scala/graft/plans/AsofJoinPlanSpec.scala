@@ -78,6 +78,26 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key type mismatch"))
   }
 
+  test("forward native as-of ≡ the window formulation; ties take the smallest payload; miss = null") {
+    import spark.implicits._
+    // window reference over the gate data
+    val win = graft.ops.Relational.q_join_asof_forward(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val native = graft.ops.Relational.q_join_asof_fwd_native(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(native == win)
+    // hand case: equal (key, ts) right rows → SMALLEST payload; events
+    // after the last right row → null
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 31L, "c")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 20L, 7L), (1L, 20L, 3L), (1L, 30L, 9L)).toDF("k", "ts", "v")
+    val got = Asof.join(left, right, "k", "ts", "ts", Seq("v"), forward = true)
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("a" -> Some(3L), "b" -> Some(3L), "c" -> None), s"got $got")
+  }
+
   test("plan: AsofJoinExec merge, exactly one shuffle per side, no Union/Window") {
     val left = eventsBase
     val right = eventsBase.filter(col("event_type") === "purchase")
