@@ -165,6 +165,40 @@ object Streaming {
     }
   }
 
+  /** Per-key MAP state: running per-(user, event-type) counts in a
+    * `MapState` — the typed-state variable for ragged per-key
+    * sub-structure (a ValueState of a whole map would rewrite the full
+    * map per batch; MapState updates only the touched entries in
+    * RocksDB). Emits the updated (user, type, n) rows each batch.
+    */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val n = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, n + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => (key, t, counts.getValue(t)))
+    }
+  }
+
+  /** `(user_id, event_type, n)` — updated rows per micro-batch. */
+  def typeCounts(events: Dataset[Ev]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** `(user_id, n_events)` emitted once a user goes idle for `idleMs`. */
   def idleFlush(events: Dataset[Ev], idleMs: Long): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._

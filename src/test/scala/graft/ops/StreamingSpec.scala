@@ -267,6 +267,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("transformWithState MapState: per-(user,type) counts accumulate across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.typeCounts(in.toDS())
+        .toDF("user_id", "event_type", "n"), "typecounts")
+      in.addData(Ev(1, 1, "click", 1, ts(1)), Ev(2, 1, "click", 1, ts(2)), Ev(3, 1, "view", 1, ts(3)))
+      q.processAllAvailable()
+      in.addData(Ev(4, 1, "click", 1, ts(4)), Ev(5, 2, "view", 1, ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("typecounts").as[(Long, String, Long)].collect().toSet
+      // batch 1 emissions + batch 2 updates carrying MapState forward
+      assert(rows.contains((1L, "click", 2L)) && rows.contains((1L, "view", 1L)))
+      assert(rows.contains((1L, "click", 3L)), s"click count must resume from state: $rows")
+      assert(rows.contains((2L, "view", 1L)))
+      // batch 2 touched only user 1's click entry — no re-emission of view
+      assert(rows.count(r => r._1 == 1L && r._2 == "view") == 1)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink: every micro-batch delivered exactly once with its batchId") {
     val s = spark
     import s.implicits._
