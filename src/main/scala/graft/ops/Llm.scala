@@ -1886,6 +1886,12 @@ object Llm {
     * DECIMAL so normalization is engine- and order-exact; quotas use
     * floor(x + 0.5) — both sides of the oracle compute identical
     * doubles (sqrt is IEEE-correctly-rounded, unlike pow).
+    *
+    * Scale caveat: languages are FEW, so the exact-quota rank funnels a
+    * language through one task. At 100 TB use the same two-phase draw
+    * as `q_sample_group`'s scaladoc: md5-threshold prefilter to ~2× the
+    * quota in the scan stage, rank only survivors — same selected set
+    * with overwhelming probability, verifiable by a count-check.
     */
   def q_temperature_sample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -2140,7 +2140,11 @@ object Relational {
     * (p25/p50/p75, exact interpolated) plus conversion count. Stage
     * timestamps come from CONDITIONAL min aggregation in one pass over
     * the fact — no per-stage self-joins — and the percentile runs over
-    * the user-level (dimension-sized) latency set.
+    * the user-level latency set. Scale caveat: exact `percentile` is a
+    * single-buffer aggregation; at billions of converted users swap in
+    * `approx_percentile` (mergeable sketch, same report shape) — the
+    * user-level collapse stays the expensive-but-parallel part either
+    * way.
     */
   def q_funnel_latency(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d)
@@ -2392,6 +2396,14 @@ object Relational {
     * appends outside the group, and one shuffle on the group key. The
     * per-group window never sees more than a group's rows; there is no
     * global sort anywhere.
+    *
+    * Scale caveat: with FEW groups each partition is a large fraction
+    * of the table, so the exact-N rank funnels a group through one
+    * task. The at-scale refinement keeps the same draw: prefilter by an
+    * md5 threshold sized to ~2× the quota (scan-stage, like
+    * `q_mix_sample`), then rank only the survivors — the final N are
+    * below any such threshold with overwhelming probability, and a
+    * count-check can fall back to the exact form on the rare miss.
     */
   def q_sample_group(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type")
