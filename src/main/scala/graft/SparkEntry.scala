@@ -115,6 +115,8 @@ object SparkEntry {
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_null_profile" -> (Relational.q_null_profile _),
+    "q_gini" -> (Relational.q_gini _),
+    "q_entropy" -> (Relational.q_entropy _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -676,6 +678,29 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_gini" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT tot,
+        |    row_number() OVER (ORDER BY tot, o_custkey) AS i FROM cust)
+        |SELECT count(*) AS n_cust,
+        |  round(2.0 * CAST(sum(i * tot) AS DOUBLE)
+        |          / (count(*) * CAST(sum(tot) AS DOUBLE))
+        |        - CAST(count(*) + 1 AS DOUBLE) / count(*) + 1e-9, 6) AS gini
+        |FROM r""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.user_id, count(*) AS n_types,
+        |  CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / t.tot)
+        |                      * ln(CAST(c.c AS DOUBLE) / t.tot) + 1e-9, 6)
+        |               AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+        |FROM c JOIN t USING (user_id)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
     "q_null_profile" ->
       """WITH a AS (SELECT count(*) AS n,
         |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_et,

@@ -2085,6 +2085,52 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Gini coefficient of customer revenue concentration — the standard
+    * inequality summary ("do 20% of customers carry 80% of revenue?"),
+    * companion to [[q_abc_class]]'s tiering. Closed form over the
+    * revenue-sorted ranks: G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n. The fact
+    * contributes ONE grouped aggregation; the rank window and the
+    * Σ i·xᵢ run over the customer-level (dimension-sized) aggregate
+    * with DECIMAL products, so the result is exact until the single
+    * final division.
+    */
+  def q_gini(s: SparkSession, d: String): DataFrame = {
+    val cust = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot_dec"))
+    val w = Window.orderBy(col("tot_dec"), col("o_custkey"))
+    cust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("i") * col("tot_dec")).as("s1"),
+        sum(col("tot_dec")).as("s0"))
+      .select(col("n_cust"),
+        round(lit(2.0) * col("s1").cast("double") /
+          (col("n_cust") * col("s0").cast("double")) -
+          (col("n_cust") + 1).cast("double") / col("n_cust") + lit(1e-9), 6).as("gini"))
+  }
+
+  /** Per-user Shannon entropy of the event-type mix — the behavioral-
+    * diversity signal (bots repeat one action; humans spread). Two
+    * grouped counts on ONE user shuffle; each −p·ln p term is rounded
+    * then DECIMAL-summed (the dsum contract) so partial-aggregation
+    * order cannot change a user's entropy.
+    */
+  def q_entropy(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val t = c.groupBy("user_id").agg(sum("c").as("tot"))
+    c.join(t, "user_id")
+      .withColumn("p", col("c").cast("double") / col("tot"))
+      .withColumn("term",
+        round(-col("p") * log(col("p")) + lit(1e-9), 6).cast(DecimalType(18, 6)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy("user_id")
+  }
+
   /** Describe-style column profile (the census behind a data catalog
     * entry): per column, row count, null count, and EXACT distinct
     * count — one pass for the scan + the distinct expansions, then a

@@ -169,6 +169,23 @@ class OpsSpec extends AnyFunSuite {
     assert(stats._1 >= 1 && stats._2 >= 1000)
   }
 
+  test("setSimJoin token cap: boilerplate flood stays bounded, genuine pair survives") {
+    import spark.implicits._
+    // 1k identical docs: every prefix token is shared by all of them, so
+    // the uncapped exact join is inherently ~500k verified pairs; the
+    // opt-in cap drops the flooded tokens while the genuine near-dup
+    // pair (disjoint vocabulary, so its rare prefix tokens are NOT
+    // flooded) still meets
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 2
+    val real = "the quick brown fox jumps over that lazy dog again today"
+    val docs = ((1L to 1000L).map(i => (i, boiler)) ++
+      Seq((2001L, real), (2002L, real.replace("dog", "dog yes")))).toDF("doc_id", "text")
+    val pairs = Llm.setSimJoin(docs, "doc_id", "text", t = 0.8, maxToken = 256)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((2001L, 2002L)),
+      s"expected only the genuine pair, got ${pairs.length} pairs")
+  }
+
   test("multimodal fakeDecode: 16-bin normalized histogram") {
     val h = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
     assert(h.length == 16)
@@ -1085,6 +1102,48 @@ class OpsSpec extends AnyFunSuite {
     assert(byLang(hi).toDouble / total < corpus(hi) / nTot, s"$hi not flattened")
     assert(byLang(lo).toDouble / total > corpus(lo) / nTot, s"$lo not boosted")
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
+  test("q_gini: closed form matches a driver-side replay; bounds hold") {
+    import spark.implicits._
+    val tot = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      .toMap
+    val xs = tot.toSeq.sortBy { case (k, v) => (v, k) }.map(_._2)
+    val n = xs.length
+    val s1 = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val s0 = xs.sum
+    val want = BigDecimal(2.0 * s1.toDouble / (n * s0.toDouble) - (n + 1).toDouble / n + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Relational.q_gini(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - want) < 1e-9)
+    assert(row.getDouble(1) >= 0 && row.getDouble(1) < 1)
+  }
+
+  test("q_entropy: per-user entropy matches a replay; single-type users score zero") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      val tot = rows.length.toDouble
+      val e = counts.values.map { c =>
+        val p = c / tot; r6(-p * math.log(p) + 1e-9)
+      }.sum
+      u -> ((counts.size.toLong, e.toDouble))
+    }
+    val got = Relational.q_entropy(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (k, e)) =>
+      assert(got(u)._1 == k && math.abs(got(u)._2 - e) < 1e-9, s"user $u") }
+    // entropy bounds: 0 <= H <= ln(n_types)
+    got.values.foreach { case (k, e) =>
+      assert(e >= 0 && e <= math.log(k.toDouble) + 1e-6) }
   }
 
   test("q_null_profile: census matches a driver-side replay") {
