@@ -117,6 +117,7 @@ object SparkEntry {
     "q_null_profile" -> (Relational.q_null_profile _),
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
+    "q_churn" -> (Relational.q_churn _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -678,6 +679,22 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_churn" ->
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |m AS (SELECT min(day) AS mind, max(day) AS maxd FROM p),
+        |j AS (SELECT coalesce(a.day, b.day - 1) AS day,
+        |    CASE WHEN b.user_id IS NULL THEN 'churned'
+        |         WHEN a.user_id IS NULL THEN 'new'
+        |         ELSE 'retained' END AS status
+        |  FROM p a FULL JOIN p b
+        |    ON a.user_id = b.user_id AND b.day = a.day + 1)
+        |SELECT day,
+        |  count(*) FILTER (WHERE status = 'retained') AS n_retained,
+        |  count(*) FILTER (WHERE status = 'churned') AS n_churned,
+        |  count(*) FILTER (WHERE status = 'new') AS n_new
+        |FROM j CROSS JOIN m WHERE day >= mind AND day < maxd
+        |GROUP BY day ORDER BY day""".stripMargin,
+
     "q_gini" ->
       """WITH cust AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot

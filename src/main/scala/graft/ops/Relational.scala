@@ -2085,6 +2085,39 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Daily churn / retention / acquisition counts: the day-over-day
+    * movement report. Presence collapses to DISTINCT (day, user) rows
+    * first (the fact is touched once), then a single FULL OUTER
+    * self-join on (user, day+1) classifies every user-day as retained
+    * (active both days), churned (active today, gone tomorrow), or new
+    * (absent yesterday). BOTH censored edges are excluded against the
+    * data-derived day range: the final day (everyone would look
+    * churned) and the synthetic day before the first (everyone would
+    * look new). Join key is (user, day) — high-cardinality, skew-free.
+    */
+  def q_churn(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val a = p.select(col("day").as("a_day"), col("user_id").as("a_uid"))
+    val b = p.select(col("day").as("b_day"), col("user_id").as("b_uid"))
+    val bounds = p.agg(min("day").as("mind"), max("day").as("maxd"))
+    a.join(b, col("a_uid") === col("b_uid") &&
+        col("b_day") === date_add(col("a_day"), 1), "full_outer")
+      .withColumn("day", coalesce(col("a_day"), date_sub(col("b_day"), 1)))
+      .withColumn("status",
+        when(col("b_uid").isNull, "churned")
+          .when(col("a_uid").isNull, "new")
+          .otherwise("retained"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("mind") && col("day") < col("maxd"))
+      .groupBy("day")
+      .agg(
+        count(when(col("status") === "retained", 1)).as("n_retained"),
+        count(when(col("status") === "churned", 1)).as("n_churned"),
+        count(when(col("status") === "new", 1)).as("n_new"))
+      .orderBy("day")
+  }
+
   /** Gini coefficient of customer revenue concentration — the standard
     * inequality summary ("do 20% of customers carry 80% of revenue?"),
     * companion to [[q_abc_class]]'s tiering. Closed form over the

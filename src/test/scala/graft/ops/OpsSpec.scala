@@ -1104,6 +1104,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_churn: day-over-day movement matches a driver-side replay; all classes non-empty") {
+    import spark.implicits._
+    val pres = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+      .groupBy(_._1.toLocalDate).view.mapValues(_.map(_._2).toSet).toMap
+    val days = pres.keys.toSeq.sorted
+    val expected = days.init.map { d =>
+      val today = pres(d)
+      val tomorrow = pres.getOrElse(d.plusDays(1), Set.empty[Long])
+      d.toString -> ((
+        (today intersect tomorrow).size.toLong,
+        (today diff tomorrow).size.toLong,
+        (tomorrow diff today).size.toLong))
+    }.toMap
+    val got = Relational.q_churn(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0),
+      "churn/new classes vacuous at sf0.001")
+  }
+
   test("q_gini: closed form matches a driver-side replay; bounds hold") {
     import spark.implicits._
     val tot = Tables.orders(spark, sf)
