@@ -118,6 +118,7 @@ object SparkEntry {
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
     "q_churn" -> (Relational.q_churn _),
+    "q_basket_lift" -> (Relational.q_basket_lift _),
     "q_union_byname" -> (Relational.q_union_byname _),
     "q_try_funcs" -> (Relational.q_try_funcs _),
     "q_bit_funcs" -> (Relational.q_bit_funcs _),
@@ -679,6 +680,20 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf >= 5
         |ORDER BY doc_id, term""".stripMargin,
+    "q_basket_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |marg AS (SELECT event_type, count(*) AS n1 FROM ut GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n12
+        |  FROM ut a JOIN ut b USING (user_id) WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n12,
+        |  round(CAST(n12 AS DOUBLE) * n_users / (ma.n1 * mb.n1) + 1e-9, 6) AS lift
+        |FROM p JOIN marg ma ON ma.event_type = t1
+        |       JOIN marg mb ON mb.event_type = t2
+        |       CROSS JOIN tot
+        |ORDER BY t1, t2""".stripMargin,
+
     "q_churn" ->
       """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |m AS (SELECT min(day) AS mind, max(day) AS maxd FROM p),

@@ -2085,6 +2085,32 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("src_file")
 
+  /** Market-basket LIFT over behavioral baskets: for every event-type
+    * pair, lift = N·n_ab / (n_a·n_b) where the "basket" is a user's
+    * distinct event-type set — the association-rule signal behind
+    * "users who X also Y". Same scale spine as `Llm.q_word_pmi`:
+    * distinct (user, type) once, pairs from a self-join ON user_id
+    * (Σ C(|basket|, 2), baskets are small by domain), marginals
+    * broadcast. Lift > 1 = positive association.
+    */
+  def q_basket_lift(s: SparkSession, d: String): DataFrame = {
+    val ut = events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n1"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
+      .join(ut.select(col("user_id"), col("event_type").as("t2")), "user_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n12"))
+    val tot = events(s, d).agg(countDistinct(col("user_id")).as("n_users"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("t1"), col("n1").as("na"))), "t1")
+      .join(broadcast(marg.select(col("event_type").as("t2"), col("n1").as("nb"))), "t2")
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("n12"),
+        round(col("n12").cast("double") * col("n_users") / (col("na") * col("nb")) +
+          lit(1e-9), 6).as("lift"))
+      .orderBy("t1", "t2")
+  }
+
   /** Daily churn / retention / acquisition counts: the day-over-day
     * movement report. Presence collapses to DISTINCT (day, user) rows
     * first (the fact is touched once), then a single FULL OUTER

@@ -1104,6 +1104,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Llm.q_temperature_sample(spark, sf).collect().toSeq == rows.toSeq)
   }
 
+  test("q_basket_lift: pair lifts match a driver-side replay") {
+    import spark.implicits._
+    val ut = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().as[(Long, String)].collect()
+    val n1 = ut.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val users = ut.map(_._1).distinct.length.toLong
+    val byUser = ut.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val n12 = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    byUser.values.foreach { ts =>
+      for (i <- ts.indices; j <- (i + 1) until ts.size) n12((ts(i), ts(j))) += 1 }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = n12.map { case ((a, b), c) =>
+      (a, b) -> ((c, r6(c.toDouble * users / (n1(a) * n1(b)) + 1e-9)))
+    }.toMap
+    val got = Relational.q_basket_lift(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (c, l)) =>
+      assert(got(k)._1 == c && math.abs(got(k)._2 - l) < 1e-9, s"pair $k") }
+  }
+
   test("q_churn: day-over-day movement matches a driver-side replay; all classes non-empty") {
     import spark.implicits._
     val pres = Tables.events(spark, sf)
