@@ -50,10 +50,10 @@ object GraftSession {
     // keep scan tasks ~128 MB so a 100 TB table yields bounded task counts
     // without giant per-task memory footprints
     .config("spark.sql.files.maxPartitionBytes", String.valueOf(128L * 1024 * 1024))
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    // rejects; read nanos as raw longs (Tables.events converts). Set
-    // once here so table reads are order-independent — never mutated
-    // per-read.
+    // some events.parquet vintages carry TIMESTAMP(NANOS), which
+    // Spark's reader rejects; read nanos as raw longs (Tables.events
+    // normalizes either encoding). Set once here so table reads are
+    // order-independent — never mutated per-read.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 

@@ -20,26 +20,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — finer than Spark's
-    * microsecond `TimestampType`, rejected by the reader outright. The
-    * session must have `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set once in GraftSession.configure — NOT mutated here, so reads
-    * are order-independent and the flag never leaks as a side effect
-    * of building a plan). We read nanos as raw longs and expose BOTH:
-    *   - `ts_ns` LongType: exact nanoseconds (use for ordering /
-    *     as-of comparisons that must match a ns-precision oracle);
-    *   - `ts` TimestampType: micro-truncated (use for window() /
-    *     session_window() — sub-µs truncation can't move an event
-    *     across any >=1s window boundary).
+  /** `events.ts` arrives in one of two parquet encodings depending on
+    * the generator vintage, and BOTH are normalized here to the same
+    * two-column contract:
+    *   - `ts_ns` LongType: exact epoch nanoseconds (use for ordering /
+    *     as-of comparisons that must match a ns-precision oracle —
+    *     DuckDB's `epoch_ns()` yields the identical value for either
+    *     encoding);
+    *   - `ts` TimestampType: microsecond instant (use for window() /
+    *     session_window()).
+    *
+    * Encodings: TIMESTAMP(NANOS) — finer than Spark's microsecond
+    * `TimestampType`, rejected by the reader unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * GraftSession.configure, never mutated here) surfaces it as a raw
+    * LongType of nanos; or plain TIMESTAMP(MICROS), which Spark reads
+    * as timestamp (NTZ when the file is written without UTC
+    * normalization — cast to TimestampType interprets the wall-clock in
+    * the session's UTC zone, matching DuckDB's naive-timestamp reads).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet has TIMESTAMP(NANOS); build the session via GraftSession " +
-        "(sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    apply(s, d, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw longs
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS), tz-less or instant
+        val tsMicro = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts_ns", unix_micros(tsMicro) * lit(1000L))
+          .withColumn("ts", tsMicro)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
