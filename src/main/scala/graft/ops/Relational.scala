@@ -2148,18 +2148,20 @@ object Relational {
     * inequality summary ("do 20% of customers carry 80% of revenue?"),
     * companion to [[q_abc_class]]'s tiering. Closed form over the
     * revenue-sorted ranks: G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n. The fact
-    * contributes ONE grouped aggregation; the rank window and the
-    * Σ i·xᵢ run over the customer-level (dimension-sized) aggregate
-    * with DECIMAL products, so the result is exact until the single
-    * final division.
+    * contributes ONE grouped aggregation; the global revenue rank comes
+    * from [[Scale.globalSequence]] (range-partitioned sort + per-
+    * partition offsets), so NO single-task window touches the
+    * customer-level aggregate — at sf100k "dimension-sized" is billions
+    * of customers, and the old partition-less `Window.orderBy` would
+    * funnel all of them through one task. DECIMAL products keep the
+    * result exact until the single final division.
     */
   def q_gini(s: SparkSession, d: String): DataFrame = {
     val cust = orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot_dec"))
-    val w = Window.orderBy(col("tot_dec"), col("o_custkey"))
-    cust
-      .withColumn("i", row_number().over(w).cast("long"))
+    Scale.globalSequence(cust, Seq(col("tot_dec"), col("o_custkey")), "i")
+      .withColumn("i", col("i").cast("long"))
       .agg(
         count(lit(1)).as("n_cust"),
         sum(col("i") * col("tot_dec")).as("s1"),
@@ -2402,22 +2404,21 @@ object Relational {
 
   /** ABC / Pareto classification: rank parts by revenue, classify by
     * CUMULATIVE share (A = first 80% of revenue, B = next 15%, C =
-    * tail). The running sum and total run over the PART-LEVEL aggregate
-    * (dimension-sized — thousands of rows where the fact has billions),
-    * so the single-partition cumulative window is safe by construction;
-    * the fact table contributes exactly one grouped aggregation.
+    * tail). The fact table contributes exactly one grouped aggregation;
+    * the running sum over the part-level aggregate uses
+    * [[Scale.globalCumSum]] (range-partitioned sort + per-partition
+    * DECIMAL offsets) and the grand total rides along as the driver-side
+    * offset accumulator — so neither a partition-less `Window.orderBy`
+    * nor a `Window.partitionBy(lit(1))` total window appears anywhere in
+    * the plan, and the cumulative pass stays wide at any part count.
     * DECIMAL accumulation end-to-end keeps every share exact.
     */
   def q_abc_class(s: SparkSession, d: String): DataFrame = {
     val rev = lineitem(s, d)
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
-    val wOrd = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
-    val wAll = Window.partitionBy(lit(1))
-    rev
-      .withColumn("cum_dec", sum(col("rev_dec")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
+    Scale.globalCumSum(rev, Seq(col("rev_dec").desc, col("l_partkey")),
+        col("rev_dec"), "cum_dec", totalCol = "tot_dec")
       .withColumn("cum_share",
         round((col("cum_dec").cast("double") / col("tot_dec").cast("double")) + lit(1e-9), 6))
       .withColumn("abc",

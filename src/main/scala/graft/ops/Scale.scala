@@ -77,6 +77,65 @@ object Scale {
       .drop("__gs_pid", "__gs_off")
   }
 
+  /** Deterministic global running sum: `cumCol` = Σ `value` over all rows
+    * at-or-before the current row in the total order of `order`, WITHOUT
+    * the partition-less `sum().over(Window.orderBy(...))` plan that
+    * funnels the dataset through one task. Same terasort shape as
+    * [[globalSequence]]: range-partition on the order keys, sort within
+    * partitions, run the running sum per partition, then add each
+    * partition's start offset — the offsets are a P-row driver-side
+    * cumulative sum over per-partition totals (the same footprint AQE's
+    * partition statistics already collect), accumulated in BigDecimal so
+    * DECIMAL/long sums stay exact. Optionally also attaches the grand
+    * total as `totalCol` (free: it is the final driver accumulator),
+    * replacing the `sum().over(Window.partitionBy(lit(1)))` total-window
+    * anti-pattern.
+    *
+    * `order` must be a TOTAL order (add a unique tiebreak) or the running
+    * sum at tied rows is nondeterministic. `value` must be an expression
+    * over `df`'s columns whose `sum()` is exact under reordering (long /
+    * decimal — for double the usual float-sum caveats apply).
+    */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+                   cumCol: String, totalCol: String = null,
+                   numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__cs_pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = sorted.groupBy("__cs_pid").agg(sum(value).as("__cs_sum"))
+    val sumType = stats.schema("__cs_sum").dataType
+    val perPart = stats.collect()
+      .map { r =>
+        val s = r.get(1) match {
+          case null                       => java.math.BigDecimal.ZERO
+          case b: java.math.BigDecimal    => b
+          case n: Number                  => new java.math.BigDecimal(n.toString)
+        }
+        (r.getInt(0), s)
+      }
+      .sortBy(_._1)
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = perPart.map { case (pid, sm) => val o = acc; acc = acc.add(sm); (pid, o) }
+    import spark.implicits._
+    // offsets travel as strings and are cast back to the exact sum type —
+    // decimal/long round-trip losslessly through their canonical string form
+    val offsetsDf = offsets.toSeq.map { case (pid, o) => (pid, o.toPlainString) }
+      .toDF("__cs_pid", "__cs_off_s")
+      .select(col("__cs_pid"), col("__cs_off_s").cast(sumType).as("__cs_off"))
+    // window partitioned by pid: parallelism = P, never a global funnel
+    val w = Window.partitionBy("__cs_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sorted.join(broadcast(offsetsDf), Seq("__cs_pid"))
+      .withColumn(cumCol, (col("__cs_off") + sum(value).over(w)).cast(sumType))
+      .drop("__cs_pid", "__cs_off")
+    if (totalCol == null) cum
+    else cum.withColumn(totalCol, lit(acc.toPlainString).cast(sumType))
+  }
+
   /** Generic as-of join: append to every left row the payload of the most
     * recent right row with the same key and `rightTs <= leftTs` (inclusive).
     *
@@ -498,27 +557,94 @@ object Scale {
     * classic two-equi-join formulation: canonicalize every edge to
     * (a < b), build wedges by joining edges on the shared middle node,
     * close each wedge against the edge set. Both joins are plain
-    * shuffle equi-joins on node ids. Wedge volume is Σ deg(v)² — on a
-    * skewed (power-law) graph, re-orient edges by DEGREE instead of id
-    * before the wedge join (each edge points low-degree → high-degree),
-    * which provably bounds wedges by O(m^1.5); id-orientation is used
-    * here because the gate graph is bounded-degree and id-orientation
-    * keeps the output SQL-oracle-able.
+    * shuffle equi-joins on node ids. Wedge volume under id-orientation
+    * is Σ deg(v)² over LOW-id endpoints — fine on bounded-degree
+    * graphs, quadratic on a power-law hub that happens to have a low
+    * id. `orientByDegree = true` re-orients every edge low-degree →
+    * high-degree ((deg, id)-lexicographic, a total order) before the
+    * wedge join: each triangle then forms its single wedge at its
+    * minimum-(deg,id) corner, whose out-degree is provably O(√m), so
+    * wedge volume is bounded by O(m^1.5) REGARDLESS of skew — the
+    * standard node-iterator++ bound. Output is IDENTICAL either way
+    * (asserted in ScaleSpec on a skewed star fixture): triangles are
+    * re-attributed to their smallest node id after closing, so the
+    * orientation is an execution detail, not a semantics change.
     *
     * Returns (a, n_tri): triangles counted at their smallest node.
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+                    orientByDegree: Boolean = false): DataFrame = {
     val canon = edges.select(
       least(col(srcCol), col(dstCol)).as("a"),
       greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val wedge = canon.as("e1")
-      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
-    wedge.join(canon.as("e3"),
-        col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
-      .groupBy("wa").agg(count(lit(1)).as("n_tri"))
-      .select(col("wa").as("a"), col("n_tri"))
+    if (!orientByDegree) {
+      val wedge = canon.as("e1")
+        .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      wedge.join(canon.as("e3"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+        .groupBy("wa").agg(count(lit(1)).as("n_tri"))
+        .select(col("wa").as("a"), col("n_tri"))
+    } else {
+      val deg = canon.select(col("a").as("v")).union(canon.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      // orient u→w iff (deg u, u) < (deg w, w); two broadcast-friendly
+      // joins attach endpoint degrees (deg is ≤ |V| rows, node-id keyed)
+      val oriented = canon
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("s"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("t"))
+      // wedges at the minimum-(deg,id) corner; t1 < t2 dedups the
+      // unordered pair, and (t1, t2) is already canonical for the
+      // (a < b) closing semi-join
+      val wedge = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.s") === col("e2.s"))
+        .filter(col("e1.t") < col("e2.t"))
+        .select(col("e1.s").as("u"), col("e1.t").as("v"), col("e2.t").as("w"))
+      wedge.join(canon.as("e3"),
+          col("v") === col("e3.a") && col("w") === col("e3.b"), "left_semi")
+        .groupBy(least(col("u"), col("v")).as("a")) // v < w, so min id = least(u, v)
+        .agg(count(lit(1)).as("n_tri"))
+    }
+  }
+
+  /** Two-hop neighborhood census (friends-of-friends): per vertex, the
+    * count of vertices reachable in exactly two hops that are neither
+    * the vertex itself nor a direct neighbor. `edges` must already hold
+    * BOTH directions of every undirected edge (deduplicated).
+    *
+    * Shape: adjacency self-join on the middle vertex (Σ deg(m)² pair
+    * volume), distinct, one anti-join against direct edges. On a
+    * power-law graph a single hub middle contributes deg(hub)² pairs —
+    * `degreeCap > 0` EXCLUDES wedges whose middle has degree above the
+    * cap (the standard supernode guard; the alternative, mirroring hub
+    * adjacency lists, keeps exactness at far higher cost). Capped
+    * semantics: reachability via low-degree middles only — a DOCUMENTED
+    * under-count whose pair set is a subset of the exact census
+    * (asserted in ScaleSpec), the trade training-data graph pipelines
+    * take because hub-mediated co-occurrence carries no signal.
+    */
+  def twoHopCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                   degreeCap: Int = 0): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val bSide = if (degreeCap <= 0) und else {
+      val ok = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") <= degreeCap).select("v")
+      und.join(ok, col("src") === col("v"), "left_semi")
+    }
+    val two = und.as("a").join(bSide.as("b"), col("a.dst") === col("b.src"))
+      .filter(col("b.dst") =!= col("a.src"))
+      .select(col("a.src").as("a"), col("b.dst").as("c"))
+      .distinct()
+    two.join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"), "left_anti")
+      .groupBy("a").agg(count(lit(1)).as("n_two_hop"))
   }
 
   /** Distributed PageRank over an edge list (damped, fixed iteration

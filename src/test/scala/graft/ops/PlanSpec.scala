@@ -29,6 +29,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), s"expected pushdown in:\n$plan")
   }
 
+  test("gini + abc cumulative math never plans a single-partition window") {
+    // q_gini / q_abc_class rank + running-sum over the dimension-level
+    // aggregate via Scale.globalSequence/globalCumSum — a partition-less
+    // (or all-literal-partitioned) Window would funnel billions of rows
+    // through one task at sf100k
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq(Relational.q_gini(spark, sf), Relational.q_abc_class(spark, sf))) {
+      val bad = q.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.forall(_.foldable) => w
+      }
+      assert(bad.isEmpty,
+        s"single-partition Window survives in:\n${q.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("global top-N plans TakeOrderedAndProject, not a full sort") {
     val plan = planOf(Relational.q_sort_limit(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"))
