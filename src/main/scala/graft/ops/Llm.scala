@@ -1612,21 +1612,37 @@ object Llm {
     * profile behind collocation mining and boilerplate detection. The
     * corpus collapses to (doc, distinct word) once; pairs come from a
     * SELF-JOIN ON doc_id, so the volume is Σ_doc C(|distinct words|, 2)
-    * — bounded by per-doc vocabulary, never corpus-vocab². At 100 TB
-    * the guard is a per-doc distinct-word cap (slice the rarest K
-    * before pairing); word marginals are Zipf-small and broadcast.
+    * — bounded by per-doc vocabulary, never corpus-vocab². Per-doc
+    * vocabulary is bounded only by doc length, so a pathological 100k-
+    * word doc contributes 10^10 candidates: `vocabCap > 0` keeps only
+    * each doc's `vocabCap` RAREST distinct words (global-df-ranked,
+    * (df, word) total order — the [[setSimJoin]] ranking device) before
+    * pairing. Capping shrinks every doc's word set, so the capped pair-
+    * key set is a SUBSET of the uncapped one and every capped n12 is ≤
+    * its uncapped value (spec'd in OpsSpec); marginals are recomputed
+    * over the capped relation so P(w) and P(w1,w2) stay consistent.
+    * Default OFF — the gate query keeps the exact contract. Word
+    * marginals are Zipf-small and broadcast.
     * PMI = ln(n12·N / (n1·n2)), support-thresholded.
     */
-  def q_word_pmi(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val dw = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
+  def wordPmi(docs: DataFrame, idCol: String, textCol: String,
+              minSupport: Long = 50, vocabCap: Int = 0): DataFrame = {
+    val dw0 = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val dw = if (vocabCap <= 0) dw0 else {
+      val dfreq = dw0.groupBy("w").agg(count(lit(1)).as("__df"))
+      dw0.join(dfreq, "w") // df is vocab-sized (Zipf): broadcast-friendly
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("__df"), col("w"))))
+        .filter(col("__rk") <= vocabCap)
+        .select(col("doc_id"), col("w"))
+    }
     val wc = dw.groupBy("w").agg(count(lit(1)).as("nw"))
     val pairs = dw.select(col("doc_id"), col("w").as("w1"))
       .join(dw.select(col("doc_id"), col("w").as("w2")), "doc_id")
       .filter(col("w1") < col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-      .filter(col("n12") >= 50)
+      .filter(col("n12") >= minSupport)
     val tot = docs.agg(count(lit(1)).as("n_docs"))
     pairs
       .join(broadcast(wc.select(col("w").as("w1"), col("nw").as("n1"))), "w1")
@@ -1638,6 +1654,11 @@ object Llm {
           lit(1e-9), 6) + lit(0.0)).as("pmi"))
       .orderBy("w1", "w2")
   }
+
+  /** Gate for [[wordPmi]]: exact (uncapped) PMI over the documents
+    * table, DuckDB-oracled. */
+  def q_word_pmi(s: SparkSession, d: String): DataFrame =
+    wordPmi(documents(s, d), "doc_id", "text", minSupport = 50)
 
   /** Keyword-in-context (KWIC) concordance: every occurrence of a term
     * with its ±2-word context window — the corpus-inspection op behind
@@ -1747,10 +1768,10 @@ object Llm {
     * the vertex itself nor a direct neighbor — the link-expansion
     * signal behind related-page mining and graph feature engineering.
     * Same deterministic chain+chord graph as [[q_graph_triangles]].
-    * Shape: adjacency self-join on the MIDDLE vertex (Σ deg(b)² pair
-    * volume — bounded-degree here; at 100 TB a power-law graph needs a
-    * degree cap or high-degree-vertex mirroring first), then a distinct
-    * + one anti-join to remove direct neighbors. No all-pairs anywhere.
+    * Runs [[Scale.twoHopCensus]] UNCAPPED (the gate graph is bounded-
+    * degree and the DuckDB oracle wants the exact census); at 100 TB a
+    * power-law graph passes `degreeCap` to drop supernode middles —
+    * the subset semantics are spec'd in ScaleSpec.
     */
   def q_two_hop(s: SparkSession, d: String): DataFrame = {
     val ids = documents(s, d).select(col("doc_id"))
@@ -1763,13 +1784,7 @@ object Llm {
     val und = dir
       .union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val two = und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
-      .filter(col("b.dst") =!= col("a.src"))
-      .select(col("a.src").as("a"), col("b.dst").as("c"))
-      .distinct()
-    two.join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"), "left_anti")
-      .groupBy("a").agg(count(lit(1)).as("n_two_hop"))
-      .orderBy("a")
+    Scale.twoHopCensus(und, "src", "dst").orderBy("a")
   }
 
   /** Dataset drift profile: Population Stability Index between two

@@ -561,6 +561,81 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted == (1L to 500L), "positions are a 1..N permutation")
   }
 
+  test("minhash LSH recall ≥ 0.8 against an EXACT shingle-Jaccard ground truth at sf0.01") {
+    import spark.implicits._
+    // LIKE-FOR-LIKE ground truth: minhashPairs estimates Jaccard over
+    // 3-word SHINGLE sets, so the exact reference must too — setSimJoin
+    // (PPJoin + exact verify) run over a text whose "words" ARE the
+    // shingles (space-free tokens). Word-set Jaccard would be the wrong
+    // yardstick on this corpus: a ~30-word vocabulary saturates it (a
+    // quarter of RANDOM pairs clear 0.8) while shingle Jaccard stays
+    // discriminative. Recall floor on exact shingle-J ≥ 0.7 pairs, LSH
+    // at its gate threshold 0.5 — the quantitative upgrade of the
+    // rows-only driver check.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val shingled = docs.select(col("doc_id"), array_join(
+        expr("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
+          " i -> concat_ws('§', slice(split(text, ' '), i, 3)))"), " ")
+      .as("text"))
+    val truth = Llm.setSimJoin(shingled, "doc_id", "text", t = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 10, s"ground truth too small to gate on: ${truth.size}")
+    val predicted = Llm.minhashPairs(docs, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = truth.count(predicted.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8 on ${truth.size} true pairs")
+  }
+
+  test("wordPmi vocab cap: capped pair keys ⊆ uncapped; every capped n12 ≤ uncapped n12") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // low support threshold so the subset law is exercised on a rich
+    // pair set, cap small enough to actually prune
+    val exact = Llm.wordPmi(docs, "doc_id", "text", minSupport = 5)
+      .select("w1", "w2", "n12").as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val capped = Llm.wordPmi(docs, "doc_id", "text", minSupport = 5, vocabCap = 10)
+      .select("w1", "w2", "n12").as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(capped.nonEmpty && exact.nonEmpty, "gate fixtures must produce pairs")
+    assert(capped.size < exact.size, "cap=10 must actually prune on this corpus")
+    val violations = capped.filterNot { case (k, n) => exact.get(k).exists(_ >= n) }
+    assert(violations.isEmpty, s"capped pairs must be a dominated subset: $violations")
+  }
+
+  test("globalCumSum ≡ partition-less running sum + grand total, without the funnel") {
+    import spark.implicits._
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("v", (pmod(col("id") * 37, lit(1000)).cast("double") / 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .repartition(7) // deliberately scrambled input partitioning
+    val got = Scale.globalCumSum(df, Seq(col("k"), col("id")), col("v"),
+        "cum", totalCol = "tot", numPartitions = 5)
+      .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+      .as[(Long, String, String)].collect()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df
+      .withColumn("cum", sum(col("v")).over(w))
+      .crossJoin(df.agg(sum(col("v")).as("tot")))
+      .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+      .as[(Long, String, String)].collect()
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    // desc order + long values: the other branch of the driver-side sum
+    val gotDesc = Scale.globalCumSum(df.withColumn("lv", col("id") * 2),
+        Seq(col("id").desc), col("lv"), "cum", numPartitions = 5)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("id").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wantDesc = df.withColumn("lv", col("id") * 2)
+      .withColumn("cum", sum(col("lv")).over(wDesc))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotDesc == wantDesc)
+  }
+
   test("unpersistCheckpoint frees localCheckpoint storage; bpeTrain does not accumulate it") {
     import spark.implicits._
     def persistedIds = spark.sparkContext.getPersistentRDDs.keySet

@@ -23,6 +23,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L), s"got $got")
   }
 
+  test("triangleCount: degree orientation counts IDENTICAL triangles on a skewed graph") {
+    import spark.implicits._
+    // power-law-ish fixture: hub 0 touches everything (and has the LOWEST
+    // id — the worst case for id-orientation), plus a chain with chords
+    // and noise edges in mixed orientations with duplicates
+    val hub = (1L to 60L).map(i => (0L, i))
+    val chain = (1L to 59L).map(i => (i, i + 1))
+    val chords = (1L to 58L by 2).map(i => (i + 2, i))
+    val edges = (hub ++ chain ++ chords ++ Seq((7L, 7L), (3L, 0L), (12L, 11L)))
+      .toDF("s", "t")
+    val byId = Scale.triangleCount(edges, "s", "t").as[(Long, Long)].collect().toMap
+    val byDeg = Scale.triangleCount(edges, "s", "t", orientByDegree = true)
+      .as[(Long, Long)].collect().toMap
+    assert(byId == byDeg, s"orientations disagree: id=$byId deg=$byDeg")
+    assert(byId.values.sum > 60, "fixture must be triangle-rich")
+  }
+
+  test("twoHopCensus: degree cap drops hub-mediated pairs; capped ⊆ exact") {
+    import spark.implicits._
+    // hub 99 touches 1..4; low-degree structure: 1-2, 2-3, 4-5
+    val dir = Seq((99L, 1L), (99L, 2L), (99L, 3L), (99L, 4L),
+      (1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    def census(cap: Int) = Scale.twoHopCensus(und, "src", "dst", cap)
+      .as[(Long, Long)].collect().toMap
+    val exact = census(0)
+    // hand enumeration: via hub 99 → (1,3),(1,4),(2,4),(3,4) both ways;
+    // via 2 → (1,3) again; via 4 → (99,5) both ways
+    assert(exact == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 99L -> 1L, 5L -> 1L),
+      s"exact census wrong: $exact")
+    // cap 2 excludes middles 99 (deg 4) and 2 (deg 3): only 4-mediated
+    // pairs survive
+    val capped = census(2)
+    assert(capped == Map(99L -> 1L, 5L -> 1L), s"capped census wrong: $capped")
+    // subset law: every capped count is ≤ the exact count for that vertex
+    assert(capped.forall { case (v, n) => n <= exact.getOrElse(v, 0L) })
+  }
+
   test("topKPerGroup ≡ direct window top-k") {
     val li = Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
@@ -241,5 +279,25 @@ class ScaleSpec extends AnyFunSuite {
     // every rank at least the floor; total mass ≤ node count
     assert(ranks.values.forall(_ >= 0.15 - 1e-9))
     assert(ranks.values.sum <= ranks.size + 1e-6)
+  }
+
+  test("pageRank ≡ driver-side dense power iteration on the 500-node gate graph") {
+    import spark.implicits._
+    val got = Llm.q_pagerank(spark, sf).as[(Long, Double)].collect().toMap
+    // independent dense replay of the same recursion: child→parent tree
+    // edges over doc ids 1..N, r' = (1-d) + d·Σ r(u)/outdeg(u), 5 iters
+    val n = got.keys.max.toInt
+    val outdeg = Array.fill(n + 1)(0)
+    for (i <- 2 to n) outdeg(i) += 1 // each i ≥ 2 has ONE edge i → i/2
+    var r = Array.fill(n + 1)(1.0)
+    for (_ <- 1 to 5) {
+      val contrib = Array.fill(n + 1)(0.0)
+      for (i <- 2 to n) contrib(i / 2) += r(i) / outdeg(i)
+      r = Array.tabulate(n + 1)(v => 0.15 + 0.85 * contrib(v))
+    }
+    assert(got.size == n, s"one rank per node: ${got.size} vs $n")
+    val worst = (1 to n).map(v => math.abs(got(v.toLong) - r(v))).max
+    assert(worst < 1e-6,
+      s"distributed ranks diverge from the dense replay by $worst")
   }
 }
