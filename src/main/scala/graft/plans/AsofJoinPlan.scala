@@ -3,10 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator Catalyst extension showcase: AS-OF JOIN as a native
@@ -105,12 +104,24 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val payloadExprs: Seq[Expression] = payloadIn
     val outAttrs = output
     val pOut = payloadOut
+    val lKeyA = leftKey; val lTsA = leftTs
+    val rKeyA = rightKey; val rTsA = rightTs
     require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
       "as-of key/ts attributes must come from the respective child")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
-      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // the SortMergeJoin recipe, minus the boxing: both sides project
+      // (key, ts) into an UnsafeRow once per row, and all merge decisions
+      // are GENERATED-ordering compares over those two-column rows — no
+      // per-row `row.get(idx, type)` boxing, no interpreted Ordering
+      val keyTsOrder = Seq(
+        SortOrder(BoundReference(0, keyType, nullable = true), Ascending),
+        SortOrder(BoundReference(1, tsType, nullable = true), Ascending))
+      val keyTsOrd = RowOrdering.create(keyTsOrder, Seq.empty)
+      // same two-column rows, compared on the key column only
+      val keyOnlyOrd = RowOrdering.create(keyTsOrder.take(1), Seq.empty)
+      val lKeyTsProj = UnsafeProjection.create(Seq[Expression](lKeyA, lTsA), lOut)
+      val rKeyTsProj = UnsafeProjection.create(Seq[Expression](rKeyA, rTsA), rOut)
       val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
       val outProj = UnsafeProjection.create(outAttrs, lOut ++ pOut)
       val nullPayload = new GenericInternalRow(pOut.length)
@@ -118,56 +129,49 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _                 // un-consumed right row
-        private var matchedKey: Any = _                    // key of lastPayload
+        private var rKeyTs: InternalRow = _                // its (key, ts) projection
+        private var lastKeyTs: InternalRow = _             // (key, ts) of lastPayload
         private var lastPayload: InternalRow = _           // greatest payload ≤ current ts
-        private def advanceRight(): Unit =
-          rHead = if (rIter.hasNext) rIter.next() else null
+        // null key/ts right rows never match anything: drop them here so
+        // the merge loops see only comparable rows
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTsIdx)) {
+              rHead = r
+              rKeyTs = rKeyTsProj(r)
+            }
+          }
+        }
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyType)
-          val lt = if (lRow.isNullAt(lTsIdx)) null else lRow.get(lTsIdx, tsType)
-          if (lk == null || lt == null) return outProj(joined(lRow, nullPayload))
+          if (lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTsIdx))
+            return outProj(joined(lRow, nullPayload))
+          val lKeyTs = lKeyTsProj(lRow)
           if (forward) {
             // skip right rows strictly BEFORE (lk, lt) in key-major
             // order; the first remaining row is the candidate and is
             // NOT consumed — it may also match the next left row
-            var continue = true
-            var headKey: Any = null
-            while (continue && rHead != null) {
-              val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
-              val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
-              if (rk == null || rt == null) advanceRight() // null never matches
-              else {
-                val c = keyOrd.compare(rk, lk)
-                if (c < 0 || (c == 0 && tsOrd.compare(rt, lt) < 0)) advanceRight()
-                else { headKey = rk; continue = false }
-              }
-            }
-            val m = rHead != null && headKey != null && keyOrd.compare(headKey, lk) == 0
+            while (rHead != null && keyTsOrd.compare(rKeyTs, lKeyTs) < 0) advanceRight()
+            val m = rHead != null && keyOnlyOrd.compare(rKeyTs, lKeyTs) == 0
             outProj(joined(lRow, if (m) payloadProj(rHead) else nullPayload))
           } else {
-            // consume right rows while (rk, rt) <= (lk, lt): rows with a
-            // smaller key are discarded, matching rows update the payload
-            var continue = true
-            while (continue && rHead != null) {
-              val rk = if (rHead.isNullAt(rKeyIdx)) null else rHead.get(rKeyIdx, keyType)
-              val rt = if (rHead.isNullAt(rTsIdx)) null else rHead.get(rTsIdx, tsType)
-              if (rk == null || rt == null) advanceRight() // null never matches
-              else {
-                val c = keyOrd.compare(rk, lk)
-                if (c < 0) advanceRight()
-                else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
-                  matchedKey = InternalRow.copyValue(rk)
-                  lastPayload = payloadProj(rHead).copy()
-                  advanceRight()
-                } else continue = false
+            // consume right rows while (rk, rt) <= (lk, lt) — lexicographic
+            // compare ≡ rk < lk (discard, key can never match again) OR
+            // rk == lk && rt <= lt (payload update)
+            while (rHead != null && keyTsOrd.compare(rKeyTs, lKeyTs) <= 0) {
+              if (keyOnlyOrd.compare(rKeyTs, lKeyTs) == 0) {
+                lastPayload = payloadProj(rHead).copy()
+                lastKeyTs = rKeyTs.copy()
               }
+              advanceRight()
             }
-            val matches = lastPayload != null && matchedKey != null &&
-              keyOrd.compare(matchedKey, lk) == 0
+            val matches = lastPayload != null &&
+              keyOnlyOrd.compare(lastKeyTs, lKeyTs) == 0
             outProj(joined(lRow, if (matches) lastPayload else nullPayload))
           }
         }
