@@ -142,18 +142,28 @@ object Streaming {
   class IdleFlushProcessor(idleMs: Long)
       extends StatefulProcessor[Long, Ev, (Long, Long)] {
     @transient private var count: ValueState[Long] = _
+    @transient private var maxSeen: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      // the idle deadline is lastEvent + gap where lastEvent is the max
+      // event time EVER seen for the key, not this batch's max: with a
+      // nonzero watermark delay an admissible late batch would otherwise
+      // re-arm the timer EARLIER than the true last event + gap
+      maxSeen = getHandle.getValueState[Long]("maxSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  timerValues: TimerValues): Iterator[(Long, Long)] = {
       var n = if (count.exists()) count.get() else 0L
-      var maxTs = Long.MinValue
+      var maxTs = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
       rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
       count.update(n)
-      getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm: one live timer
-      getHandle.registerTimer(maxTs + idleMs)
+      if (maxTs != Long.MinValue) { // all-empty iterator: nothing to (re-)arm
+        maxSeen.update(maxTs)
+        getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm: one live timer
+        getHandle.registerTimer(maxTs + idleMs)
+      }
       Iterator.empty
     }
 
@@ -161,6 +171,7 @@ object Streaming {
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
       val n = if (count.exists()) count.get() else 0L
       count.clear()
+      maxSeen.clear()
       Iterator.single((key, n))
     }
   }
@@ -199,11 +210,16 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** `(user_id, n_events)` emitted once a user goes idle for `idleMs`. */
-  def idleFlush(events: Dataset[Ev], idleMs: Long): Dataset[(Long, Long)] = {
+  /** `(user_id, n_events)` emitted once a user goes idle for `idleMs`.
+    * `watermarkDelay` admits late events; the processor keeps the idle
+    * deadline anchored to the max event time EVER seen per key, so an
+    * admissible late event can never pull the timer earlier.
+    */
+  def idleFlush(events: Dataset[Ev], idleMs: Long,
+                watermarkDelay: String = "0 seconds"): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new IdleFlushProcessor(idleMs),
         TimeMode.EventTime(), OutputMode.Append())

@@ -150,11 +150,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
-    val streamed = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("CAST(ts AS LONG) div 1000")))
+    // normalize ts the way Tables.events does, for either encoding
+    // (nanos-as-long vintages vs plain µs timestamps)
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamedRaw = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val streamed = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamedRaw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("CAST(ts AS LONG) div 1000")))
+      case _ =>
+        streamedRaw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
     val q = Streaming.tumblingCounts(streamed, "10 minutes", "10 minutes")
       .writeStream.format("memory").queryName("file_stream")
       .outputMode("complete") // complete mode: every window, watermark or not
@@ -259,6 +266,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       q.processAllAvailable()
       val rows2 = spark.table("idleflush").as[(Long, Long)].collect().toList
       assert(rows2.count(r => r == ((1L, 1L))) == 1, s"got $rows2")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("idle-flush timers: an admissible LATE event must not pull the deadline earlier") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      // 10-minute watermark delay: events up to 10 min behind max ts are
+      // admissible. The idle deadline must stay lastEvent+gap where
+      // lastEvent is the max EVER seen — a late event folded into state
+      // must not re-arm the timer to lateTs+gap (the round-4 bug shape).
+      val q = startQuery(Streaming.idleFlush(in.toDS(), idleMs = 30 * 60 * 1000,
+        watermarkDelay = "10 minutes").toDF("user_id", "n_events"), "idleflush_late")
+      in.addData(Ev(1, 1, "click", 1, ts(20)))   // u1@00:20 → wm 00:10, timer 00:50
+      q.processAllAvailable()
+      in.addData(Ev(2, 1, "click", 1, ts(12)))   // LATE for u1 (admissible: 00:12 ≥ wm)
+      q.processAllAvailable()                     // buggy re-arm would set timer 00:42
+      in.addData(Ev(3, 2, "view", 1, ts(55)))    // wm → 00:45 > 00:42, < 00:50
+      q.processAllAvailable()
+      in.addData(Ev(4, 3, "view", 1, ts(56)))    // batch boundary: expired timers fire
+      q.processAllAvailable()
+      val premature = spark.table("idleflush_late").as[(Long, Long)].collect().toSet
+      assert(!premature.exists(_._1 == 1L),
+        s"u1 flushed before lastEvent+gap (late event pulled the timer): $premature")
+      in.addData(Ev(5, 2, "view", 1, ts(70)))    // wm → 01:00 > 00:50
+      q.processAllAvailable()
+      in.addData(Ev(6, 3, "view", 1, ts(71)))    // fire
+      q.processAllAvailable()
+      val rows = spark.table("idleflush_late").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L)), s"u1 must flush with BOTH events counted: $rows")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
