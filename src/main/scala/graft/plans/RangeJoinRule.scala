@@ -71,6 +71,26 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *   - null bounds make the span null → `explode` yields no rows, and
   *     the original condition would have been null anyway.
   * Inner joins only (both sides change multiplicity under the explode).
+  *
+  * Overlap-rewrite CONTRACT (same as `Scale.binnedOverlapJoin`): each
+  * row is replicated once per bin of its least/greatest span, so
+  * `binSize` must be chosen near the TYPICAL interval width — a span of
+  * many multiples of binSize multiplies that side's row count by
+  * span/binSize, and a single span wider than `Sequence`'s max array
+  * length (~2^31 elements, i.e. span/binSize > 2 billion) fails at
+  * runtime inside the rewritten plan. When interval widths are wildly
+  * mixed or unknown, disable the overlap path with
+  * `spark.graft.rangeJoin.overlap.enabled=false` (the point-in-interval
+  * rewrite stays on — its point side is always exactly one bin) and
+  * fall back to the explicit `Scale.binnedOverlapJoin` API after
+  * inspecting the width distribution.
+  *
+  * With MULTIPLE overlap dimensions in one condition (e.g. 2-D box
+  * intersection) exactly ONE dimension is binned and the rest ride in
+  * the residual; the binned one is chosen DETERMINISTICALLY — the
+  * dimension whose four expressions are plainest (attribute references
+  * beat computed expressions), ties broken by conjunct order — so plans
+  * are stable across runs. Results are identical either way.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -85,6 +105,21 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           "RangeJoinRule disabled (set a positive number of domain units)")
         0L
     }
+  }
+
+  private def overlapEnabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.overlap.enabled", "true") == "true"
+
+  /** Plainness of a band expression: attribute references (possibly
+    * cast) beat computed expressions. Used to pick WHICH dimension gets
+    * binned when a condition carries several — a plain-column dimension
+    * is the one the caller most plausibly sized binSize for, and the
+    * choice is deterministic (ties fall back to conjunct order).
+    */
+  private def plainness(e: Expression): Int = e match {
+    case _: Attribute => 1
+    case c: Cast => plainness(c.child)
+    case _ => 0
   }
 
   private def splitConjunctive(e: Expression): Seq[Expression] = e match {
@@ -172,10 +207,15 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           if joinType == Inner || joinType == LeftSemi =>
         val conjuncts = splitConjunctive(cond)
         val bs = bounds(conjuncts, left, right)
-        val candidate = bs.filter(_.lower).flatMap { lb =>
+        val candidates = bs.filter(_.lower).flatMap { lb =>
           bs.find(b => !b.lower && b.pointOnLeft == lb.pointOnLeft &&
             b.point.semanticEquals(lb.point)).map((lb, _))
-        }.headOption
+        }
+        val candidate =
+          if (candidates.isEmpty) None
+          else Some(candidates.maxBy { case (lb, ub) =>
+            plainness(lb.point) * 2 + plainness(lb.bound) + plainness(ub.bound)
+          })
         candidate match {
           case Some((lb, ub))
               if !hasCrossEqui(conjuncts, left, right) &&
@@ -219,12 +259,21 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
                              bs: Seq[Bound], bin: Long): Option[LogicalPlan] = {
     val Join(left, right, joinType, Some(cond), hint) = j: @unchecked
-    if (joinType != Inner || hasCrossEqui(conjuncts, left, right)) return None
+    if (joinType != Inner || hasCrossEqui(conjuncts, left, right) ||
+      !overlapEnabled) return None
     val uppers = bs.filterNot(_.lower)
-    val pair = (for {
+    val pairs = for {
       b1 <- uppers if b1.pointOnLeft
       b2 <- uppers if !b2.pointOnLeft
-    } yield (b1, b2)).headOption
+    } yield (b1, b2)
+    // several overlap dimensions → bin the plainest one, deterministically
+    // (results identical either way: the rest ride in the residual)
+    val pair =
+      if (pairs.isEmpty) None
+      else Some(pairs.maxBy { case (b1, b2) =>
+        plainness(b1.point) + plainness(b1.bound) +
+          plainness(b2.point) + plainness(b2.bound)
+      })
     pair.map { case (b1, b2) =>
       val (ls, le) = (Cast(b1.point, LongType), Cast(b2.bound, LongType))
       val (rs, re) = (Cast(b2.point, LongType), Cast(b1.bound, LongType))

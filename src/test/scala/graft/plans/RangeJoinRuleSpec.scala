@@ -220,6 +220,55 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("2-D overlap: the plain-attribute dimension is binned, deterministically") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // lz/rz are genuine zero COLUMNS (a literal +0 would be constant-
+    // folded away before the rule runs in extraOptimizations)
+    val l2d = Seq((1L, 0L, 100L, 10L, 20L, 0L), (2L, 50L, 150L, 15L, 30L, 0L),
+        (3L, 200L, 300L, 100L, 120L, 0L))
+      .toDF("lid", "ls1", "le1", "ls2", "le2", "lz")
+    val r2d = Seq((10L, 90L, 110L, 12L, 18L, 0L), (20L, 140L, 260L, 110L, 115L, 0L),
+        (30L, 400L, 500L, 0L, 5L, 0L))
+      .toDF("rid", "rs1", "re1", "rs2", "re2", "rz")
+    // dimension 1 deliberately COMPUTED (+zero column) and listed FIRST:
+    // a naive first-match pairing would bin it; the plainness rule must
+    // pick the plain-attribute dimension 2 instead, and stably so
+    val cond = (col("ls1") + col("lz")) < col("re1") &&
+      (col("rs1") + col("rz")) < col("le1") &&
+      col("ls2") < col("re2") && col("rs2") < col("le2")
+    val naive = l2d.join(r2d, cond).select("lid", "rid").as[(Long, Long)].collect().toSet
+    withBin(10L) {
+      // twice: the dimension choice must be stable across plannings
+      // (exprIds differ run-to-run, the REFERENCED COLUMNS must not)
+      for (_ <- 1 to 2) {
+        val rewritten = l2d.join(r2d, cond)
+        val gens = rewritten.queryExecution.optimizedPlan.collect { case g: Generate => g }
+        assert(gens.nonEmpty, "overlap rewrite must fire")
+        val binRefs = gens.flatMap(_.generator.references.toSeq.map(_.name)).toSet
+        assert(binRefs == Set("ls2", "le2", "rs2", "re2"),
+          s"the plain dimension must be the binned one, got refs $binRefs")
+        assert(rewritten.select("lid", "rid").as[(Long, Long)].collect().toSet == naive)
+      }
+    }
+  }
+
+  test("overlap kill-switch: spark.graft.rangeJoin.overlap.enabled=false declines the rewrite") {
+    val cond = col("ls") < col("re") && col("rs") < col("le")
+    val naive = lIv.join(rIv, cond).select("lid", "rid").as[(Long, Long)].collect().toSet
+    withBin(100L) {
+      try {
+        spark.conf.set("spark.graft.rangeJoin.overlap.enabled", "false")
+        val declined = lIv.join(rIv, cond)
+        assert(!planOf(declined).contains("__graft_lbin"),
+          "overlap rewrite must be off under the kill-switch")
+        assert(declined.select("lid", "rid").as[(Long, Long)].collect().toSet == naive)
+        // the point-in-interval rewrite is NOT affected by the switch
+        val pt = points.join(intervals, col("pt") >= col("start") && col("pt") < col("end"))
+        assert(!nested(pt), "point-in-interval rewrite must stay on")
+      } finally spark.conf.unset("spark.graft.rangeJoin.overlap.enabled")
+    }
+  }
+
   test("overlap rewrite declines semi joins and equi-keyed joins") {
     withBin(100L) {
       val semi = lIv.join(rIv,
