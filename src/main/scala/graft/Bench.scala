@@ -95,7 +95,13 @@ object Bench {
       .mkString("{", ",", "}")
     val maxSkew = if (results.isEmpty) 1.0 else results.map(_._3).max
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a BOUNDED stdout tail — also persist the full
+    // per-query map to a file when asked (PERF.md snapshots commit it)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }
