@@ -41,7 +41,17 @@ object Bench {
           taskTimes.synchronized { taskTimes += ((t.stageId, t.taskInfo.duration)) }
     })
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_QUERIES narrows the run to a comma-separated
+    // subset (the sf1 spot-bench path); unknown names fail fast rather
+    // than silently benching nothing
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(qs) =>
+        val picked = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = picked.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+        picked.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // warm on the smallest sibling sf if present, else the target data
     // itself — a missing warm dir must never silently skip the warmup
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
@@ -100,7 +110,16 @@ object Bench {
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      // never let the persistence step discard a completed run: the line
+      // is already on stdout, so an IO failure here only loses the copy
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, line + "\n")
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"SPARK_GRAFT_BENCH_OUT write failed ($p): $e")
+      }
     }
     spark.stop()
   }

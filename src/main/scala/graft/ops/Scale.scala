@@ -94,7 +94,14 @@ object Scale {
     * `order` must be a TOTAL order (add a unique tiebreak) or the running
     * sum at tied rows is nondeterministic. `value` must be an expression
     * over `df`'s columns whose `sum()` is exact under reordering (long /
-    * decimal — for double the usual float-sum caveats apply).
+    * decimal — for double/float the offsets accumulate in Double and the
+    * usual float-sum caveats apply, but NaN/Infinity partition sums pass
+    * through rather than erroring).
+    *
+    * The sorted input is localCheckpoint'ed once so the offset pass and
+    * the output pass read the same materialization; callers running this
+    * repeatedly can release the blocks afterwards via
+    * [[Llm.unpersistCheckpoint]] (same contract as [[globalSequence]]).
     */
   def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
                    cumCol: String, totalCol: String = null,
@@ -108,24 +115,50 @@ object Scale {
       .localCheckpoint()
     val stats = sorted.groupBy("__cs_pid").agg(sum(value).as("__cs_sum"))
     val sumType = stats.schema("__cs_sum").dataType
-    val perPart = stats.collect()
-      .map { r =>
-        val s = r.get(1) match {
-          case null                       => java.math.BigDecimal.ZERO
-          case b: java.math.BigDecimal    => b
-          case n: Number                  => new java.math.BigDecimal(n.toString)
-        }
-        (r.getInt(0), s)
-      }
-      .sortBy(_._1)
-    var acc = java.math.BigDecimal.ZERO
-    val offsets = perPart.map { case (pid, sm) => val o = acc; acc = acc.add(sm); (pid, o) }
+    val fractional = sumType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
     import spark.implicits._
-    // offsets travel as strings and are cast back to the exact sum type —
-    // decimal/long round-trip losslessly through their canonical string form
-    val offsetsDf = offsets.toSeq.map { case (pid, o) => (pid, o.toPlainString) }
-      .toDF("__cs_pid", "__cs_off_s")
-      .select(col("__cs_pid"), col("__cs_off_s").cast(sumType).as("__cs_off"))
+    // exact types (long/decimal) accumulate in BigDecimal; double/float
+    // accumulate in Double so NaN/Infinity partition sums flow through
+    // instead of exploding inside BigDecimal's string parser
+    val (offsetsDf, totalStr) = if (fractional) {
+      val perPart = stats.collect()
+        .map { r =>
+          val s = r.get(1) match {
+            case null      => 0.0
+            case n: Number => n.doubleValue()
+          }
+          (r.getInt(0), s)
+        }
+        .sortBy(_._1)
+      var acc = 0.0
+      val offsets = perPart.map { case (pid, sm) => val o = acc; acc += sm; (pid, o) }
+      (offsets.toSeq.toDF("__cs_pid", "__cs_off_d")
+         .select(col("__cs_pid"), col("__cs_off_d").cast(sumType).as("__cs_off")),
+       acc.toString)
+    } else {
+      val perPart = stats.collect()
+        .map { r =>
+          val s = r.get(1) match {
+            case null                    => java.math.BigDecimal.ZERO
+            case b: java.math.BigDecimal => b
+            case n: Number               => new java.math.BigDecimal(n.toString)
+          }
+          (r.getInt(0), s)
+        }
+        .sortBy(_._1)
+      var acc = java.math.BigDecimal.ZERO
+      val offsets = perPart.map { case (pid, sm) => val o = acc; acc = acc.add(sm); (pid, o) }
+      // offsets travel as strings and are cast back to the exact sum type —
+      // decimal/long round-trip losslessly through their canonical string form
+      (offsets.toSeq.map { case (pid, o) => (pid, o.toPlainString) }
+         .toDF("__cs_pid", "__cs_off_s")
+         .select(col("__cs_pid"), col("__cs_off_s").cast(sumType).as("__cs_off")),
+       acc.toPlainString)
+    }
     // window partitioned by pid: parallelism = P, never a global funnel
     val w = Window.partitionBy("__cs_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -133,7 +166,7 @@ object Scale {
       .withColumn(cumCol, (col("__cs_off") + sum(value).over(w)).cast(sumType))
       .drop("__cs_pid", "__cs_off")
     if (totalCol == null) cum
-    else cum.withColumn(totalCol, lit(acc.toPlainString).cast(sumType))
+    else cum.withColumn(totalCol, lit(totalStr).cast(sumType))
   }
 
   /** Generic as-of join: append to every left row the payload of the most
