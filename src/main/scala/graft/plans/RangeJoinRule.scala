@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan, GreaterThanOrEqual, IntegralDivide, Least, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Concat, EqualNullSafe, EqualTo, Explode, Expression, Greatest, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, Least, LessThan, LessThanOrEqual, Literal, Pmod, RaiseError, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Planner-tier binned range join (the rule form of
   * `Scale.binnedRangeJoin`): a join whose condition is ONLY a band —
@@ -76,9 +76,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * row is replicated once per bin of its least/greatest span, so
   * `binSize` must be chosen near the TYPICAL interval width — a span of
   * many multiples of binSize multiplies that side's row count by
-  * span/binSize, and a single span wider than `Sequence`'s max array
-  * length (~2^31 elements, i.e. span/binSize > 2 billion) fails at
-  * runtime inside the rewritten plan. When interval widths are wildly
+  * span/binSize. A mis-sized binSize therefore cannot fail SILENTLY:
+  * every sequence the rule emits carries a runtime guard that raises an
+  * actionable error the moment ANY single row would explode into more
+  * than `spark.graft.rangeJoin.maxBinsPerRow` bins (default 1,048,576 =
+  * a 2^20× replication nobody wants; 0 disables the guard), long before
+  * the 2^31 `Sequence` array ceiling turns the same mistake into an
+  * opaque allocation failure. The error names the offending span, the
+  * conf to raise, and the kill-switches. When interval widths are wildly
   * mixed or unknown, disable the overlap path with
   * `spark.graft.rangeJoin.overlap.enabled=false` (the point-in-interval
   * rewrite stays on — its point side is always exactly one bin) and
@@ -108,7 +113,10 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   }
 
   private def overlapEnabled: Boolean =
-    conf.getConfString("spark.graft.rangeJoin.overlap.enabled", "true") == "true"
+    // lenient parse (trim + case-fold), matching Spark's own boolean-conf
+    // semantics — 'TRUE ' must not silently disable the rewrite
+    conf.getConfString("spark.graft.rangeJoin.overlap.enabled", "true")
+      .trim.equalsIgnoreCase("true")
 
   /** Plainness of a band expression: attribute references (possibly
     * cast) beat computed expressions. Used to pick WHICH dimension gets
@@ -199,6 +207,44 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     IntegralDivide(Subtract(x, Pmod(x, Literal(bin))), Literal(bin))
   }
 
+  private def maxBinsPerRow: Long = {
+    val raw = conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow",
+      (1L << 20).toString).trim
+    scala.util.Try(raw.toLong).toOption match {
+      case Some(n) => math.max(n, 0L)
+      case None =>
+        logWarning(s"spark.graft.rangeJoin.maxBinsPerRow='$raw' is not a " +
+          "long; guard disabled for this plan (0 = unlimited)")
+        0L
+    }
+  }
+
+  /** The bin-explosion sequence with the wide-span guard attached: if a
+    * single row's span covers more than `maxBins` bins, evaluating the
+    * sequence raises a USER_RAISED_EXCEPTION naming the span and every
+    * way out, instead of silently replicating the row span/binSize times
+    * (or, past 2^31 bins, dying inside `Sequence` allocation). The guard
+    * rides the sequence's upper bound (`If` → `RaiseError`), so it costs
+    * two long ops per row and codegens with the rest of the expression.
+    */
+  private def guardedSeq(loBin: Expression, hiBin: Expression,
+                         maxBins: Long): Expression = {
+    val hi = if (maxBins <= 0) hiBin else {
+      val nBins = Add(Subtract(hiBin, loBin), Literal(1L))
+      val msg = Concat(Seq(
+        Literal("graft RangeJoinRule: one row's interval spans "),
+        Cast(nBins, StringType),
+        Literal(" bins, over spark.graft.rangeJoin.maxBinsPerRow=" + maxBins +
+          ". Raise spark.graft.rangeJoin.binSize toward the typical " +
+          "interval width, raise maxBinsPerRow (0 = unlimited), or turn " +
+          "the rewrite off (spark.graft.rangeJoin.overlap.enabled=false " +
+          "for the overlap path, binSize=0 for the rule).")))
+      If(LessThanOrEqual(nBins, Literal(maxBins)), hiBin,
+        Cast(new RaiseError(msg), LongType))
+    }
+    Sequence(loBin, hi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = binSize
     if (bin <= 0) return plan
@@ -235,8 +281,8 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             val nonEmpty = Filter(LessThanOrEqual(loL, hiL), intervalPlan)
             // Sequence is TimeZoneAwareExpression: it is unresolved (and
             // fails plan validation) until a zone is pinned, even over longs
-            val seq = Sequence(floorBin(loL, bin), floorBin(hiL, bin),
-              Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            val seq = guardedSeq(floorBin(loL, bin), floorBin(hiL, bin),
+              maxBinsPerRow)
             val ibinAttr = AttributeReference("__graft_ibin", LongType)()
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
@@ -279,11 +325,11 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val (rs, re) = (Cast(b2.point, LongType), Cast(b1.bound, LongType))
       val lbinAttr = AttributeReference("__graft_lbin", LongType)()
       val rbinAttr = AttributeReference("__graft_rbin", LongType)()
+      val maxBins = maxBinsPerRow
       def spanGen(child: LogicalPlan, s: Expression, e: Expression,
                   attr: AttributeReference): LogicalPlan = {
-        val seq = Sequence(floorBin(Least(Seq(s, e)), bin),
-          floorBin(Greatest(Seq(s, e)), bin),
-          Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+        val seq = guardedSeq(floorBin(Least(Seq(s, e)), bin),
+          floorBin(Greatest(Seq(s, e)), bin), maxBins)
         Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
           qualifier = None, generatorOutput = Seq(attr), child = child)
       }

@@ -269,6 +269,49 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-span guard: a pathological interval raises an actionable error, not a silent blowup") {
+    // one row 10^9 domain units wide: at binSize=100 that is 10^7 bins —
+    // over a maxBinsPerRow of 1000 it must ERROR with the conf names,
+    // not silently replicate the row ten million times
+    val patho = Seq((1L, 0L, 1000000000L)).toDF("iid", "start", "end")
+    withBin(100L) {
+      try {
+        spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "1000")
+        // point-in-interval path
+        val pt = points.join(patho,
+          col("pt") >= col("start") && col("pt") < col("end"))
+        val e1 = intercept[Exception](pt.collect())
+        assert(e1.getMessage.contains("maxBinsPerRow"),
+          s"error must name the conf: ${e1.getMessage}")
+        assert(e1.getMessage.contains("binSize"),
+          s"error must point at the fix: ${e1.getMessage}")
+        // overlap path
+        val ov = patho.select(col("start").as("ls"), col("end").as("le"))
+          .join(rIv, col("ls") < col("re") && col("rs") < col("le"))
+        val e2 = intercept[Exception](ov.collect())
+        assert(e2.getMessage.contains("maxBinsPerRow"))
+        // raising the cap clears the guard; results match the naive join
+        spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "100000000")
+        val got = points.join(patho,
+            col("pt") >= col("start") && col("pt") < col("end"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val naive = points.crossJoin(patho)
+          .filter(col("pt") >= col("start") && col("pt") < col("end"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(got == naive)
+        // guard off (0 = unlimited) also declines to error
+        spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "0")
+        assert(points.join(patho,
+          col("pt") >= col("start") && col("pt") < col("end")).count() == naive.size)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerRow")
+    }
+    // default cap (2^20) is generous: the normal gate fixtures never trip it
+    withBin(100L) {
+      assert(points.join(intervals,
+        col("pt") >= col("start") && col("pt") < col("end")).count() > 0)
+    }
+  }
+
   test("overlap rewrite declines semi joins and equi-keyed joins") {
     withBin(100L) {
       val semi = lIv.join(rIv,
