@@ -65,6 +65,7 @@ object SparkEntry {
     "q_join_overlap" -> (Relational.q_join_overlap _),
     "q_scd2" -> (Relational.q_scd2 _),
     "q_graph_triangles" -> (Llm.q_graph_triangles _),
+    "q_graph_triangles_deg" -> (Llm.q_graph_triangles_deg _),
     "q_drift_psi" -> (Llm.q_drift_psi _),
     "q_dq_report" -> (Relational.q_dq_report _),
     "q_split_train" -> (Llm.q_split_train _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_benford" -> (Relational.q_benford _),
     "q_event_streaks" -> (Relational.q_event_streaks _),
     "q_two_hop" -> (Llm.q_two_hop _),
+    "q_two_hop_capped" -> (Llm.q_two_hop_capped _),
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_null_profile" -> (Relational.q_null_profile _),
@@ -363,6 +365,20 @@ object SparkEntry {
         |FROM changes WHERE prev IS NULL OR prev <> status
         |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
     "q_graph_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |edges AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+        |  UNION
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 2 AND x.doc_id % 2 = 0)
+        |SELECT e1.a, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM edges e1
+        |JOIN edges e2 ON e2.a = e1.b
+        |WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+        |GROUP BY e1.a ORDER BY e1.a""".stripMargin,
+    // the degree-oriented guard path must match the SAME triangle oracle
+    "q_graph_triangles_deg" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |edges AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b
@@ -793,6 +809,23 @@ object SparkEntry {
         |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_two_hop" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT x.doc_id AS s, y.doc_id AS t
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+        |  UNION ALL
+        |  SELECT x.doc_id, y.doc_id
+        |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 2
+        |  WHERE x.doc_id % 2 = 0),
+        |und AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+        |two AS (SELECT DISTINCT a.s AS a, b.t AS c
+        |  FROM und a JOIN und b ON a.t = b.s WHERE b.t <> a.s)
+        |SELECT two.a, count(*) AS n_two_hop
+        |FROM two LEFT JOIN und ON und.s = two.a AND und.t = two.c
+        |WHERE und.s IS NULL
+        |GROUP BY two.a ORDER BY two.a""".stripMargin,
+    // degreeCap=8 > max degree 4 on this graph: capped census ≡ exact
+    "q_two_hop_capped" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |e0 AS (
         |  SELECT x.doc_id AS s, y.doc_id AS t

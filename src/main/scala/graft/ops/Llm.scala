@@ -350,18 +350,32 @@ object Llm {
     // pair (-1, minId) exercises signature → bucket → cosine at every
     // SF. cos(-1, minId) = 1.0 exactly.
     val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
-    val withSig = base.unionByName(probe)
+    embedPairs(base.unionByName(probe), threshold = 0.95)
+  }
+
+  /** Reusable transform behind [[q_dedup_embed]]: near-duplicate pairs
+    * of any `(vec_id, e)` DataFrame via 12-bit hyperplane signature →
+    * bucket equi-join → exact cosine ≥ threshold.
+    *
+    * One scan + one shuffle: group per LSH bucket, pairs via double
+    * explode. Same skew guard as minhashPairs: a spillable window count
+    * drops degenerate buckets (e.g. zero/constant embeddings all
+    * hashing to one signature) BEFORE the non-spilling collect_list
+    * buffer, bounding both memory and the quadratic pair volume.
+    * Recall floor vs brute-force cosine ground truth is asserted in
+    * OpsSpec on planted near-dups (single-table 12-plane LSH: collision
+    * probability (1 − θ/π)^12, deterministic — the plane matrix and the
+    * fixture are both fixed).
+    */
+  def embedPairs(vecs: DataFrame, threshold: Double,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val withSig = vecs
       .withColumn("sig", graft.functions.Vec.embSig(col("e")))
       .select(col("vec_id"), col("e"), col("sig"))
-    // one scan + one shuffle: group per LSH bucket, pairs via double
-    // explode. Same skew guard as minhashPairs: a spillable window count
-    // drops degenerate buckets (e.g. zero/constant embeddings all
-    // hashing to one signature) BEFORE the non-spilling collect_list
-    // buffer, bounding both memory and the quadratic pair volume.
     val wb = Window.partitionBy("sig")
     withSig
       .withColumn("__bn", count(lit(1)).over(wb))
-      .filter(col("__bn") <= DefaultMaxBucket)
+      .filter(col("__bn") <= maxBucket)
       .drop("__bn")
       .groupBy("sig")
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("items"))
@@ -371,7 +385,7 @@ object Llm {
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(cosine(col("a.e"), col("b.e")), 6).as("cos"))
-      .filter(col("cos") >= 0.95)
+      .filter(col("cos") >= threshold)
       .orderBy("id1", "id2")
   }
 
@@ -1752,15 +1766,33 @@ object Llm {
     * closes the triangle {i, i+1, i+2}. Both the edge construction and
     * the wedge-close are SQL, so the whole query is DuckDB-oracled.
     */
-  def q_graph_triangles(s: SparkSession, d: String): DataFrame = {
+  def q_graph_triangles(s: SparkSession, d: String): DataFrame =
+    Scale.triangleCount(chainChordEdges(s, d), "src", "dst")
+      .orderBy("a")
+
+  /** The degree-oriented execution of [[q_graph_triangles]] run as its
+    * own gate against the SAME DuckDB oracle: the O(m^1.5)-bounded
+    * skew-guard path (`orientByDegree = true`, Scale.triangleCount)
+    * must be hash-identical to the exact id-oriented plan — the
+    * orientation is an execution detail, proven here on oracle data,
+    * not just on the ScaleSpec star fixture.
+    */
+  def q_graph_triangles_deg(s: SparkSession, d: String): DataFrame =
+    Scale.triangleCount(chainChordEdges(s, d), "src", "dst", orientByDegree = true)
+      .orderBy("a")
+
+  /** Deterministic gate graph shared by the graph-operator queries:
+    * chain edges (i, i+1) plus chords (i, i+2) at even i over the
+    * document ids — bounded degree ≤ 4, known triangle structure.
+    */
+  private def chainChordEdges(s: SparkSession, d: String): DataFrame = {
     val ids = documents(s, d).select(col("doc_id"))
     val e1 = ids.as("x").join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
     val e2 = ids.as("x").filter(col("doc_id") % 2 === 0)
       .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 2)
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    Scale.triangleCount(e1.union(e2), "src", "dst")
-      .orderBy("a")
+    e1.union(e2)
   }
 
   /** Two-hop neighborhood census (friends-of-friends): per vertex, the
@@ -1773,18 +1805,24 @@ object Llm {
     * power-law graph passes `degreeCap` to drop supernode middles —
     * the subset semantics are spec'd in ScaleSpec.
     */
-  def q_two_hop(s: SparkSession, d: String): DataFrame = {
-    val ids = documents(s, d).select(col("doc_id"))
-    val e1 = ids.as("x").join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
-      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    val e2 = ids.as("x").filter(col("doc_id") % 2 === 0)
-      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 2)
-      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-    val dir = e1.union(e2)
-    val und = dir
-      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    Scale.twoHopCensus(und, "src", "dst").orderBy("a")
+  def q_two_hop(s: SparkSession, d: String): DataFrame =
+    Scale.twoHopCensus(undirectedChainChord(s, d), "src", "dst").orderBy("a")
+
+  /** The supernode-guard execution of [[q_two_hop]] run as its own gate
+    * against the SAME DuckDB oracle: `degreeCap = 8` sits above the
+    * gate graph's maximum degree (4 — chain + both chord directions at
+    * an even vertex), so the capped wedge enumeration must reproduce
+    * the exact census hash-for-hash. This proves the guard path's
+    * plumbing is lossless below the cap, complementing the ScaleSpec
+    * assertion that ABOVE the cap it yields a strict subset.
+    */
+  def q_two_hop_capped(s: SparkSession, d: String): DataFrame =
+    Scale.twoHopCensus(undirectedChainChord(s, d), "src", "dst", degreeCap = 8)
+      .orderBy("a")
+
+  private def undirectedChainChord(s: SparkSession, d: String): DataFrame = {
+    val dir = chainChordEdges(s, d)
+    dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
   /** Dataset drift profile: Population Stability Index between two

@@ -2093,17 +2093,42 @@ object Relational {
     * (Σ C(|basket|, 2), baskets are small by domain), marginals
     * broadcast. Lift > 1 = positive association.
     */
-  def q_basket_lift(s: SparkSession, d: String): DataFrame = {
-    val ut = events(s, d).select(col("user_id"), col("event_type")).distinct()
-    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n1"))
-    val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
-      .join(ut.select(col("user_id"), col("event_type").as("t2")), "user_id")
+  def q_basket_lift(s: SparkSession, d: String): DataFrame =
+    basketLift(events(s, d), "user_id", "event_type")
+
+  /** Market-basket lift over any (basket, item) relation — the reusable
+    * form of [[q_basket_lift]]. Pair volume is Σ|basket|²: bounded by
+    * the item-type domain on the gate's events table, UNBOUNDED for a
+    * generic item key (products, tokens, hosts). `basketCap > 0` keeps
+    * only the `basketCap` RAREST items of each basket (global support
+    * ascending, item as tiebreak — rare items carry the lift signal;
+    * ubiquitous ones produce lift ≈ 1 noise) before pair generation,
+    * bounding any basket's contribution at cap². Same device as
+    * [[Llm.wordPmi]]'s vocabCap; capped output is a dominated subset of
+    * the exact pair set (keys ⊆ exact, every capped n12 ≤ exact n12 —
+    * spec'd in OpsSpec). Default OFF: the DuckDB-oracled gate runs
+    * exact.
+    */
+  def basketLift(df: DataFrame, basketCol: String, itemCol: String,
+                 basketCap: Int = 0): DataFrame = {
+    val ut0 = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
+    val ut = if (basketCap <= 0) ut0 else {
+      val freq = ut0.groupBy("__it").agg(count(lit(1)).as("__n"))
+      ut0.join(freq, "__it") // item-support relation: domain-sized, broadcastable
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("__bk").orderBy(col("__n"), col("__it"))))
+        .filter(col("__rk") <= basketCap)
+        .select(col("__bk"), col("__it"))
+    }
+    val marg = ut.groupBy("__it").agg(count(lit(1)).as("n1"))
+    val pairs = ut.select(col("__bk"), col("__it").as("t1"))
+      .join(ut.select(col("__bk"), col("__it").as("t2")), "__bk")
       .filter(col("t1") < col("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("n12"))
-    val tot = events(s, d).agg(countDistinct(col("user_id")).as("n_users"))
+    val tot = ut0.agg(countDistinct(col("__bk")).as("n_users"))
     pairs
-      .join(broadcast(marg.select(col("event_type").as("t1"), col("n1").as("na"))), "t1")
-      .join(broadcast(marg.select(col("event_type").as("t2"), col("n1").as("nb"))), "t2")
+      .join(broadcast(marg.select(col("__it").as("t1"), col("n1").as("na"))), "t1")
+      .join(broadcast(marg.select(col("__it").as("t2"), col("n1").as("nb"))), "t2")
       .crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"), col("n12"),
         round(col("n12").cast("double") * col("n_users") / (col("na") * col("nb")) +

@@ -133,7 +133,10 @@ class OpsSpec extends AnyFunSuite {
     }
     val avgRecall = recalls.sum / recalls.size
     info(f"IVF recall@5 = $avgRecall%.3f (nlist=16, nprobe=4)")
-    assert(avgRecall >= 0.4, f"IVF recall too low: $avgRecall%.3f")
+    // kMeans init is a deterministic xxhash64 stride (Scale.kMeans) and
+    // the fixture is fixed, so the measured 0.61 is a constant — 0.55
+    // is a real floor on the probe path, not a statistical bound
+    assert(avgRecall >= 0.55, f"IVF recall too low: $avgRecall%.3f")
   }
 
   test("embedding LSH candidates: exact duplicates of a vector always collide") {
@@ -572,6 +575,11 @@ class OpsSpec extends AnyFunSuite {
     // discriminative. Recall floor on exact shingle-J ≥ 0.7 pairs, LSH
     // at its gate threshold 0.5 — the quantitative upgrade of the
     // rows-only driver check.
+    //
+    // Determinism of the 0.8 floor: the minhash permutation family is a
+    // compile-time-fixed splitmix64 constant schedule
+    // (TextKernels.scala — no runtime seeding anywhere in the path), and
+    // setSimJoin is exact, so this gate cannot flake run-to-run.
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val shingled = docs.select(col("doc_id"), array_join(
         expr("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
@@ -601,6 +609,99 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.size < exact.size, "cap=10 must actually prune on this corpus")
     val violations = capped.filterNot { case (k, n) => exact.get(k).exists(_ >= n) }
     assert(violations.isEmpty, s"capped pairs must be a dominated subset: $violations")
+  }
+
+  /** Planted near-dup corpus for the embedding recall gates: the sf0.01
+    * embeddings plus a perturbed copy of the 100 smallest ids (copy id =
+    * original + 100000). Jitter is splitmix64-deterministic and sized to
+    * ~0.0173·‖v‖, i.e. cosine ≈ 0.9998 — comfortably inside every 0.95
+    * gate threshold, so the 100 planted pairs are ground-truth positives
+    * by construction (verified by brute force in the tests, not assumed).
+    */
+  private lazy val plantedEmbCorpus: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val rows = base.filter(col("vec_id") < 100).as[(Long, Seq[Double])].collect()
+    val planted = rows.map { case (id, e) =>
+      val arr = e.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      val amp = 0.03 * norm / math.sqrt(arr.length.toDouble)
+      val noisy = arr.zipWithIndex.map { case (x, i) =>
+        val h = graft.functions.TextKernels.splitmix64(id * 1000003L + i)
+        val u = (h >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+        x + amp * u
+      }
+      (id + 100000L, noisy.toSeq)
+    }.toSeq
+    base.unionByName(planted.toDF("vec_id", "e")).localCheckpoint()
+  }
+
+  /** Exact cosine-≥ t pairs over the planted corpus, by brute force. */
+  private def bruteCosinePairs(t: Double): Set[(Long, Long)] = {
+    import spark.implicits._
+    val a = plantedEmbCorpus.select(col("vec_id").as("id1"), col("e").as("e1"))
+    val b = plantedEmbCorpus.select(col("vec_id").as("id2"), col("e").as("e2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .filter(graft.functions.Vec.cosine(col("e1"), col("e2")) >= t)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+  }
+
+  test("embedPairs LSH recall ≥ 0.8 against brute-force cosine ground truth on planted near-dups") {
+    import spark.implicits._
+    val truth = bruteCosinePairs(0.95)
+    assert(truth.size >= 100, s"the 100 planted pairs must be true positives: ${truth.size}")
+    val predicted = Llm.embedPairs(plantedEmbCorpus, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (pairs are cosine-verified
+    // post-bucketing); recall is the LSH quantity under test. 12-plane
+    // single-table collision at cosine 0.9998 is (1 − θ/π)^12 ≈ 0.94,
+    // and both the plane matrix and the jitter are compile-time
+    // deterministic, so the measured recall is a constant — 0.8 is a
+    // real floor, not a statistical gamble.
+    assert(predicted.subsetOf(truth.union(bruteCosinePairs(0.9499))),
+      "every emitted pair must be cosine-verified (precision 1.0 modulo rounding)")
+    val recall = truth.count(predicted.contains).toDouble / truth.size
+    info(f"embed LSH recall = $recall%.3f on ${truth.size} true pairs")
+    assert(recall >= 0.8, f"embed LSH recall $recall%.3f < 0.8")
+  }
+
+  test("semanticDedup recall ≥ 0.8 against the brute-force keep rule on planted near-dups") {
+    import spark.implicits._
+    // exact keep rule: i dropped iff SOME j < i has cos(i,j) ≥ 0.95 —
+    // cluster-free brute force over the same corpus
+    val exactDropped = bruteCosinePairs(0.95).map(_._2)
+    assert(exactDropped.size >= 100, "planted copies must all be exact-dropped")
+    val k = math.max(4, (plantedEmbCorpus.count() / 64.0).ceil.toInt)
+    val got = Scale.semanticDedup(plantedEmbCorpus, "vec_id", "e", k,
+        threshold = 0.95, maxIters = 3)
+      .filter(!col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(got.subsetOf(exactDropped),
+      "semanticDedup must never drop an item without a true similar predecessor")
+    val recall = exactDropped.count(got.contains).toDouble / exactDropped.size
+    info(f"semanticDedup drop-recall = $recall%.3f on ${exactDropped.size} exact drops")
+    assert(recall >= 0.8, f"semanticDedup recall $recall%.3f < 0.8")
+  }
+
+  test("basketLift basket cap: capped pair keys ⊆ uncapped; every capped n12 ≤ uncapped n12") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val exact = Relational.basketLift(ev, "user_id", "event_type")
+      .select("t1", "t2", "n12").as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    // cap = 2 < the 5-type event domain, so per-user baskets really shrink
+    val capped = Relational.basketLift(ev, "user_id", "event_type", basketCap = 2)
+      .select("t1", "t2", "n12").as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(exact.nonEmpty, "gate fixture must produce pairs")
+    assert(capped.values.sum < exact.values.sum, "cap=2 must actually prune")
+    val violations = capped.filterNot { case (k, n) => exact.get(k).exists(_ >= n) }
+    assert(violations.isEmpty, s"capped pairs must be a dominated subset: $violations")
+    // cap ≥ basket width ≡ exact (lossless below the cap)
+    val wide = Relational.basketLift(ev, "user_id", "event_type", basketCap = 100)
+      .select("t1", "t2", "n12").as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(wide == exact, "a cap above every basket width must be a no-op")
   }
 
   test("globalCumSum ≡ partition-less running sum + grand total, without the funnel") {
@@ -634,6 +735,37 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("cum", sum(col("lv")).over(wDesc))
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert(gotDesc == wantDesc)
+  }
+
+  test("globalCumSum on doubles: matches the naive running sum and survives NaN/Infinity") {
+    import spark.implicits._
+    // plain double path (no NaN): bit-exact vs the naive plan is not
+    // guaranteed for float sums in general, but both formulations add the
+    // same values in the same total order here, so they agree exactly
+    val df = spark.range(1, 201).toDF("id")
+      .withColumn("v", (col("id") % 7).cast("double") / 4)
+      .repartition(5)
+    val got = Scale.globalCumSum(df, Seq(col("id")), col("v"), "cum",
+        totalCol = "tot", numPartitions = 4)
+      .select("id", "cum", "tot").as[(Long, Double, Double)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .crossJoin(df.agg(sum(col("v")).as("tot")))
+      .select("id", "cum", "tot").as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, math.abs(t._2 - want(got.indexOf(t))._2) < 1e-9)).forall(_._2))
+    assert(math.abs(got.head._3 - want.head._3) < 1e-9)
+    // NaN partition sum must flow through (poisoning downstream rows, the
+    // float-sum contract) instead of crashing the driver in BigDecimal
+    val poisoned = df.withColumn("v",
+      when(col("id") === 42, lit(Double.NaN)).otherwise(col("v")))
+    val nanRows = Scale.globalCumSum(poisoned, Seq(col("id")), col("v"), "cum",
+        totalCol = "tot", numPartitions = 4)
+      .select("id", "cum").as[(Long, Double)].collect()
+    assert(nanRows.length == 200, "NaN input must not crash globalCumSum")
+    assert(nanRows.filter(_._1 >= 42).forall(r => r._2.isNaN),
+      "rows at/after the NaN carry NaN, per float-sum semantics")
   }
 
   test("unpersistCheckpoint frees localCheckpoint storage; bpeTrain does not accumulate it") {
