@@ -4,9 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Whole-operator Catalyst extension showcase: AS-OF JOIN as a native
   * logical+physical operator (the (c) tier of the custom-operator
@@ -65,7 +68,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftTs: Attribute, rightTs: Attribute,
                         payloadIn: Seq[Attribute],
                         payloadOut: Seq[Attribute],
-                        forward: Boolean = false) extends BinaryExecNode {
+                        forward: Boolean = false)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -177,6 +181,195 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen -------------------------------------------
+  //
+  // The SortMergeJoin recipe: the node is the PRODUCER of its stage
+  // (children stay behind their sorts, consumed as row iterators via
+  // inputRDDs), and the merge loop is generated so its output columns
+  // flow straight into the parent's consume() — no JoinedRow, no output
+  // UnsafeProjection, no iterator boundary between the join and the
+  // aggregation above it. Exactly one output row per left row and O(1)
+  // right-side state, so the generated loop is a plain while over the
+  // left input with primitive comparisons — far simpler than SMJ's
+  // buffered-matches machinery.
+
+  /** Codegen covers the types the gate data and typical time-series
+    * carry (primitives, date/time, strings). Anything else falls back
+    * to the interpreted merge (identical semantics, AsofJoinPlanSpec).
+    */
+  override def supportCodegen: Boolean = {
+    def ok(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    ok(leftKey.dataType) && ok(leftTs.dataType) && payloadIn.forall(a => ok(a.dataType))
+  }
+
+  // output values reference the current left/right input rows' buffers;
+  // copy when a downstream operator buffers whole rows
+  override def needCopyResult: Boolean = true
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = rOut.indexWhere(_.exprId == rightTs.exprId)
+    val pIdx = payloadIn.map(a => rOut.indexWhere(_.exprId == a.exprId))
+    require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0 &&
+      pIdx.forall(_ >= 0),
+      "as-of key/ts/payload attributes must come from the respective child")
+
+    val keyDt = leftKey.dataType
+    val tsDt = leftTs.dataType
+    val keyJt = CodeGenerator.javaType(keyDt)
+    val tsJt = CodeGenerator.javaType(tsDt)
+    // values HELD ACROSS right-iterator advances must not alias the
+    // iterator's reused row buffer — strings get defensive clones
+    def saved(jt: String, v: String): String =
+      if (jt == "UTF8String") s"$v.clone()" else v
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead")
+    val rKey = ctx.addMutableState(keyJt, "asofRKey")
+    val rTs = ctx.addMutableState(tsJt, "asofRTs")
+    val initialized = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
+
+    // null-key/ts right rows never match: skip them while advancing, so
+    // the merge loop only ever sees comparable (key, ts) pairs
+    val advance = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  $rHead = null;
+         |  while ($rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!r.isNullAt($rKeyIdx) && !r.isNullAt($rTsIdx)) {
+         |      $rHead = r;
+         |      $rKey = ${CodeGenerator.getValue("r", keyDt, rKeyIdx.toString)};
+         |      $rTs = ${CodeGenerator.getValue("r", tsDt, rTsIdx.toString)};
+         |      return;
+         |    }
+         |  }
+         |}""".stripMargin)
+
+    val lRow = ctx.freshName("asofLeftRow")
+    val lKey = ctx.freshName("asofLKey")
+    val lTs = ctx.freshName("asofLTs")
+    val matched = ctx.freshName("asofMatched")
+
+    // per-output-row payload locals (isNull flag + value), fed to consume()
+    val pNull = pIdx.map(_ => ctx.freshName("asofPNull"))
+    val pVal = pIdx.map(_ => ctx.freshName("asofPVal"))
+    val pJt = payloadIn.map(a => CodeGenerator.javaType(a.dataType))
+
+    val mergeAndPayload = if (forward) {
+      // skip right rows strictly BEFORE (lKey, lTs); the survivor is the
+      // candidate and is NOT consumed — it may match the next left row.
+      // Payload reads straight from the live rHead (no saved state).
+      val reads = pIdx.indices.map { i =>
+        s"""
+           |boolean ${pNull(i)} = true;
+           |${pJt(i)} ${pVal(i)} = ${CodeGenerator.defaultValue(payloadIn(i).dataType)};
+           |if ($matched && !$rHead.isNullAt(${pIdx(i)})) {
+           |  ${pNull(i)} = false;
+           |  ${pVal(i)} = ${CodeGenerator.getValue(rHead, payloadIn(i).dataType, pIdx(i).toString)};
+           |}""".stripMargin
+      }.mkString("\n")
+      s"""
+         |boolean $matched = false;
+         |if (!$lRow.isNullAt($lKeyIdx) && !$lRow.isNullAt($lTsIdx)) {
+         |  $keyJt $lKey = ${CodeGenerator.getValue(lRow, keyDt, lKeyIdx.toString)};
+         |  $tsJt $lTs = ${CodeGenerator.getValue(lRow, tsDt, lTsIdx.toString)};
+         |  while ($rHead != null) {
+         |    int kc = ${ctx.genComp(keyDt, rKey, lKey)};
+         |    if (kc > 0) break;
+         |    if (kc == 0) {
+         |      if (${ctx.genComp(tsDt, rTs, lTs)} >= 0) break;
+         |    }
+         |    $advance();
+         |  }
+         |  $matched = $rHead != null && ${ctx.genComp(keyDt, rKey, lKey)} == 0;
+         |}
+         |$reads""".stripMargin
+    } else {
+      // consume right rows while (rKey, rTs) <= (lKey, lTs), saving the
+      // latest same-key payload — state survives across left rows, so
+      // the saved values live in (cloned) mutable state
+      val lastValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofLastValid")
+      val lastKey = ctx.addMutableState(keyJt, "asofLastKey")
+      val lastPNull = pIdx.map(_ => ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofLastPNull"))
+      val lastPVal = pIdx.indices.map(i => ctx.addMutableState(pJt(i), "asofLastPVal"))
+      val savePayload = pIdx.indices.map { i =>
+        val get = CodeGenerator.getValue(rHead, payloadIn(i).dataType, pIdx(i).toString)
+        s"""
+           |${lastPNull(i)} = $rHead.isNullAt(${pIdx(i)});
+           |if (!${lastPNull(i)}) ${lastPVal(i)} = ${saved(pJt(i), s"($get)")};""".stripMargin
+      }.mkString("\n")
+      val reads = pIdx.indices.map { i =>
+        s"""
+           |boolean ${pNull(i)} = !$matched || ${lastPNull(i)};
+           |${pJt(i)} ${pVal(i)} = ${pNull(i)}
+           |  ? ${CodeGenerator.defaultValue(payloadIn(i).dataType)} : ${lastPVal(i)};""".stripMargin
+      }.mkString("\n")
+      s"""
+         |boolean $matched = false;
+         |if (!$lRow.isNullAt($lKeyIdx) && !$lRow.isNullAt($lTsIdx)) {
+         |  $keyJt $lKey = ${CodeGenerator.getValue(lRow, keyDt, lKeyIdx.toString)};
+         |  $tsJt $lTs = ${CodeGenerator.getValue(lRow, tsDt, lTsIdx.toString)};
+         |  while ($rHead != null) {
+         |    int kc = ${ctx.genComp(keyDt, rKey, lKey)};
+         |    if (kc > 0) break;
+         |    if (kc == 0) {
+         |      if (${ctx.genComp(tsDt, rTs, lTs)} > 0) break;
+         |      $savePayload
+         |      $lastValid = true;
+         |      $lastKey = ${saved(keyJt, rKey)};
+         |    }
+         |    $advance();
+         |  }
+         |  $matched = $lastValid && ${ctx.genComp(keyDt, lastKey, lKey)} == 0;
+         |}
+         |$reads""".stripMargin
+    }
+
+    // left columns evaluate off the current left row; payload columns
+    // are the locals declared above
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val leftVars = lOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val payloadVars = pIdx.indices.map { i =>
+      ExprCode(code"", JavaCode.isNullVariable(pNull(i)),
+        JavaCode.variable(pVal(i), payloadIn(i).dataType))
+    }
+    // emits each var's evaluation ONCE and clears its code so consume()
+    // does not re-declare the same locals downstream
+    val leftVarDecl = evaluateVariables(leftVars)
+
+    s"""
+       |if (!$initialized) {
+       |  $initialized = true;
+       |  $advance();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  $mergeAndPayload
+       |  $leftVarDecl
+       |  ${consume(ctx, leftVars ++ payloadVars)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
   }
 }
 

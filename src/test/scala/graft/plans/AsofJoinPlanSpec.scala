@@ -114,5 +114,31 @@ class AsofJoinPlanSpec extends AnyFunSuite {
       s"union/window rewrite leaked into:\n$s")
     val shuffles = "Exchange".r.findAllIn(s).size
     assert(shuffles == 2, s"expected exactly 2 shuffles (one per side), got $shuffles in:\n$s")
+    // whole-stage codegen must COVER the merge (a '*(n) AsofJoin' span),
+    // not silently fall back to the interpreted iterator — and codegen
+    // compilation must succeed (a Janino failure also falls back, but
+    // leaves the star prefix; the round-trip collect() above plus the
+    // parity suites prove the generated loop, not just its presence)
+    assert("""\*\(\d+\) AsofJoin""".r.findFirstIn(s).isDefined,
+      s"AsofJoin must be inside a WholeStageCodegen span:\n$s")
+  }
+
+  test("codegen merge loop ≡ interpreted merge (codegen off) on both directions") {
+    val left = eventsBase
+    val right = eventsBase.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"),
+        col("event_type").as("vtype"))
+    for (fwd <- Seq(false, true)) {
+      val on = Asof.join(left, right, "user_id", "ts_ns", "ts_ns",
+        Seq("view_id", "vtype"), forward = fwd).collect().map(_.toString).sorted
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val off = Asof.join(left, right, "user_id", "ts_ns", "ts_ns",
+          Seq("view_id", "vtype"), forward = fwd).collect().map(_.toString).sorted
+        assert(on.toSeq == off.toSeq,
+          s"codegen and interpreted merges disagree (forward=$fwd)")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
   }
 }
