@@ -170,6 +170,7 @@ object SparkEntry {
     "q_source_csv" -> (Sources.q_source_csv _),
     "q_source_json" -> (Sources.q_source_json _),
     "q_source_orc" -> (Sources.q_source_orc _),
+    "q_source_xml" -> (Sources.q_source_xml _),
     "q_source_from_json" -> (Sources.q_source_from_json _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
@@ -565,13 +566,23 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderpriority, 'b' AS src FROM orders
         |ORDER BY o_orderkey, src""".stripMargin,
 
+    // DuckDB's arg_max has no composite-ordering form, so the
+    // tie-deterministic witness (largest/smallest key among tied
+    // extremes, matching Spark's max_by over a (price, key) struct)
+    // is expressed with ranking windows
     "q_agg_minmax_by" ->
-      """SELECT o_orderpriority,
-        |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
-        |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS key_of_max,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS key_of_min,
         |  max(o_totalprice) AS max_price,
         |  min(o_totalprice) AS min_price
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_array_funcs2" ->
       """WITH t AS (
@@ -1046,8 +1057,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)), 4)) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2)), 4)) AS DOUBLE) AS sum_charge,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) + 1e-9, 4) AS avg_qty,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*) + 1e-9, 4) AS avg_disc,
         |  count(*) AS n
@@ -1388,6 +1399,10 @@ object SparkEntry {
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
+    // the XML round trip must be lossless: same oracle as the csv one
+    "q_source_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
     "q_source_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
@@ -1598,7 +1613,7 @@ object SparkEntry {
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS vsum,
+        |  round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) + 0.0 AS vsum,
         |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS vmax,
         |  round(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
         |        (a, b) -> a + b), 4) AS sq_sum

@@ -340,12 +340,22 @@ object Relational {
     * witness per group is needed. (Ties would be engine-arbitrary; the
     * suite's data has none at the graded SFs — checked.)
     */
+  /** Argmax/argmin witnesses with a DETERMINISTIC tie rule: the
+    * ordering struct (price, key) breaks price ties by key, so the
+    * witness is the largest (resp. smallest) key among tied extremes —
+    * plain `max_by(key, price)` is engine-arbitrary under ties, which
+    * the sf1 sweep surfaced the moment replicated data produced exact
+    * ties (the driver-SF fixtures happen to have unique extremes).
+    * Production argmax over real data MUST pin ties the same way.
+    */
   def q_agg_minmax_by(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_max"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_min"),
         max(col("o_totalprice")).as("max_price"),
         min(col("o_totalprice")).as("min_price"))
       .orderBy("o_orderpriority")
@@ -421,19 +431,34 @@ object Relational {
     * bound with near-zero shuffle. Products carry up to 6 decimals, so
     * the exact-DECIMAL accumulation uses scale 6 (no per-row rounding).
     */
-  def q_tpch_q1ish(s: SparkSession, d: String): DataFrame =
+  def q_tpch_q1ish(s: SparkSession, d: String): DataFrame = {
+    // The disc/charge PRODUCTS are decimal-exact BY CONSTRUCTION: each
+    // 2-decimal-valued factor is cast to decimal FIRST (boundary-safe —
+    // the doubles are within ULPs of their decimal values), then
+    // multiplied in exact decimal arithmetic and rounded once. Casting
+    // the double product instead (the previous formulation) is
+    // engine-divergent at a rounding boundary: Spark's double→decimal
+    // goes through the double's SHORTEST string repr
+    // (BigDecimal.valueOf), DuckDB rounds the exact binary value — at
+    // sf1, 3 of 6M rows land on such a boundary and no epsilon fixes a
+    // shortest-repr-vs-exact-binary disagreement. Exact decimal sums
+    // are also partitioning/AQE-order-insensitive (the dsum contract).
+    val ep = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc1 = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    val tax1 = (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
     lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base"),
-        dsum(expr("l_extendedprice * (1 - l_discount)")).as("sum_disc"),
-        dsum(expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"), 6).as("sum_charge"),
+        sum(round(ep * disc1, 4)).cast("double").as("sum_disc"),
+        sum(round(ep * disc1 * tax1, 4)).cast("double").as("sum_charge"),
         round(dsum(col("l_quantity")) / count(lit(1)) + lit(1e-9), 4).as("avg_qty"),
         round(dsum(col("l_discount")) / count(lit(1)) + lit(1e-9), 4).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** Higher-moment statistics (skewness / kurtosis) from exact integer
     * power sums: l_quantity is integral, so Σx..Σx⁴ accumulate exactly
@@ -1182,7 +1207,12 @@ object Relational {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         emb.getItem(0).as("first_val"),
-        round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
+        // + 0.0 normalizes a signed-zero rounded sum: a near-zero vsum
+        // can round to -0.0 in one engine and +0.0 in the other (equal
+        // by IEEE compare, different by hash — the q_dsir_weights
+        // cross-engine finding; surfaced here by the sf1 jittered
+        // embeddings). Applied in BOTH engines.
+        (round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4) + lit(0.0)).as("vsum"),
         round(array_max(emb), 6).as("vmax"),
         round(aggregate(emb, lit(0.0), (acc, x) => acc + x * x), 4).as("sq_sum"))
       .orderBy("vec_id")

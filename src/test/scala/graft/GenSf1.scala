@@ -60,8 +60,11 @@ object GenSf1 {
     write(replicate(read("documents")) { (df, c) =>
       if (c == 0) df
       else shift(df, c, "doc_id")
+        // alphanumeric salt, deliberately: a punctuation salt ('#')
+        // diverges from the oracle emulations of locale tokenization
+        // (sentences) and URL encoding, which are charset-specific
         .withColumn("text", array_join(
-          transform(split(col("text"), " "), t => concat(t, lit(s"#$c"))), " "))
+          transform(split(col("text"), " "), t => concat(t, lit(s"x$c"))), " "))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
     write(replicate(read("embeddings")) { (df, c) =>

@@ -36,8 +36,14 @@ def frame(con, sql):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver tables are single files; locally-generated scale sets
+        # (GenSf1) are Spark-style DIRECTORIES of part files — read both
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     out_queries = sorted(
         p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/"))
