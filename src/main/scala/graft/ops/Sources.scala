@@ -58,6 +58,20 @@ object Sources {
       .orderBy("c_custkey")
   }
 
+  /** parquet → XML → XML scan with explicit schema: Spark 4 ships the
+    * XML data source natively (`rowTag`-delimited records; multiline
+    * parse per file, so XML splits by FILE, not by record — keep files
+    * bounded at scale, unlike the splittable columnar formats). Oracle
+    * is the source table: the round trip must be lossless.
+    */
+  def q_source_xml(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(s"xml_${math.abs(d.hashCode).toHexString}")
+    Tables.nation(s, d).write.mode("overwrite")
+      .option("rowTag", "nation").xml(out)
+    s.read.schema(nationSchema).option("rowTag", "nation").xml(out)
+      .orderBy("n_nationkey")
+  }
+
   /** parquet → ORC → ORC scan: the second columnar format Spark ships
     * natively (predicate pushdown, column pruning, and splittable files
     * work the same as parquet — SourcesSpec asserts the pushdown).
