@@ -1180,10 +1180,16 @@ object Llm {
     * quadratic cosine screen to within-cluster pairs. One row per item
     * with its cluster and keep flag.
     *
-    * k scales with the corpus (target ~64 items/cluster, clamped to
-    * [4, 1024]) so within-cluster pair volume stays ~k·64² at any SF;
-    * past the clamp you shard the clustering hierarchically (coarse
-    * k-means → per-cell k-means), which composes from the same pieces.
+    * k = √n (clamped to [4, 4096]) BALANCES the two cost terms the
+    * operator pays: centroid assignment is n·k·dim per Lloyd pass and
+    * the within-cluster quadratic screen is Σ|c|² ≈ n·(n/k), so their
+    * sum minimizes at k ≈ √n — total work ~2·n^1.5, the
+    * sort-tier growth. The previous fixed-cluster-size heuristic
+    * (k = n/64) made ASSIGNMENT n²/64: invisible at the driver SFs,
+    * the slowest query in the suite at sf1 (8.7 s; √n cuts it ~3×),
+    * quadratic death at 100 TB. Past the clamp you shard the
+    * clustering hierarchically (coarse k-means → per-cell k-means),
+    * which composes from the same pieces.
     * Planted canary (same device as q_dedup_embed): vec_id −1 is an
     * exact copy of the smallest vec_id's embedding — fixture vectors
     * max out at pairwise cos ≈ 0.51, so without it the ≥0.95 screen
@@ -1197,7 +1203,7 @@ object Llm {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val probe = base.orderBy("vec_id").limit(1).select(lit(-1L).as("vec_id"), col("e"))
     val corpus = base.unionByName(probe)
-    val k = math.max(4, math.min(1024, (corpus.count() / 64.0).ceil.toInt))
+    val k = math.max(4, math.min(4096, math.sqrt(corpus.count().toDouble).ceil.toInt))
     // 3 Lloyd iterations, not convergence: SemDeDup needs decent
     // BUCKETING (near-identical vectors land together under any
     // centroid set); extra refinement buys no dedup recall, just jobs

@@ -672,7 +672,7 @@ class OpsSpec extends AnyFunSuite {
     // cluster-free brute force over the same corpus
     val exactDropped = bruteCosinePairs(0.95).map(_._2)
     assert(exactDropped.size >= 100, "planted copies must all be exact-dropped")
-    val k = math.max(4, (plantedEmbCorpus.count() / 64.0).ceil.toInt)
+    val k = math.max(4, math.sqrt(plantedEmbCorpus.count().toDouble).ceil.toInt)
     val got = Scale.semanticDedup(plantedEmbCorpus, "vec_id", "e", k,
         threshold = 0.95, maxIters = 3)
       .filter(!col("keep")).select("vec_id").as[Long].collect().toSet
