@@ -114,6 +114,8 @@ object SparkEntry {
     "q_event_streaks" -> (Relational.q_event_streaks _),
     "q_two_hop" -> (Llm.q_two_hop _),
     "q_two_hop_capped" -> (Llm.q_two_hop_capped _),
+    "q_zipf_fit" -> (Llm.q_zipf_fit _),
+    "q_mmr_select" -> (Llm.q_mmr_select _),
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_null_profile" -> (Relational.q_null_profile _),
@@ -1402,6 +1404,19 @@ object SparkEntry {
     // the XML round trip must be lossless: same oracle as the csv one
     "q_source_xml" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |r AS (SELECT freq,
+        |  row_number() OVER (ORDER BY freq DESC, w) AS rank FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  round(regr_slope(ln(freq), ln(rank)) + 1e-9, 6) + 0.0 AS zipf_slope,
+        |  round(regr_intercept(ln(freq), ln(rank)) + 1e-9, 6) + 0.0 AS zipf_icept,
+        |  round(regr_r2(ln(freq), ln(rank)) + 1e-9, 6) + 0.0 AS zipf_r2
+        |FROM r""".stripMargin,
 
     "q_source_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

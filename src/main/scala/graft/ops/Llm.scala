@@ -1211,6 +1211,69 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** Maximal Marginal Relevance (MMR) selection (Carbonell & Goldstein
+    * 1998): greedily pick k items maximizing
+    * `λ·cos(query, d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * diversity-aware top-k used to assemble eval/few-shot/dedup'd
+    * fine-tuning sets where plain top-k returns k near-copies of the
+    * best hit.
+    *
+    * Shape: query relevance is computed ONCE and checkpointed; each of
+    * the k greedy rounds is one full scan scoring
+    * `λ·relq − (1−λ)·greatest(cos to each selected)` with the ≤k
+    * selected vectors broadcast as literals, then a top-1 `limit(1)`
+    * (TakeOrdered — one row to the driver per round, the sanctioned
+    * payload). Total work O(k²·n·dim) with NO pairwise corpus join;
+    * k scans amortize on a cluster exactly like the other fixed-round
+    * iterative operators (BPE, Lloyd). Ties break on vec_id, so the
+    * selection is deterministic.
+    */
+  def mmrSelect(vecs: DataFrame, queryVec: Seq[Double], k: Int,
+                lambda: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col("vec_id"), col("e"))
+      .withColumn("relq", cosine(col("e"), typedLit(queryVec)))
+      .localCheckpoint()
+    var selected = Vector.empty[(Int, Long, Double)] // rank, id, score
+    var selVecs = Vector.empty[Seq[Double]]
+    for (rank <- 1 to k) {
+      val penalty =
+        if (selVecs.isEmpty) lit(0.0)
+        else selVecs.map(v => cosine(col("e"), typedLit(v)))
+          .reduce((a, b) => greatest(a, b))
+      val candidates =
+        if (selected.isEmpty) base
+        else base.filter(!col("vec_id").isInCollection(selected.map(_._2)))
+      val top = candidates
+        .withColumn("score", lit(lambda) * col("relq") - lit(1.0 - lambda) * penalty)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("e"), col("score"))
+        .collect()
+      if (top.nonEmpty) {
+        selected :+= ((rank, top(0).getLong(0), top(0).getDouble(2)))
+        selVecs :+= top(0).getSeq[Double](1)
+      }
+    }
+    unpersistCheckpoint(base)
+    selected.toDF("rank", "vec_id", "score")
+  }
+
+  /** Gate for [[mmrSelect]]: k = 10, λ = 0.7, query = the smallest
+    * vec_id's embedding. No oracle (iterative greedy float argmax is
+    * not SQL); OpsSpec asserts the exact-top-1 first pick, the
+    * no-near-dup diversity property on planted pairs, and determinism.
+    */
+  def q_mmr_select(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.orderBy("vec_id").limit(1).select("e").head.getSeq[Double](0)
+    mmrSelect(emb, q, k = 10, lambda = 0.7)
+      .select(col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
   // ---- text analysis --------------------------------------------------
 
   def q_text_stats(s: SparkSession, d: String): DataFrame =
@@ -1679,6 +1742,36 @@ object Llm {
     * table, DuckDB-oracled. */
   def q_word_pmi(s: SparkSession, d: String): DataFrame =
     wordPmi(documents(s, d), "doc_id", "text", minSupport = 50)
+
+  /** Zipf rank-frequency fit: the corpus-health diagnostic every
+    * large-scale text pipeline runs on a new source — natural language
+    * follows freq ∝ rank^s with s ≈ −1; a flat slope flags boilerplate
+    * or template spam, a cliff flags truncated vocabulary. One word
+    * count (map-side combined) and a log-log least-squares fit via the
+    * SQL regression aggregates. The rank window is VOCABULARY-bounded
+    * (dimension-sized, like the month axis in q_percent_change), never
+    * corpus-sized, so the partition-less ranking is safe by
+    * construction; a web-scale vocabulary would swap in
+    * [[Scale.globalSequence]] unchanged. DuckDB-oracled (identical
+    * closed-form arithmetic, the q_agg_regr epsilon conventions).
+    */
+  def q_zipf_fit(s: SparkSession, d: String): DataFrame = {
+    val freqs = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("w"))
+    freqs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        (round(expr("regr_slope(ln(freq), ln(rank))") + lit(1e-9), 6) + lit(0.0))
+          .as("zipf_slope"),
+        (round(expr("regr_intercept(ln(freq), ln(rank))") + lit(1e-9), 6) + lit(0.0))
+          .as("zipf_icept"),
+        (round(expr("regr_r2(ln(freq), ln(rank))") + lit(1e-9), 6) + lit(0.0))
+          .as("zipf_r2"))
+  }
 
   /** Keyword-in-context (KWIC) concordance: every occurrence of a term
     * with its ±2-word context window — the corpus-inspection op behind

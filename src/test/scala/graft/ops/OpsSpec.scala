@@ -683,6 +683,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"semanticDedup recall $recall%.3f < 0.8")
   }
 
+  test("mmrSelect: exact top-1 first, near-dup-free selection where plain top-k dups, deterministic") {
+    import spark.implicits._
+    // query = a PLANTED vector's embedding: its near-identical copy is
+    // the top-2 hit, so plain top-k returns the dup pair and MMR must not
+    val q = plantedEmbCorpus.filter(col("vec_id") === 0L)
+      .select("e").head.getSeq[Double](0)
+    val sel = Llm.mmrSelect(plantedEmbCorpus, q, k = 10, lambda = 0.5)
+      .select("rank", "vec_id", "score").as[(Int, Long, Double)].collect()
+    assert(sel.length == 10 && sel.map(_._2).distinct.length == 10)
+    // first pick is the EXACT argmax of cosine vs the query
+    val exactTop = plantedEmbCorpus
+      .withColumn("c", graft.functions.Vec.cosine(col("e"),
+        org.apache.spark.sql.functions.typedLit(q)))
+      .orderBy(col("c").desc, col("vec_id")).limit(1)
+      .select("vec_id").as[Long].head()
+    assert(sel.head._2 == exactTop, s"first MMR pick must be the exact top-1: $sel")
+    // plain top-10 cosine contains ≥ 1 near-dup pair (id, id+100000) by
+    // construction; the MMR selection must contain NONE
+    val plain = plantedEmbCorpus
+      .withColumn("c", graft.functions.Vec.cosine(col("e"),
+        org.apache.spark.sql.functions.typedLit(q)))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    def dupPairs(ids: Set[Long]) = ids.count(i => i < 100000L && ids.contains(i + 100000L))
+    assert(dupPairs(plain) >= 1, s"fixture must make plain top-k pick a dup pair: $plain")
+    assert(dupPairs(sel.map(_._2).toSet) == 0,
+      s"MMR(λ=0.5) must not select both members of a planted near-dup pair: ${sel.toSeq}")
+    // deterministic: a second run reproduces the selection exactly
+    val sel2 = Llm.mmrSelect(plantedEmbCorpus, q, k = 10, lambda = 0.5)
+      .select("rank", "vec_id", "score").as[(Int, Long, Double)].collect()
+    assert(sel.toSeq == sel2.toSeq)
+    // λ = 1 degenerates to plain relevance top-k (order included)
+    val rel = Llm.mmrSelect(plantedEmbCorpus, q, k = 5, lambda = 1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    val plain5 = plantedEmbCorpus
+      .withColumn("c", graft.functions.Vec.cosine(col("e"),
+        org.apache.spark.sql.functions.typedLit(q)))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rel == plain5, s"λ=1 must equal relevance top-k: $rel vs $plain5")
+  }
+
   test("basketLift basket cap: capped pair keys ⊆ uncapped; every capped n12 ≤ uncapped n12") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
