@@ -173,6 +173,7 @@ object SparkEntry {
     "q_source_json" -> (Sources.q_source_json _),
     "q_source_orc" -> (Sources.q_source_orc _),
     "q_source_xml" -> (Sources.q_source_xml _),
+    "q_source_evolution" -> (Sources.q_source_evolution _),
     "q_source_from_json" -> (Sources.q_source_from_json _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
@@ -1404,6 +1405,15 @@ object SparkEntry {
     // the XML round trip must be lossless: same oracle as the csv one
     "q_source_xml" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // merged read = old generation null-filled UNION new generation
+    "q_source_evolution" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        |ORDER BY n_nationkey, n_regionkey ASC NULLS FIRST""".stripMargin,
 
     "q_zipf_fit" ->
       """WITH f AS (

@@ -58,6 +58,26 @@ object Sources {
       .orderBy("c_custkey")
   }
 
+  /** Schema evolution across parquet generations: generation 1 writes
+    * (key, name), generation 2 adds a column; `mergeSchema=true` reads
+    * both under the UNION schema, old rows null-filled — the standard
+    * additive-evolution contract a long-lived training-data lake needs
+    * (at scale the merged footer union is driven by the same option on
+    * a partitioned table; drop/rename need a table format on top).
+    * Oracle reproduces the merged relation from the source table.
+    */
+  def q_source_evolution(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(s"evo_${math.abs(d.hashCode).toHexString}")
+    val nation = Tables.nation(s, d)
+    nation.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=1", s"$out/gen=2")
+      .orderBy(col("n_nationkey"), col("n_regionkey").asc_nulls_first)
+  }
+
   /** parquet → XML → XML scan with explicit schema: Spark 4 ships the
     * XML data source natively (`rowTag`-delimited records; multiline
     * parse per file, so XML splits by FILE, not by record — keep files
