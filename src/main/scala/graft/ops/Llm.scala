@@ -207,6 +207,10 @@ object Llm {
     * next to its output; it reuses the bucket aggregation's fixed-size
     * buffers (count/max/sum), so it is safe at any skew.
     */
+  /** Per-bucket occupancy stream (diagnostics; LshProbe). */
+  private[graft] def minhashBucketSizes(docs: DataFrame): DataFrame =
+    minhashExploded(docs).groupBy("band", "bsig").agg(count(lit(1)).as("n"))
+
   def minhashBucketStats(docs: DataFrame,
                          maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashExploded(docs)

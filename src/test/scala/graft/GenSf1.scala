@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   * file split boundaries, which no query depends on).
   */
 object GenSf1 {
-  private val Off = 100000000L
-  private val Copies = 10
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "target/testdata/sf1"
     val in = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // scaling a scaled set again needs a LARGER key stride than the one
+    // already consumed (sf1 keys span ~10·10^8): pass e.g. 10^10 when
+    // the input is itself a generated set
+    val Off = if (args.length > 2) args(2).toLong else 100000000L
+    val Copies = if (args.length > 3) args(3).toInt else 10
     val spark = GraftSession.local(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, partitions = 32)
     spark.sparkContext.setLogLevel("WARN")
