@@ -30,7 +30,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = GraftSession.local(cpus)
+    // shuffle fan-out override (default = cpus): at a larger SF the
+    // per-partition working set must still fit per-task execution
+    // memory — raising partitions, not heap, is the scale-correct lever
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "0").toInt
+    val spark = GraftSession.local(cpus, parts)
     spark.sparkContext.setLogLevel("WARN")
 
     // (stageId, task wall ms) of successful tasks since the last clear
