@@ -121,7 +121,7 @@ object Bench {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.writeString(path, line + "\n")
       } catch {
-        case e: java.io.IOException =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"SPARK_GRAFT_BENCH_OUT write failed ($p): $e")
       }
     }

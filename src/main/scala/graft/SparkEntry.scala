@@ -180,6 +180,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
     "q_dedup_simhash" -> (Llm.q_dedup_simhash _),
     "q_dedup_ngram" -> (Llm.q_dedup_ngram _),
+    "q_dedup_containment" -> (Llm.q_dedup_containment _),
+    "q_dedup_url" -> (Llm.q_dedup_url _),
     "q_dedup_edit" -> (Llm.q_dedup_edit _),
     "q_dedup_embed" -> (Llm.q_dedup_embed _),
     "q_dedup_clusters" -> (Llm.q_dedup_clusters _),
@@ -197,6 +199,7 @@ object SparkEntry {
     "q_fingerprint" -> (Llm.q_fingerprint _),
     "q_winnow" -> (Llm.q_winnow _),
     "q_quality_signals" -> (Llm.q_quality_signals _),
+    "q_quality_ngram_rep" -> (Llm.q_quality_ngram_rep _),
     "q_ngram_topk" -> (Llm.q_ngram_topk _),
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
@@ -1099,6 +1102,21 @@ object SparkEntry {
         |  round(CAST(top_cnt AS DOUBLE)/n_words + 1e-9, 4) AS top_frac
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    "q_quality_ngram_rep" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+        |  FROM documents),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_big,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |        / sum(cnt) + 1e-9, 4) AS dup_big_frac,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN len(g) * cnt ELSE 0 END) AS DOUBLE)
+        |        / sum(len(g) * cnt) + 1e-9, 4) AS dup_char_frac,
+        |  CAST(max(cnt) AS BIGINT) AS top_cnt
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_ngram_topk" ->
       """WITH b AS (
         |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
@@ -1671,6 +1689,46 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY id1""".stripMargin,
 
+    "q_dedup_containment" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+        |        / len(list_distinct(string_split(a.text, ' '))) + 1e-9, 6) AS contain_fwd,
+        |  round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+        |        / len(list_distinct(string_split(b.text, ' '))) + 1e-9, 6) AS contain_rev
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
+
+    // four deterministic surface spellings per page id collapse to one
+    // canonical URL; the canonicalization is replicated operator-for-
+    // operator (regexp extract/replace, param filter+sort) in DuckDB
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN upper('src' || ((doc_id // 4) % 20) || '.example.org') || ':443'
+        |         ELSE 'src' || ((doc_id // 4) % 20) || '.example.org' END ||
+        |    '/docs/' || (doc_id // 4) ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+        |         WHEN doc_id % 4 = 3 THEN '?a=1&b=2&utm_source=feed'
+        |         ELSE '?a=1&b=2' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    lower(regexp_replace(regexp_extract(url, '^https?://([^/?]+)', 1), ':443$', '')) ||
+        |    regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1), '/$', '') ||
+        |    '?' ||
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_'))), '&') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),
@@ -2066,11 +2124,13 @@ object SparkEntry {
         |LEFT JOIN LATERAL (SELECT unnest(arr) AS w) AS t ON TRUE
         |ORDER BY doc_id, word""".stripMargin,
 
-    // single test file per table → the file name is a closed form
+    // layout-independent closure of the per-file rollup: per-file rows
+    // tile the table exactly whatever the file count, so the oracle is
+    // a plain table aggregate at any write layout
     "q_file_provenance" ->
-      """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT count(*) AS n_rows, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id, TRUE AS files_ok, TRUE AS no_empty_files
+        |FROM documents""".stripMargin,
 
     // every doc has >= 10 words, so words[1..4] are always present
     "q_array_funcs3" ->

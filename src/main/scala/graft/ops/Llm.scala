@@ -200,6 +200,10 @@ object Llm {
             xxhash64(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bsig")))).as("bk"))
       .select(col("doc_id"), col("sigs"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
 
+  /** Per-bucket occupancy stream (diagnostics; LshProbe). */
+  private[graft] def minhashBucketSizes(docs: DataFrame): DataFrame =
+    minhashExploded(docs).groupBy("band", "bsig").agg(count(lit(1)).as("n"))
+
   /** Observability companion to [[minhashPairs]]: one summary row of the
     * LSH bucket-size distribution — total buckets, max/p-ish sizes, and
     * how many buckets (and candidate docs) the `maxBucket` cap dropped.
@@ -207,10 +211,6 @@ object Llm {
     * next to its output; it reuses the bucket aggregation's fixed-size
     * buffers (count/max/sum), so it is safe at any skew.
     */
-  /** Per-bucket occupancy stream (diagnostics; LshProbe). */
-  private[graft] def minhashBucketSizes(docs: DataFrame): DataFrame =
-    minhashExploded(docs).groupBy("band", "bsig").agg(count(lit(1)).as("n"))
-
   def minhashBucketStats(docs: DataFrame,
                          maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashExploded(docs)
@@ -305,6 +305,76 @@ object Llm {
         round(size(array_intersect(col("w1"), col("w2"))).cast("double") /
           size(array_union(col("w1"), col("w2"))), 6).as("jaccard"))
       .orderBy("id1")
+  }
+
+  /** Word-set CONTAINMENT between consecutive doc_ids — the asymmetric
+    * companion to [[q_dedup_ngram]]'s Jaccard: C(A,B) = |A∩B| / |A|
+    * flags a small document swallowed whole by a larger one (quote
+    * farms, boilerplate wrappers), which symmetric Jaccard dilutes
+    * toward 0 as |B| grows. Same linear-cost consecutive-pair probe of
+    * the kernel (the sweep-scale candidate generator is minhash /
+    * setSimJoin); both directions emitted. DuckDB-oracled.
+    */
+  def q_dedup_containment(s: SparkSession, d: String): DataFrame = {
+    val a = documents(s, d).select(col("doc_id").as("id1"),
+      array_distinct(split(col("text"), " ")).as("w1"))
+    val b = documents(s, d).select(col("doc_id").as("id2"),
+      array_distinct(split(col("text"), " ")).as("w2"))
+    val inter = size(array_intersect(col("w1"), col("w2"))).cast("double")
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(inter / size(col("w1")) + lit(1e-9), 6).as("contain_fwd"),
+        round(inter / size(col("w2")) + lit(1e-9), 6).as("contain_rev"))
+      .orderBy("id1")
+  }
+
+  // ---- canonical-URL dedup --------------------------------------------
+
+  /** URL canonicalization: lowercase the authority, strip the default
+    * :443 port, strip a trailing path slash, drop `utm_*` tracking
+    * params, and sort the surviving query params — the normalization
+    * every web-crawl dedup runs before exact-URL grouping (the same
+    * fetched page arrives under dozens of surface spellings). Pure
+    * codegen'd string expressions (regexp_extract / filter / sort),
+    * no UDF, no shuffle — a map over the scan.
+    */
+  def urlCanonicalize(u: Column): Column = {
+    val host = lower(regexp_replace(
+      regexp_extract(u, "^https?://([^/?]+)", 1), ":443$", ""))
+    val path = regexp_replace(
+      regexp_extract(u, "^https?://[^/?]+([^?]*)", 1), "/$", "")
+    val params = array_join(
+      array_sort(filter(split(regexp_extract(u, "\\?(.*)$", 1), "&"),
+        x => !startswith(x, lit("utm_")))), "&")
+    concat(lit("https://"), host, path, lit("?"), params)
+  }
+
+  /** Gate for [[urlCanonicalize]]: four deterministic surface spellings
+    * of each page URL (clean / SHOUTING host + :443 / shuffled params /
+    * utm junk + trailing slash; page id = doc_id div 4) must collapse to
+    * one canonical form — grouping on it yields the keep-decision table
+    * (n_dups, min-id witness). The dedup itself is one hash aggregation
+    * on the canonical string: at 100 TB the shuffle carries distinct
+    * URLs, not raw rows. DuckDB-oracled end-to-end.
+    */
+  def q_dedup_url(s: SparkSession, d: String): DataFrame = {
+    val base = expr("doc_id div 4")
+    val variant = pmod(col("doc_id"), lit(4))
+    val hostFull = concat(lit("src"), pmod(base, lit(20)).cast("string"),
+      lit(".example.org"))
+    val url = concat(
+      lit("https://"),
+      when(variant === 1, concat(upper(hostFull), lit(":443"))).otherwise(hostFull),
+      lit("/docs/"), base.cast("string"),
+      when(variant === 3, lit("/")).otherwise(lit("")),
+      when(variant === 2, lit("?b=2&a=1"))
+        .when(variant === 3, lit("?a=1&b=2&utm_source=feed"))
+        .otherwise(lit("?a=1&b=2")))
+    documents(s, d)
+      .select(col("doc_id"), urlCanonicalize(url).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      .orderBy("canon_url")
   }
 
   // ---- embedding-cosine near-dup via random-hyperplane LSH ------------
@@ -1420,6 +1490,40 @@ object Llm {
           .as("top_frac"))
       .orderBy("doc_id")
 
+  /** N-gram-level repetition signals — the Gopher filter tier ABOVE
+    * [[q_quality_signals]]'s word level: per-doc duplicate-bigram
+    * fraction and the fraction of CHARACTERS covered by duplicated
+    * bigrams (the Rae et al. 2021 "dup n-gram char fraction" family —
+    * machine-generated spam repeats phrases, not just words, so the
+    * word-level signal misses it). Bigrams come from the native
+    * codegen kernel; the shape is the same two map-side-combined hash
+    * aggregations, shuffling distinct (doc, bigram) pairs only. All
+    * metrics are order-independent (sums / max over the group), so no
+    * argmax tie pinning is needed. DuckDB-oracled.
+    */
+  def q_quality_ngram_rep(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.wordNGrams(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("glen", length(col("g")))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_big"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_big"),
+        sum(col("glen").cast("long") * col("cnt")).as("chars_all"),
+        sum(when(col("cnt") > 1, col("glen").cast("long") * col("cnt"))
+          .otherwise(0L)).as("chars_dup"),
+        max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"),
+        col("n_big").cast("long").as("n_big"),
+        round(col("dup_big").cast("double") / col("n_big") + lit(1e-9), 4)
+          .as("dup_big_frac"),
+        round(col("chars_dup").cast("double") / col("chars_all") + lit(1e-9), 4)
+          .as("dup_char_frac"),
+        col("top_cnt").cast("long").as("top_cnt"))
+      .orderBy("doc_id")
+
   /** Bigram REFERENCE implementation — parity target for the native
     * `graft_word_ngrams(n=2, stride=1)` kernel used by the production
     * path (TextExpressionsSpec).
@@ -1752,21 +1856,21 @@ object Llm {
     * follows freq ∝ rank^s with s ≈ −1; a flat slope flags boilerplate
     * or template spam, a cliff flags truncated vocabulary. One word
     * count (map-side combined) and a log-log least-squares fit via the
-    * SQL regression aggregates. The rank window is VOCABULARY-bounded
-    * (dimension-sized, like the month axis in q_percent_change), never
-    * corpus-sized, so the partition-less ranking is safe by
-    * construction; a web-scale vocabulary would swap in
-    * [[Scale.globalSequence]] unchanged. DuckDB-oracled (identical
-    * closed-form arithmetic, the q_agg_regr epsilon conventions).
+    * SQL regression aggregates. Ranking goes through
+    * [[Scale.globalSequence]] (range-partition on (freq desc, w), sort
+    * within partitions, broadcast per-partition offsets) so even a
+    * web-scale ~100M-term vocabulary ranks with full parallelism — no
+    * partition-less window funnel anywhere in the plan. DuckDB-oracled
+    * (identical closed-form arithmetic, the q_agg_regr epsilon
+    * conventions).
     */
   def q_zipf_fit(s: SparkSession, d: String): DataFrame = {
     val freqs = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("w"))
-    freqs
-      .withColumn("rank", row_number().over(w).cast("long"))
+    Scale.globalSequence(freqs, Seq(col("freq").desc, col("w")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .agg(
         count(lit(1)).as("n_vocab"),
         (round(expr("regr_slope(ln(freq), ln(rank))") + lit(1e-9), 6) + lit(0.0))

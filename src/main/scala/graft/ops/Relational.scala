@@ -798,7 +798,7 @@ object Relational {
     */
   def q_cross(s: SparkSession, d: String): DataFrame =
     region(s, d).select(col("r_regionkey"), col("r_name"))
-      .crossJoin(nation(s, d).select(col("n_nationkey"), col("n_name")))
+      .crossJoin(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))))
       .orderBy("r_regionkey", "n_nationkey")
 
   /** Upsert (merge) emulation over immutable storage: updates override
@@ -2105,15 +2105,33 @@ object Relational {
   /** File provenance via the `_metadata` hidden column: per-input-file
     * row counts and key ranges — the ingest-audit query. At 100 TB a
     * table is many thousands of files; this is the per-file quality
-    * rollup run before promotion. (The oracle pins the single test
-    * file's name as a closed form.)
+    * rollup run before promotion. The gate output is the LAYOUT-
+    * INDEPENDENT closure of the rollup — the per-file partition must
+    * tile the table exactly (Σ per-file rows = table rows, min of mins
+    * = global min, max of maxes = global max, every file non-empty), so
+    * the oracle holds no matter how many files the writer split the
+    * table into; the per-file granularity itself is spec-asserted in
+    * SinksSpec.
     */
   def q_file_provenance(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), col("_metadata.file_name").as("src_file"))
+    fileProvenance(documents(s, d), col("doc_id"))
+      .agg(
+        sum("n_rows").as("n_rows"),
+        min("min_id").as("min_id"),
+        max("max_id").as("max_id"),
+        count(lit(1)).as("n_files"),
+        count(when(col("n_rows") === 0, 1)).as("empty_files"))
+      .select(col("n_rows"), col("min_id"), col("max_id"),
+        (col("n_files") >= 1).as("files_ok"),
+        (col("empty_files") === 0).as("no_empty_files"))
+
+  /** Per-file rollup behind [[q_file_provenance]]: one row per input
+    * file with its row count and key range.
+    */
+  def fileProvenance(df: DataFrame, key: Column): DataFrame =
+    df.select(key.as("__k"), col("_metadata.file_name").as("src_file"))
       .groupBy("src_file")
-      .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      .orderBy("src_file")
+      .agg(count(lit(1)).as("n_rows"), min("__k").as("min_id"), max("__k").as("max_id"))
 
   /** Market-basket LIFT over behavioral baskets: for every event-type
     * pair, lift = N·n_ab / (n_a·n_b) where the "basket" is a user's

@@ -213,9 +213,11 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     scala.util.Try(raw.toLong).toOption match {
       case Some(n) => math.max(n, 0L)
       case None =>
+        // a typo must not silently remove the protection the knob
+        // configures: keep the default guard, don't disable it
         logWarning(s"spark.graft.rangeJoin.maxBinsPerRow='$raw' is not a " +
-          "long; guard disabled for this plan (0 = unlimited)")
-        0L
+          s"long; falling back to the default ${1L << 20}")
+        1L << 20
     }
   }
 

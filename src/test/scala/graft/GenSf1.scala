@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * non-scaling dims (region, nation) stay fixed, as in TPC-H.
   *
   * Content perturbation keeps content-addressed operators honest:
-  *   - documents: every token of copy c>0 gains a '#c' suffix (vocab
+  *   - documents: every token of copy c>0 gains an alphanumeric 'xc'
+  *     suffix (vocab
   *     becomes copy-disjoint, so cross-copy text is NOT near-duplicate
   *     and the dedup/LSH workloads scale linearly instead of drowning
   *     in 10-deep artificial dup groups); n_chars is recomputed.

@@ -29,13 +29,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), s"expected pushdown in:\n$plan")
   }
 
-  test("gini + abc cumulative math never plans a single-partition window") {
-    // q_gini / q_abc_class rank + running-sum over the dimension-level
-    // aggregate via Scale.globalSequence/globalCumSum — a partition-less
-    // (or all-literal-partitioned) Window would funnel billions of rows
-    // through one task at sf100k
+  test("gini + abc + zipf cumulative math never plans a single-partition window") {
+    // q_gini / q_abc_class / q_zipf_fit rank + running-sum over the
+    // dimension-level aggregate via Scale.globalSequence/globalCumSum —
+    // a partition-less (or all-literal-partitioned) Window would funnel
+    // a web-scale vocabulary (or billions of rows at sf100k) through
+    // one task
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (q <- Seq(Relational.q_gini(spark, sf), Relational.q_abc_class(spark, sf))) {
+    for (q <- Seq(Relational.q_gini(spark, sf), Relational.q_abc_class(spark, sf),
+                  Llm.q_zipf_fit(spark, sf))) {
       val bad = q.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.forall(_.foldable) => w
       }

@@ -228,4 +228,26 @@ class SinksSpec extends AnyFunSuite {
         s"stats-known small dim must broadcast without hints:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("file provenance: per-file rollup tiles a multi-file table exactly") {
+    // write documents as 4 files → the per-file rollup must partition
+    // the table (Σ rows = table rows, min-of-mins/max-of-maxes = global
+    // extrema, one row per physical file, no file empty) — the layout-
+    // DEPENDENT granularity behind the layout-independent gate query
+    val dir = Files.createTempDirectory("graft_prov_").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val perFile = Relational.fileProvenance(reread, col("doc_id")).collect()
+    val nFiles = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(perFile.length == nFiles && nFiles == 4,
+      s"expected one rollup row per file (4), got ${perFile.length} rows / $nFiles files")
+    assert(perFile.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    assert(perFile.forall(_.getAs[Long]("n_rows") > 0))
+    assert(perFile.map(_.getAs[Long]("min_id")).min ==
+      docs.agg(min("doc_id")).head.getLong(0))
+    assert(perFile.map(_.getAs[Long]("max_id")).max ==
+      docs.agg(max("doc_id")).head.getLong(0))
+  }
 }
