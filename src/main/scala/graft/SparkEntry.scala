@@ -1719,11 +1719,11 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id,
         |    'https://' ||
-        |    lower(regexp_replace(regexp_extract(url, '^https?://([^/?]+)', 1), ':443$', '')) ||
-        |    regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1), '/$', '') ||
+        |    lower(regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1), ':443$', '')) ||
+        |    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/$', '') ||
         |    '?' ||
         |    array_to_string(list_sort(list_filter(
-        |      string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
         |      x -> NOT starts_with(x, 'utm_'))), '&') AS canon_url
         |  FROM u)
         |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id

@@ -331,20 +331,21 @@ object Llm {
   // ---- canonical-URL dedup --------------------------------------------
 
   /** URL canonicalization: lowercase the authority, strip the default
-    * :443 port, strip a trailing path slash, drop `utm_*` tracking
-    * params, and sort the surviving query params — the normalization
-    * every web-crawl dedup runs before exact-URL grouping (the same
-    * fetched page arrives under dozens of surface spellings). Pure
-    * codegen'd string expressions (regexp_extract / filter / sort),
-    * no UDF, no shuffle — a map over the scan.
+    * :443 port, strip a trailing path slash, drop the `#fragment`
+    * (never sent to the server — pure client state), drop `utm_*`
+    * tracking params, and sort the surviving query params — the
+    * normalization every web-crawl dedup runs before exact-URL
+    * grouping (the same fetched page arrives under dozens of surface
+    * spellings). Pure codegen'd string expressions (regexp_extract /
+    * filter / sort), no UDF, no shuffle — a map over the scan.
     */
   def urlCanonicalize(u: Column): Column = {
     val host = lower(regexp_replace(
-      regexp_extract(u, "^https?://([^/?]+)", 1), ":443$", ""))
+      regexp_extract(u, "^https?://([^/?#]+)", 1), ":443$", ""))
     val path = regexp_replace(
-      regexp_extract(u, "^https?://[^/?]+([^?]*)", 1), "/$", "")
+      regexp_extract(u, "^https?://[^/?#]+([^?#]*)", 1), "/$", "")
     val params = array_join(
-      array_sort(filter(split(regexp_extract(u, "\\?(.*)$", 1), "&"),
+      array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
         x => !startswith(x, lit("utm_")))), "&")
     concat(lit("https://"), host, path, lit("?"), params)
   }

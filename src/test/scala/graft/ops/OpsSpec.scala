@@ -1638,4 +1638,34 @@ class OpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("urlCanonicalize: surface-spelling edge cases collapse (or survive) correctly") {
+    import spark.implicits._
+    val in = Seq(
+      // case + default port + trailing slash + utm junk + param order
+      "https://WWW.Example.ORG:443/a/b/?z=1&a=2&utm_source=x",
+      "https://www.example.org/a/b?a=2&z=1",
+      // http scheme is preserved as https canonical prefix is fixed: the
+      // canonicalizer treats scheme as already-https (crawl convention)
+      "http://www.example.org/a/b?a=2&utm_medium=y&z=1",
+      // no query string at all → empty param list
+      "https://plain.example.org/x",
+      "https://plain.example.org/x/",
+      // :8080 is NOT the default port → must survive
+      "https://alt.example.org:8080/x?a=1",
+      "https://alt.example.org/x?a=1",
+      // fragments are client-side state → dropped wherever they appear
+      "https://plain.example.org/x#sec-2",
+      "https://www.example.org/a/b?z=1&a=2#frag").toDF("url")
+    val out = in.select(Llm.urlCanonicalize(col("url")).as("c"))
+      .as[String].collect()
+    assert(out(0) == out(1) && out(1) == out(2),
+      s"spellings must collapse: ${out.mkString(", ")}")
+    assert(out(3) == out(4), "trailing slash must not split the no-query form")
+    assert(out(3) == "https://plain.example.org/x?")
+    assert(out(5) != out(6), ":8080 is not a default port and must be preserved")
+    assert(out(5).contains(":8080"))
+    assert(out(7) == out(3), "path fragment must drop (vs bare no-query form)")
+    assert(out(8) == out(0), "query fragment must drop (vs full messy form)")
+  }
 }
