@@ -26,6 +26,34 @@ package graft
   * distinguishable from a missing measurement.
   */
 object Bench {
+
+  /** SPARK_GRAFT_PROFILE: re-exec this JVM with the profile's heap when
+    * the current -Xmx is off by more than 25% — locally the heap IS the
+    * profile's main lever (a live JVM can't resize itself), while on a
+    * cluster the same profile maps to an executor pool's memory. Guarded
+    * by SPARK_GRAFT_RELAUNCHED so the child never recurses.
+    */
+  private def relaunchForProfile(profile: GraftSession.Profile): Option[Int] = {
+    if (profile.heap.isEmpty || sys.env.contains("SPARK_GRAFT_RELAUNCHED")) return None
+    val want = profile.heap.toLowerCase match {
+      case h if h.endsWith("g") => h.dropRight(1).toLong << 30
+      case h if h.endsWith("m") => h.dropRight(1).toLong << 20
+      case h => h.toLong
+    }
+    val cur = Runtime.getRuntime.maxMemory
+    if (math.abs(cur - want) <= want / 4) return None // close enough — run here
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java", s"-Xmx${profile.heap}") ++
+      jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    System.err.println(s"[bench] profile heap ${profile.heap} != current " +
+      s"${cur >> 20} MB — re-exec'ing")
+    val pb = new ProcessBuilder(cmd: _*).inheritIO()
+    pb.environment().put("SPARK_GRAFT_RELAUNCHED", "1")
+    Some(pb.start().waitFor())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -34,7 +62,24 @@ object Bench {
     // per-partition working set must still fit per-task execution
     // memory — raising partitions, not heap, is the scale-correct lever
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "0").toInt
-    val spark = GraftSession.local(cpus, parts)
+    val profName = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "")
+    if (profName.nonEmpty) {
+      val prof = GraftSession.profiles.getOrElse(profName,
+        sys.error(s"unknown SPARK_GRAFT_PROFILE '$profName' " +
+          s"(have: ${GraftSession.profiles.keys.mkString(", ")})"))
+      // explicit lambda: `foreach(sys.exit)` auto-APPLIES the
+      // default-arg method (exits immediately) instead of eta-expanding
+      relaunchForProfile(prof).foreach(code => sys.exit(code))
+    }
+    val spark = GraftSession.local(cpus, parts, profName)
+    // SPARK_GRAFT_CONF: semicolon-separated k=v session-conf overrides
+    // applied LAST (experiment lever: e.g. lowering
+    // spark.sql.files.maxPartitionBytes to split a coarse scan)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
 
     // (stageId, task wall ms) of successful tasks since the last clear
@@ -109,7 +154,8 @@ object Bench {
       .mkString("{", ",", "}")
     val maxSkew = if (results.isEmpty) 1.0 else results.map(_._3).max
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"}"""
+    val profJson = if (profName.isEmpty) "" else s""","profile":"$profName""""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson}"""
     println(line)
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)

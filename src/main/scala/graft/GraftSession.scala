@@ -9,15 +9,59 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Workload-tier resource profile: the executor heap the tier wants
+    * plus the session conf that goes with it. On a cluster the heap maps
+    * to `spark.executor.memory` of the pool the job is submitted to; a
+    * LOCAL session cannot resize its own JVM, so local runners
+    * (graft.Bench) re-exec themselves with `-Xmx` = `heap` when asked
+    * for a profile (SPARK_GRAFT_PROFILE).
+    */
+  final case class Profile(heap: String, conf: Map[String, String])
+
+  /** The two memory regimes one suite provably contains (PERF.md round-6
+    * sf10 sweep) — sizing the heap to the workload tier, made
+    * executable:
+    *
+    *  - `explode`: GC-bound explode/window tiers (LSH banding, bucket
+    *    windows, pair generation). MODEST heaps win: q_dedup_minhash at
+    *    sf10 measured 9.6 s at 16 g vs 120 s at 48 g — G1 old-gen churn
+    *    over billions of short-lived bucket/pair objects degrades ~12×
+    *    when a big heap defers collection. `spark.memory.fraction` is
+    *    lowered so more of the modest heap is young-gen headroom for
+    *    that transient garbage rather than pinned execution memory.
+    *
+    *  - `widejoin`: spill-bound wide merge joins (q_tpch_q21ish's 4-way
+    *    60M-row self-join: 23.8 s at 48 g — linear — vs 25× the sf1
+    *    time at 24 g). The BIG heap wins, and `spark.memory.fraction`
+    *    is raised so the extra memory actually lands in the unified
+    *    execution pool the sort-merge buffers draw from.
+    *
+    * On a 1000-executor deployment these are submit-time pool choices
+    * (per-executor-pool heap sizing), not per-process flags.
+    */
+  val profiles: Map[String, Profile] = Map(
+    "default" -> Profile("", Map.empty),
+    "explode" -> Profile("16g", Map("spark.memory.fraction" -> "0.5")),
+    "widejoin" -> Profile("48g", Map("spark.memory.fraction" -> "0.7")))
+
   /** @param cpus       local core count (ignored when master is set externally)
     * @param partitions shuffle fan-out. Rule of thumb at scale: 2-3× total
     *                   executor cores, and ≥ (largest shuffled stage bytes /
     *                   200 MB) so partitions fit in memory; AQE coalesces
     *                   the small ones back down at runtime.
+    * @param profile    workload-tier profile name from [[profiles]]
+    *                   ("" / "default" = none) — applies the tier's conf;
+    *                   the tier's HEAP is the caller's job (cluster:
+    *                   executor pool; local: JVM -Xmx, see graft.Bench).
     */
-  def local(cpus: Int = 4, partitions: Int = 0): SparkSession = {
+  def local(cpus: Int = 4, partitions: Int = 0, profile: String = ""): SparkSession = {
     val p = if (partitions > 0) partitions else cpus
-    val spark = configure(SparkSession.builder().master(s"local[$cpus]"), p).getOrCreate()
+    var b = configure(SparkSession.builder().master(s"local[$cpus]"), p)
+    if (profile.nonEmpty)
+      profiles.getOrElse(profile,
+          sys.error(s"unknown graft profile '$profile' (have: ${profiles.keys.mkString(", ")})"))
+        .conf.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = b.getOrCreate()
     install(spark)
     spark
   }

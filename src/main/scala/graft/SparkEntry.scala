@@ -291,11 +291,42 @@ object SparkEntry {
     "q_sentences" -> (Relational.q_sentences _),
   )
 
+  /** `q_pagerank`'s oracle: the damped power iteration UNROLLED into one
+    * CTE per round — fixed iteration count makes the "iterative, not
+    * SQL-expressible" objection false for the gate's 5 rounds. Float
+    * parity pillars: contributions accumulate as DECIMAL(28,12) (exactly
+    * as [[graft.ops.Scale.pageRank]] does, so sums are order-independent
+    * in BOTH engines), and the teleport constant is written `(1.0 - 0.85)`
+    * so DuckDB folds the same IEEE double Scala computes for
+    * `lit(1.0 - damping)` (0.15 is NOT representable; the engines must
+    * share the 1-ulp error, not round it away).
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(CAST(c.s AS DOUBLE), 0.0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(CAST(r.rank / e.outdeg AS DECIMAL(28,12))) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.id GROUP BY e.dst) c
+         |  ON n.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id AS src, CAST(floor(doc_id / 2) AS BIGINT) AS dst
+       |  FROM documents WHERE doc_id >= 2),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+       |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$rounds
+       |SELECT id, round(rank + 1e-12, 8) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
     * in both engines; exact-DECIMAL accumulation for float sums; BIGINT
     * casts where the engines' integer widths differ).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle(5),
     "q_project_cast" ->
       """SELECT p_partkey, p_name AS part_name,
         |  round(p_retailprice + 1e-9, 2) AS price_r,

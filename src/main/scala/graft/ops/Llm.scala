@@ -127,11 +127,15 @@ object Llm {
     docs.select(col("doc_id"), graft.functions.Vec.minhash(col("text")).as("sigs"))
 
   /** MinHash-LSH near-duplicate pairs: shingle → minhash → band →
-    * bucket-join. Candidates only meet inside a (band, band-sig) bucket,
-    * so the pair join is a plain equi-join shuffled on the bucket key —
-    * the standard at-scale formulation. Estimated Jaccard = fraction of
-    * matching signature components, thresholded at 0.5.
-    * No DuckDB oracle (hash-dependent); driver rows-only check.
+    * bucket-join → EXACT verify. Candidates only meet inside a
+    * (band, band-sig) bucket, so the pair join is a plain equi-join
+    * shuffled on the bucket key; candidate pairs are then confirmed by
+    * exact shingle-set Jaccard ≥ 0.5 (candidates→verify, the standard
+    * at-scale near-dup pipeline — the est-only variant keeps the upper
+    * tail of the estimator and measures 0.21 precision, see
+    * [[minhashPairs]]). No DuckDB oracle (hash-dependent candidate
+    * set); OpsSpec gates recall ≥ 0.8 AND precision 1.0 vs exact
+    * ground truth.
     */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(documents(s, d), threshold = 0.5)
@@ -167,9 +171,10 @@ object Llm {
     * the cap discarded).
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   verify: Boolean = true): DataFrame = {
     val wb = Window.partitionBy("band", "bsig")
-    minhashExploded(docs)
+    val cand = minhashExploded(docs)
       .withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
@@ -185,8 +190,49 @@ object Llm {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("id1", "id2")
-      .filter(col("est_jaccard") >= threshold)
-      .orderBy("id1", "id2")
+    if (!verify)
+      cand.filter(col("est_jaccard") >= threshold).orderBy("id1", "id2")
+    else {
+      // LSH proposes, exact verification disposes. Banding SELECTS the
+      // upper tail of the 32-component estimator — conditioned on a band
+      // collision the matched components are in the estimate, so a
+      // true-J≈0.3 pair that collides typically reads est ≥ 0.5
+      // (measured precision of est-only filtering vs exact J ≥ 0.35:
+      // 0.21 at sf0.01). The production fix is the standard
+      // candidates→verify pipeline: exact shingle-set Jaccard on the
+      // candidate pairs only. Cost stays LSH-shaped — candidate volume
+      // is Σ|bucket|² (cap-bounded), the shingle re-scan is semi-joined
+      // down to candidate docs, and the two verify joins move
+      // candidate-sized rows, never corpus².
+      val ids = cand.select(col("id1").as("doc_id"))
+        .union(cand.select(col("id2").as("doc_id"))).distinct()
+      val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard", "jaccard")
+        .orderBy("id1", "id2")
+    }
+  }
+
+  /** The distinct 3-word shingle set of a text as strings — the exact
+    * counterpart of the hashed shingle universe [[minhashSigUdf]] /
+    * `graft_minhash` estimate over (same windows, same <3-word
+    * whole-text degenerate case; string identity instead of fnv1a/mix
+    * hashing, so no collision caveat). Builtin collection expressions
+    * only — no UDF in the verify path.
+    */
+  private def shingleSet(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) < 3, array(coalesce(text, lit(""))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws("\u0001", slice(ws, i, lit(3))))))
   }
 
   /** One row per (doc, band): the LSH bucket key stream both
@@ -1955,16 +2001,20 @@ object Llm {
 
   /** PageRank over the implicit doc-id binary tree (child → parent
     * edges): link-authority scoring via [[Scale.pageRank]]. Root 1
-    * accumulates the most mass; leaves sit at the (1-d) floor. No
-    * oracle (iterative float recursion is not SQL-expressible in the
-    * gate); determinism + structure invariants in ScaleSpec.
+    * accumulates the most mass; leaves sit at the (1-d) floor.
+    * DuckDB-oracled hash-exact: the gate's FIXED 5-round recursion
+    * unrolls into one SQL CTE per round (SparkEntry.pagerankOracle) —
+    * DECIMAL-accumulated contributions make per-round sums
+    * order-independent in both engines, so the doubles agree bit-for-bit
+    * and an epsilon-guarded round(…, 8) closes the last formatting gap.
+    * ScaleSpec additionally replays the recursion dense on the driver.
     */
   def q_pagerank(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"))
     val edges = docs.filter(col("doc_id") >= 2)
       .select(col("doc_id").as("src"), (col("doc_id") / 2).cast("long").as("dst"))
     Scale.pageRank(edges, "src", "dst", iters = 5)
-      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .select(col("id"), round(col("rank") + lit(1e-12), 8).as("rank"))
       .orderBy("id")
   }
 

@@ -31,7 +31,7 @@ class OpsSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5).toSeq}")
   }
 
-  test("minhash LSH: exact dups always collide (est_jaccard=1); near-dups found; disjoint texts absent") {
+  test("minhash LSH: exact dups always collide (jaccard=1); near-dups found; disjoint texts absent") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
     val nearDup = base.replace("lazy", "sleepy") // one word of ~40 changed
@@ -42,8 +42,9 @@ class OpsSpec extends AnyFunSuite {
       (4L, unrelated)                // unrelated
     ).toDF("doc_id", "text")
     val pairs = Llm.minhashPairs(docs, threshold = 0.5)
+      .select("id1", "id2", "jaccard")
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
-    assert(pairs((1L, 2L)) == 1.0) // identical sigs → every band collides
+    assert(pairs((1L, 2L)) == 1.0) // identical shingle sets
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup caught
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L }) // unrelated absent
   }
@@ -70,10 +71,11 @@ class OpsSpec extends AnyFunSuite {
     assert(!flags(12L), "unrelated text must not flag")
   }
 
-  test("minhash output is well-formed: id1 < id2, est_jaccard in [0.5, 1]") {
+  test("minhash output is well-formed: id1 < id2, verified jaccard in [0.5, 1], est in (0, 1]") {
     val bad = Llm.q_dedup_minhash(spark, sf)
       .filter(col("id1") >= col("id2") ||
-        col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count()
+        col("jaccard") < 0.5 || col("jaccard") > 1.0 ||
+        col("est_jaccard") <= 0.0 || col("est_jaccard") > 1.0).count()
     assert(bad == 0)
   }
 
@@ -592,6 +594,22 @@ class OpsSpec extends AnyFunSuite {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val recall = truth.count(predicted.contains).toDouble / truth.size
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 on ${truth.size} true pairs")
+    // PRECISION gate (the other half): minhashPairs VERIFIES candidates
+    // with exact shingle-set Jaccard ≥ 0.5 before emitting, so every
+    // emitted pair must appear in setSimJoin's exact pair set at the
+    // laxer t = 0.35 — two INDEPENDENT exact-Jaccard implementations
+    // (builtin array_intersect/union over string shingles vs PPJoin
+    // prefix-filter + verify over shingle tokens) agreeing pairwise.
+    // Precision is 1.0 by construction; < 1.0 means the two exact
+    // paths disagree on the shingle universe. (The est-only variant
+    // measured 0.21 here — the selection-bias trap the verify stage
+    // exists to close.)
+    val lax = Llm.setSimJoin(shingled, "doc_id", "text", t = 0.35)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(predicted.nonEmpty, "LSH predicted no pairs — precision undefined")
+    val precision = predicted.count(lax.contains).toDouble / predicted.size
+    assert(precision >= 0.999,
+      s"LSH precision $precision < 1 on ${predicted.size} predicted pairs")
   }
 
   test("wordPmi vocab cap: capped pair keys ⊆ uncapped; every capped n12 ≤ uncapped n12") {

@@ -300,4 +300,60 @@ class ScaleSpec extends AnyFunSuite {
     assert(worst < 1e-6,
       s"distributed ranks diverge from the dense replay by $worst")
   }
+
+  test("kMeans ≡ driver-side dense Lloyd replay at the q_cluster_kmeans config") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val model = Scale.kMeans(emb, "embedding", k = 8, maxIters = 5)
+    // Independent dense replay of the SAME recursion: identical
+    // deterministic init (the xxhash64-over-json stride sample — Spark
+    // evaluates the hash, the selection and every Lloyd round run on the
+    // driver), nearest-centroid assignment with the same strict-<
+    // first-wins tie rule, empty clusters keep their previous centroid,
+    // same tol/maxIters stop. Distributed partial sums reorder float
+    // adds, so parity is 1e-6, not bitwise.
+    val rows = emb.select(col("embedding").cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(to_json(col("__v"))))
+      .as[(Seq[Double], Long)].collect()
+    val vecs = rows.map(_._1.toArray)
+    var cents = rows.sortBy(_._2).take(8).map(_._1.toArray)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var moved = true; var it = 0
+    while (moved && it < 5) {
+      val asg = vecs.map(nearest(_, cents))
+      val next = cents.indices.map { c =>
+        val mine = vecs.indices.filter(asg(_) == c)
+        if (mine.isEmpty) cents(c)
+        else {
+          val s = Array.fill(cents(c).length)(0.0)
+          mine.foreach { i => var j = 0; while (j < s.length) { s(j) += vecs(i)(j); j += 1 } }
+          s.map(_ / mine.size)
+        }
+      }.toArray
+      moved = cents.zip(next).exists { case (a, b) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum > 1e-9 }
+      cents = next; it += 1
+    }
+    val worst = model.centroids.zip(cents).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
+    assert(worst < 1e-6,
+      s"distributed centroids diverge from the dense Lloyd replay by $worst")
+    // and the gate's cluster census must be the replay's census
+    val gotCensus = Llm.q_cluster_kmeans(spark, sf)
+      .select("cluster", "n").as[(Int, Long)].collect().toMap
+    val wantCensus = vecs.map(nearest(_, cents)).groupBy(identity)
+      .map { case (c, xs) => (c, xs.length.toLong) }
+    assert(gotCensus == wantCensus,
+      s"census diverges: got $gotCensus want $wantCensus")
+  }
 }
