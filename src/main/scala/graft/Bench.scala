@@ -116,18 +116,26 @@ object Bench {
       else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
 
     val results = names.map { name =>
-      taskTimes.synchronized(taskTimes.clear())
-      val times = (1 to runs).map { _ =>
+      // per-run snapshots: stage IDs are unique per run, so grouping a
+      // multi-run pool by stage silently elects the run with the LARGEST
+      // task times — i.e. the disk-cold first run, whose uneven page-cache
+      // misses read as 2-2.6 "skew" forever after (measured at sf1: run 1
+      // ratio 2.0, runs 2-5 converge to 1.2-1.5 on identical partitions).
+      // Skew must ride the same noise control as the timings: measure it
+      // within the run whose wall time is the median.
+      val measured = (1 to runs).map { _ =>
+        taskTimes.synchronized(taskTimes.clear())
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median = times(times.length / 2)
-      // listener delivery is async; by the time the next query's runs
-      // finish, this query's stragglers would pollute its bucket — give
-      // the bus a beat to drain (best-effort; skew is informational)
-      Thread.sleep(20)
-      val byStage = taskTimes.synchronized(taskTimes.toVector).groupBy(_._1)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener delivery is async; give the bus a beat to drain so this
+        // run's stragglers don't pollute the next snapshot (best-effort;
+        // skew is informational)
+        Thread.sleep(20)
+        (wall, taskTimes.synchronized(taskTimes.toVector))
+      }.sortBy(_._1)
+      val (median, medianTasks) = measured(measured.length / 2)
+      val byStage = medianTasks.groupBy(_._1)
       val skew =
         if (byStage.isEmpty) 1.0
         else {

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_null_profile" -> (Relational.q_null_profile _),
+    "q_k_anon" -> (Relational.q_k_anon _),
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
     "q_churn" -> (Relational.q_churn _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_lang_filter" -> (Llm.q_lang_filter _),
     "q_lang_id" -> (Llm.q_lang_id _),
     "q_quality_score" -> (Llm.q_quality_score _),
+    "q_readability" -> (Llm.q_readability _),
     "q_c4_filters" -> (Llm.q_c4_filters _),
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
@@ -796,6 +798,14 @@ object SparkEntry {
         |               AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM c JOIN t USING (user_id)
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_null_profile" ->
       """WITH a AS (SELECT count(*) AS n,
@@ -1797,6 +1807,16 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS words,
+        |    greatest(1.0, CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS DOUBLE)) AS sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sylls
+        |  FROM documents)
+        |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+        |  round(206.835 - 1.015 * words / sents - 84.6 * sylls / words + 1e-9, 4) AS flesch
+        |FROM t WHERE words > 0 ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars,

@@ -1462,6 +1462,34 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Flesch reading-ease per document — the classic readability screen a
+    * curriculum-ordered training mix sorts on (simpler text first). The
+    * three counts are regex families both engines implement identically
+    * over ASCII: words = `[a-z0-9]+` runs, sentences = `[.!?]+` runs
+    * (floored at 1 so a fragment still scores), syllables ~ vowel-group
+    * runs `[aeiouy]+` — the standard dictionary-free approximation.
+    * Scan-stage column arithmetic only: no shuffle until the gate's
+    * ORDER BY, so the screen is one linear pass at 100 TB. The +1e-9
+    * epsilon before round follows the engine-parity convention
+    * documented at [[q_quality_score]].
+    */
+  def q_readability(s: SparkSession, d: String): DataFrame = {
+    val t = lower(col("text"))
+    def runs(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("double")
+    documents(s, d)
+      .select(col("doc_id"),
+        runs("[a-z0-9]+").as("words"),
+        greatest(lit(1.0), runs("[.!?]+")).as("sents"),
+        runs("[aeiouy]+").as("sylls"))
+      .filter(col("words") > 0)
+      .select(col("doc_id"),
+        col("words").cast("long").as("n_words"),
+        round(lit(206.835) - lit(1.015) * col("words") / col("sents")
+          - lit(84.6) * col("sylls") / col("words") + lit(1e-9), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   /** C4/FineWeb-style quality-filter CASCADE with per-rule audit flags:
     * token-count bounds, mean-word-length bounds, minimum stopword
     * evidence, and a blocklist-term screen, each surfaced as its own

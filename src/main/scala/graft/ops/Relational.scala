@@ -2265,6 +2265,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** k-anonymity audit over the customer quasi-identifier tuple
+    * (nation, market segment, account-balance band): any QI group with
+    * fewer than k=5 members re-identifies its customers by attribute
+    * intersection alone, so a release gate lists exactly those groups.
+    * One map-side-combined hash aggregation whose output is bounded by
+    * the QI-space cardinality (|nation|·|segment|·|band|), never by row
+    * count — at 100 TB the agg shuffles at most a few thousand partial
+    * rows per partition and the report stays KB-sized. The band uses
+    * integral floor(balance/1000), identical IEEE arithmetic in both
+    * engines (no rounding epsilon needed).
+    */
+  def q_k_anon(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
   /** Describe-style column profile (the census behind a data catalog
     * entry): per column, row count, null count, and EXACT distinct
     * count — one pass for the scan + the distinct expansions, then a

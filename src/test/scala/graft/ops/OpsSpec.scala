@@ -1686,4 +1686,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out(7) == out(3), "path fragment must drop (vs bare no-query form)")
     assert(out(8) == out(0), "query fragment must drop (vs full messy form)")
   }
+
+  test("q_k_anon: reported groups are exactly the below-k QI cells of a driver-side census") {
+    import spark.implicits._
+    val expected = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("int"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .as[(Int, String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).filter(_._2 < 5).toMap
+    val got = Relational.q_k_anon(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+    assert(got.values.forall(n => n >= 1 && n < 5))
+  }
+
+  test("q_readability: formula replay on known texts; bounds hold corpus-wide") {
+    import spark.implicits._
+    // monosyllabic short sentences vs polysyllabic run-on: the former
+    // must score (much) higher — the discriminating property a
+    // curriculum sort depends on
+    val simple = "the cat sat. the dog ran. it was fun."
+    val dense = "extraordinary organizational considerations necessitate comprehensive interdisciplinary evaluation methodologies"
+    def flesch(t: String): Double = {
+      val words = "[a-z0-9]+".r.findAllIn(t.toLowerCase).length.toDouble
+      val sents = math.max(1.0, "[.!?]+".r.findAllIn(t).length.toDouble)
+      val sylls = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toDouble
+      BigDecimal(206.835 - 1.015 * words / sents - 84.6 * sylls / words + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(flesch(simple) > 90 && flesch(dense) < 0, "fixture texts must separate")
+    val rows = Llm.q_readability(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus-wide: every doc with at least one word is present, and no
+    // score exceeds the formula's hard ceiling (sylls=0, one sentence
+    // per word floor: 206.835 - 1.015)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val withWords = docs.filter { case (_, t) => "[a-z0-9]+".r.findAllIn(t.toLowerCase).nonEmpty }
+    assert(rows.keySet == withWords.map(_._1).toSet)
+    assert(rows.values.forall(_._2 <= 206.835 - 1.015 + 1e-6))
+    // spot-replay the scala-side formula on 25 corpus docs
+    for ((id, t) <- withWords.take(25)) {
+      assert(math.abs(rows(id)._2 - flesch(t)) < 5e-4, s"doc $id: ${rows(id)._2} vs ${flesch(t)}")
+    }
+  }
 }
