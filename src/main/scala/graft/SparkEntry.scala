@@ -1770,6 +1770,37 @@ object SparkEntry {
         |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the greedy MMR loop unrolls into a recursive CTE carrying the
+    // selected (id, vector) lists as state; cosine is spelled
+    // dot/(sqrt(n1)*sqrt(n2)) — the exact shape of Vec.cosine, NOT
+    // sqrt(n1*n2) — so the argmax compares bit-identical doubles
+    // (verified exact at sf0.01/sf0.1/sf1 incl. the jittered near-dup
+    // copies, where scores separate by only ~1e-5)
+    "q_mmr_select" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q))
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))) AS relq
+        |  FROM embeddings),
+        |sel AS (
+        |  SELECT 1 AS rank, p.vec_id, p.score, [p.vec_id] AS ids, [p.e] AS vecs
+        |  FROM (SELECT vec_id, e, 0.7 * relq AS score FROM base
+        |        ORDER BY score DESC, vec_id LIMIT 1) p
+        |  UNION ALL
+        |  SELECT s.rank + 1, p.vec_id, p.score,
+        |         list_append(s.ids, p.vec_id), list_append(s.vecs, p.e)
+        |  FROM sel s, LATERAL (
+        |    SELECT b.vec_id, b.e,
+        |      0.7 * b.relq - 0.3 * list_max(list_transform(s.vecs,
+        |        v -> list_dot_product(b.e, v)
+        |             / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(v, v))))) AS score
+        |    FROM base b WHERE NOT list_contains(s.ids, b.vec_id)
+        |    ORDER BY score DESC, b.vec_id LIMIT 1) p
+        |  WHERE s.rank < 10)
+        |SELECT rank, vec_id, round(score, 6) AS score FROM sel ORDER BY rank""".stripMargin,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),

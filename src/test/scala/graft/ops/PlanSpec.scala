@@ -88,6 +88,25 @@ class PlanSpec extends AnyFunSuite {
       s"binned range join must plan as an equi-join:\n$binned")
   }
 
+  test("q_tpch_q8ish + q_cross pin their dim joins with broadcast — no BNLJ/cartesian even with AQE off") {
+    // AQE's runtime size estimate currently saves an unhinted small-side
+    // cross; at 100× the plan must not depend on an estimate, so every
+    // dim cross carries an explicit broadcast() hint. Asserted with AQE
+    // disabled so the STATIC plan is the one under test.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, df) <- Seq(
+          ("q_tpch_q8ish", Relational.q_tpch_q8ish(spark, sf)),
+          ("q_cross", Relational.q_cross(spark, sf)))) {
+        val plan = planOf(df)
+        assert(!plan.contains("CartesianProduct"), s"$name: cartesian in static plan:\n$plan")
+        assert(plan.contains("BroadcastExchange"), s"$name: dim side must broadcast")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("round-3 analytics: partial aggs, broadcast scalars, no cartesian fact joins") {
     for ((name, df) <- Seq(
         ("q_bm25", Llm.q_bm25(spark, sf)),
