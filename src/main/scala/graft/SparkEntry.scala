@@ -196,6 +196,7 @@ object SparkEntry {
     "q_lang_id" -> (Llm.q_lang_id _),
     "q_quality_score" -> (Llm.q_quality_score _),
     "q_readability" -> (Llm.q_readability _),
+    "q_blocklist_phrases" -> (Llm.q_blocklist_phrases _),
     "q_c4_filters" -> (Llm.q_c4_filters _),
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
@@ -1441,8 +1442,8 @@ object SparkEntry {
     "q_window_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cdist
+        |  round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+        |  round(cume_dist() OVER w + 1e-9, 6) AS cdist
         |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
         |                         ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
@@ -1838,6 +1839,21 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // position-based phrase matching (overlap-safe, like the Spark
+    // side): explode tokens with ordinality, anchor on the phrase's
+    // first token, verify with a list_slice equality
+    "q_blocklist_phrases" ->
+      """WITH ph AS (SELECT phrase, string_split(phrase, ' ') AS pw
+        |  FROM (VALUES ('slow query'), ('fast table'),
+        |               ('hash join fast'), ('the window')) v(phrase)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, i
+        |  FROM w, LATERAL unnest(generate_series(1, len(ws))) g(i))
+        |SELECT p.doc_id, ph.phrase, count(*) AS n_hits
+        |FROM pos p JOIN ph ON p.ws[p.i] = ph.pw[1]
+        |WHERE list_slice(p.ws, p.i, p.i + len(ph.pw) - 1) = ph.pw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_readability" ->
       """WITH t AS (SELECT doc_id,

@@ -1462,6 +1462,35 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Multi-PHRASE blocklist screen — the real-world form of C4's §2.2
+    * "bad words" filter, where the list holds thousands of multi-word
+    * phrases, not single tokens. Scale shape: the corpus explodes to
+    * (doc, position, token) once, equi-joins the phrase list on the
+    * phrase's FIRST token only (so the shuffle carries just positions
+    * whose token opens some phrase), and verifies the full phrase with
+    * one `slice == tokens` comparison at the matched position. Work is
+    * corpus-linear + (first-token selectivity)·|phrases| — never
+    * doc×phrase, no regex backtracking, overlap-safe (position-based,
+    * unlike non-overlapping regex/string scans). The phrase side is a
+    * broadcast dim at any realistic blocklist size.
+    */
+  def q_blocklist_phrases(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val phrases = Seq("slow query", "fast table", "hash join fast", "the window")
+    val ph = phrases.toDF("phrase")
+      .select(col("phrase"), split(col("phrase"), " ").as("pw"))
+      .select(col("phrase"), col("pw"), element_at(col("pw"), 1).as("w"),
+        size(col("pw")).as("plen"))
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("i", "w")))
+      .join(broadcast(ph), "w")
+      .filter(slice(col("ws"), col("i") + 1, col("plen")) === col("pw"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id", "phrase")
+  }
+
   /** Flesch reading-ease per document — the classic readability screen a
     * curriculum-ordered training mix sorts on (simpler text first). The
     * three counts are regex families both engines implement identically

@@ -1044,8 +1044,13 @@ object Relational {
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cdist"))
+        // +1e-9 epsilon (the engine-parity convention, see
+        // q_quality_score): percent_rank/cume_dist are rank/(n±1)
+        // rationals that land within an ulp of x.xxxxxx5 at large n —
+        // first observed at the sf10 sweep (n≈3M per priority), where
+        // DuckDB's multiply-then-round flipped one row's 6th decimal
+        round((percent_rank().over(w) + lit(1e-9)), 6).as("pct_rank"),
+        round((cume_dist().over(w) + lit(1e-9)), 6).as("cdist"))
       .orderBy("o_orderkey")
   }
 

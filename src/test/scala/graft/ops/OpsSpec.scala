@@ -1687,6 +1687,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8) == out(0), "query fragment must drop (vs full messy form)")
   }
 
+  test("q_blocklist_phrases: position-based census matches a driver-side sliding-window replay") {
+    import spark.implicits._
+    val phrases = Seq("slow query", "fast table", "hash join fast", "the window")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // overlap-safe reference: count every position whose token window
+    // equals the phrase (sliding, NOT non-overlapping-regex semantics)
+    val expected = (for {
+      (id, t) <- docs
+      ws = t.split(" ")
+      p <- phrases
+      pw = p.split(" ")
+      n = ws.sliding(pw.length).count(_.sameElements(pw)) if n > 0
+    } yield (id, p) -> n.toLong).toMap
+    val got = Llm.q_blocklist_phrases(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"diff: ${(got.toSet diff expected.toSet).take(3)} / ${(expected.toSet diff got.toSet).take(3)}")
+    assert(got.nonEmpty, "fixture phrases must actually occur at sf0.001")
+  }
+
   test("q_k_anon: reported groups are exactly the below-k QI cells of a driver-side census") {
     import spark.implicits._
     val expected = Tables.customer(spark, sf)
