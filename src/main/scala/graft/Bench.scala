@@ -35,6 +35,18 @@ object Bench {
     */
   private def relaunchForProfile(profile: GraftSession.Profile): Option[Int] = {
     if (profile.heap.isEmpty || sys.env.contains("SPARK_GRAFT_RELAUNCHED")) return None
+    // in-process sbt runMain: java.class.path is just the sbt launcher
+    // jar, which cannot load graft.Bench — run here (possibly on the
+    // wrong heap) rather than re-exec a child that dies on CNFE
+    val cpEntries = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparatorChar)
+    if (cpEntries.length == 1 && cpEntries(0).contains("sbt-launch")) {
+      System.err.println(s"[bench] profile heap ${profile.heap} requested but the " +
+        "classpath is the sbt launcher (in-process runMain) — cannot re-exec; " +
+        "running on the current heap. Use the flat-classpath java invocation " +
+        "(see .claude/skills/verify) for profile-faithful heaps.")
+      return None
+    }
     val want = profile.heap.toLowerCase match {
       case h if h.endsWith("g") => h.dropRight(1).toLong << 30
       case h if h.endsWith("m") => h.dropRight(1).toLong << 20
@@ -77,8 +89,9 @@ object Bench {
     // spark.sql.files.maxPartitionBytes to split a coarse scan)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
       })
     spark.sparkContext.setLogLevel("WARN")
 
@@ -123,10 +136,17 @@ object Bench {
       // ratio 2.0, runs 2-5 converge to 1.2-1.5 on identical partitions).
       // Skew must ride the same noise control as the timings: measure it
       // within the run whose wall time is the median.
+      // a failed run must be VISIBLE, not a fast bogus time: a crashed
+      // query's wall is the time-to-crash, which would win a per-tier
+      // merge over a tier where it actually completed
+      var failed: Option[String] = None
       val measured = (1 to runs).map { _ =>
         taskTimes.synchronized(taskTimes.clear())
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         // listener delivery is async; give the bus a beat to drain so this
         // run's stragglers don't pollute the next snapshot (best-effort;
@@ -134,7 +154,10 @@ object Bench {
         Thread.sleep(20)
         (wall, taskTimes.synchronized(taskTimes.toVector))
       }.sortBy(_._1)
-      val (median, medianTasks) = measured(measured.length / 2)
+      failed.foreach(msg => System.err.println(s"[bench] $name FAILED: $msg"))
+      val (median, medianTasks) =
+        if (failed.isDefined) (-1.0, Vector.empty[(Int, Long)]) // sentinel: excluded from totals
+        else measured(measured.length / 2)
       val byStage = medianTasks.groupBy(_._1)
       val skew =
         if (byStage.isEmpty) 1.0
@@ -155,15 +178,20 @@ object Bench {
     // so the decimal separator is always '.'.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+    // failed queries (median sentinel -1) are EXCLUDED from queries/total
+    // and listed under "errors" — a crash must never read as a fast run
+    val (bad, good) = results.partition(_._2 < 0)
+    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val offenders = results.filter(_._3 > 2.0)
+    val offenders = good.filter(_._3 > 2.0)
     val skewJson = offenders.map { case (k, _, s) => "\"" + k + "\":" + r1(s) }
       .mkString("{", ",", "}")
-    val maxSkew = if (results.isEmpty) 1.0 else results.map(_._3).max
-    val total = results.map(_._2).sum
+    val maxSkew = if (good.isEmpty) 1.0 else good.map(_._3).max
+    val total = good.map(_._2).sum
     val profJson = if (profName.isEmpty) "" else s""","profile":"$profName""""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson}"""
+    val errJson = if (bad.isEmpty) ""
+      else bad.map("\"" + _._1 + "\"").mkString(""","errors":[""", ",", "]")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson$errJson}"""
     println(line)
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)

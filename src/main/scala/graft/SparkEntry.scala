@@ -1144,10 +1144,14 @@ object SparkEntry {
         |  round(CAST(top_cnt AS DOUBLE)/n_words + 1e-9, 4) AS top_frac
         |FROM per ORDER BY doc_id""".stripMargin,
 
+    // rtrim before string_split: the native wordNGrams kernel uses Java
+    // split semantics (trailing empty tokens dropped, leading/interior
+    // kept), so trailing-space text would otherwise give DuckDB one
+    // phantom bigram per trailing space (same below for q_ngram_topk)
     "q_quality_ngram_rep" ->
       """WITH g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(rtrim(text, ' '), ' '))),
+        |    i -> string_split(rtrim(text, ' '), ' ')[i] || ' ' || string_split(rtrim(text, ' '), ' ')[i+1])) AS g
         |  FROM documents),
         |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
         |SELECT doc_id,
@@ -1161,8 +1165,8 @@ object SparkEntry {
 
     "q_ngram_topk" ->
       """WITH b AS (
-        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  SELECT unnest(list_transform(range(1, len(string_split(rtrim(text, ' '), ' '))),
+        |    i -> string_split(rtrim(text, ' '), ' ')[i] || ' ' || string_split(rtrim(text, ' '), ' ')[i+1])) AS bigram
         |  FROM documents)
         |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
@@ -1774,7 +1778,11 @@ object SparkEntry {
     // the greedy MMR loop unrolls into a recursive CTE carrying the
     // selected (id, vector) lists as state; cosine is spelled
     // dot/(sqrt(n1)*sqrt(n2)) — the exact shape of Vec.cosine, NOT
-    // sqrt(n1*n2) — so the argmax compares bit-identical doubles
+    // sqrt(n1*n2) — and the diversity weight is spelled (1.0 - 0.7) so
+    // both engines share the same representation error as Scala's
+    // lit(1.0 - lambda) (0.30000000000000004, not the 0.3 literal's
+    // 0.29999…; same convention as the pagerank oracle's damping) —
+    // so the argmax compares bit-identical doubles
     // (verified exact at sf0.01/sf0.1/sf1 incl. the jittered near-dup
     // copies, where scores separate by only ~1e-5)
     "q_mmr_select" ->
@@ -1794,7 +1802,7 @@ object SparkEntry {
         |         list_append(s.ids, p.vec_id), list_append(s.vecs, p.e)
         |  FROM sel s, LATERAL (
         |    SELECT b.vec_id, b.e,
-        |      0.7 * b.relq - 0.3 * list_max(list_transform(s.vecs,
+        |      0.7 * b.relq - (1.0 - 0.7) * list_max(list_transform(s.vecs,
         |        v -> list_dot_product(b.e, v)
         |             / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(v, v))))) AS score
         |    FROM base b WHERE NOT list_contains(s.ids, b.vec_id)
@@ -2227,7 +2235,7 @@ object SparkEntry {
     // a plain table aggregate at any write layout
     "q_file_provenance" ->
       """SELECT count(*) AS n_rows, min(doc_id) AS min_id,
-        |  max(doc_id) AS max_id, TRUE AS files_ok, TRUE AS no_empty_files
+        |  max(doc_id) AS max_id
         |FROM documents""".stripMargin,
 
     // every doc has >= 10 words, so words[1..4] are always present

@@ -172,7 +172,8 @@ object Llm {
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
                    maxBucket: Int = DefaultMaxBucket,
-                   verify: Boolean = true): DataFrame = {
+                   verify: Boolean = true,
+                   shareCandidates: Boolean = true): DataFrame = {
     val wb = Window.partitionBy("band", "bsig")
     val cand = minhashExploded(docs)
       .withColumn("__bn", count(lit(1)).over(wb))
@@ -204,11 +205,27 @@ object Llm {
       // is Σ|bucket|² (cap-bounded), the shingle re-scan is semi-joined
       // down to candidate docs, and the two verify joins move
       // candidate-sized rows, never corpus².
-      val ids = cand.select(col("id1").as("doc_id"))
-        .union(cand.select(col("id2").as("doc_id"))).distinct()
+      // The candidate set is consumed THREE times (two id-projection
+      // union branches + the verify join); a LAZY cache shares the
+      // expensive explode/window/dedup pipeline across the consumers
+      // within one action without localCheckpoint's extra materialize
+      // job (measured: eager checkpoint cost +50% at sf0.1 while lazy
+      // cache is neutral there and keeps the sf10 reuse win). Blocks
+      // are candidate-sized (id1, id2, est); MEMORY_AND_DISK, evicted
+      // LRU — a long-lived session can unpersist via the returned
+      // plan's InMemoryRelation if it must. shareCandidates=false exists
+      // for ITERATIVE downstream consumers (connectedComponents): their
+      // per-round localCheckpoints compete with the cache for the same
+      // storage pool and thrash it (measured at sf10/16g: clusters
+      // 50.7 s uncached vs 100.3 s cached, while the plain pairs gate is
+      // 37.2 s -> 25.0 s WITH the cache — opposite preferences, so the
+      // caller chooses).
+      val candCk = if (shareCandidates) cand.cache() else cand
+      val ids = candCk.select(col("id1").as("doc_id"))
+        .union(candCk.select(col("id2").as("doc_id"))).distinct()
       val sh = docs.join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      cand
+      candCk
         .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
         .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
         .withColumn("jaccard",
@@ -276,7 +293,8 @@ object Llm {
     */
   def q_dedup_clusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = minhashPairs(docs, threshold = 0.5).select("id1", "id2")
+    val pairs = minhashPairs(docs, threshold = 0.5, shareCandidates = false)
+      .select("id1", "id2")
     Scale.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "id1", "id2")
       .select(col("id").as("doc_id"), col("label").as("cluster"),
         (col("id") === col("label")).as("keep"))

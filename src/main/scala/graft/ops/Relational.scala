@@ -2134,17 +2134,20 @@ object Relational {
     * table into; the per-file granularity itself is spec-asserted in
     * SinksSpec.
     */
+  /** Layout-independent closure of the per-file provenance rollup: the
+    * file-level totals and key span must re-aggregate to the table's —
+    * the check a lineage audit runs after a write. Deliberately NOT
+    * asserted here: empty-file detection — a row scan cannot observe a
+    * zero-row file (it contributes no group), so that check needs a
+    * filesystem listing and lives in SinksSpec against a written
+    * directory, not in this scan-only gate.
+    */
   def q_file_provenance(s: SparkSession, d: String): DataFrame =
     fileProvenance(documents(s, d), col("doc_id"))
       .agg(
         sum("n_rows").as("n_rows"),
         min("min_id").as("min_id"),
-        max("max_id").as("max_id"),
-        count(lit(1)).as("n_files"),
-        count(when(col("n_rows") === 0, 1)).as("empty_files"))
-      .select(col("n_rows"), col("min_id"), col("max_id"),
-        (col("n_files") >= 1).as("files_ok"),
-        (col("empty_files") === 0).as("no_empty_files"))
+        max("max_id").as("max_id"))
 
   /** Per-file rollup behind [[q_file_provenance]]: one row per input
     * file with its row count and key range.

@@ -17,19 +17,31 @@ import json, sys
 
 
 def main(out_path, specs):
-    base_name = specs[0].rsplit(":", 1)[1]
     merged, tiers, srcs = {}, {}, {}
     meta = None
+    universe = None
     for spec in specs:
         path, tier = spec.rsplit(":", 1)
         line = json.load(open(path))
         if meta is None:
             meta = line
+            universe = set(line["queries"])  # base defines the query set
         srcs[tier] = path.split("/")[-1]
+        # a query the bench reported under "errors" has no median in
+        # "queries" (Bench excludes crashes); nothing to guard here, but
+        # surface the errors so a crashed tier is never silently clean
+        for q in line.get("errors", []):
+            print(f"note: {tier} reported ERROR for {q} — not merged")
         for q, sec in line["queries"].items():
+            if q not in universe:
+                print(f"note: {tier} has extra query {q} (not in base) — skipped")
+                continue
             if q not in merged or sec < merged[q]:
                 merged[q] = sec
                 tiers[q] = tier
+    missing = universe - set(merged)
+    if missing:
+        print(f"WARNING: base queries with no successful tier run: {sorted(missing)}")
     total = round(sum(merged.values()), 3)
     out = {
         "metric": "total", "value": total, "unit": "sec",
