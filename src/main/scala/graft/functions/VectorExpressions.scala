@@ -111,6 +111,65 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Matched-component count of two minhash signature arrays
+  * (`array<bigint>`): the per-candidate-pair collision estimator of the
+  * LSH tier (`est_jaccard = graft_sigmatch(a, b) / NumHashes`). This is
+  * the highest-volume surviving loop in the engine — one evaluation per
+  * candidate pair (sf100: 145M pairs) — so it must be a fused codegen
+  * loop, not interpreted `aggregate`/`zip_with` lambdas (PERF.md
+  * Finding 1: ≈40× per-element interpreter overhead).
+  *
+  * Exact HOF parity (the reference formulation stays in the parity
+  * spec): positions beyond the shorter array contribute 0 — `zip_with`
+  * null-pads and `when(x === y, …)` reads the padded comparison as
+  * false — so the count runs to min(|a|, |b|). NULL array → NULL.
+  * Signature arrays are fixed-length NumHashes in practice; the
+  * min-length rule only preserves the HOF's degenerate-input behavior.
+  */
+case class SigMatch(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+  override def prettyName: String = "graft_sigmatch"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native text-fingerprint expressions: thin codegen wrappers over the
   * static [[TextKernels]] methods, so the kernel call is emitted
   * directly into the whole-stage-generated Java (no UDF closure
@@ -342,6 +401,10 @@ object Vec {
     ensureRegistered()
     call_function("graft_embsig", vec)
   }
+  def sigMatch(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("graft_sigmatch", a, b)
+  }
   def wordNGrams(text: Column, n: Int, stride: Int = 1): Column = {
     ensureRegistered()
     import org.apache.spark.sql.functions.lit
@@ -367,6 +430,9 @@ object Vec {
     (FunctionIdentifier("graft_embsig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_embsig"),
       (es: Seq[Expression]) => HyperplaneSig(es(0))),
+    (FunctionIdentifier("graft_sigmatch"),
+      new ExpressionInfo(classOf[SigMatch].getName, "graft_sigmatch"),
+      (es: Seq[Expression]) => SigMatch(es(0), es(1))),
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
       (es: Seq[Expression]) => WordNGrams(es(0),

@@ -187,8 +187,11 @@ object Llm {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        (aggregate(zip_with(col("a.sigs"), col("b.sigs"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        // Native codegen matched-component count — NOT aggregate/zip_with
+        // HOF lambdas, which evaluate interpreted at ≈40×/element
+        // (PERF.md Finding 1) and sat on the 145M-candidate sf100 hot
+        // loop. HOF parity is pinned by VectorExpressionsSpec.
+        (graft.functions.Vec.sigMatch(col("a.sigs"), col("b.sigs"))
           .cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("id1", "id2")
     if (!verify)
@@ -1765,8 +1768,9 @@ object Llm {
         col("band"), col("bsig"))
     t.join(e, Seq("band", "bsig"))
       .select(col("train_id"), col("eval_id"),
-        (aggregate(zip_with(col("tsigs"), col("esigs"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        // Same codegen kernel as minhashPairs — the train×eval band-meet
+        // is the other candidate-volume hot loop (see PERF.md Finding 1).
+        (graft.functions.Vec.sigMatch(col("tsigs"), col("esigs"))
           .cast("double") / NumHashes).as("est_jaccard"))
       .dropDuplicates("train_id", "eval_id")
       .filter(col("est_jaccard") >= threshold)

@@ -56,6 +56,49 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SigMatch ≡ interpreted aggregate/zip_with estimator, exact") {
+    // The retired hot-path formulation stays here as the parity
+    // reference (same role TextExpressionsSpec gives the UDF kernels).
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val sigs = docs.select(col("doc_id"), Vec.minhash(col("text")).as("s"))
+    val paired = sigs.withColumn("t",
+      expr("transform(s, (x, i) -> IF(i % 3 = 0, x, x + 1))"))
+    val df = paired.select(
+      Vec.sigMatch(col("s"), col("t")).as("nat"), hof(col("s"), col("t")).as("ref"),
+      Vec.sigMatch(col("s"), col("s")).as("nat_self"))
+    assert(df.filter(col("nat") =!= col("ref") || col("nat_self") =!= lit(32)).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("SigMatch degenerate inputs: null → NULL, length mismatch → min-prefix count") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 9L, 3L))),  // 2 matches
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L))),      // zip_with pads: 2
+      (None, Some(Seq(1L)))).toDF("a", "b")
+    val out = df.select(Vec.sigMatch(col("a"), col("b")).as("m")).collect()
+    assert(out(0).getInt(0) == 2)
+    assert(out(1).getInt(0) == 2)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("SigMatch runs inside whole-stage codegen (no eval fallback)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val df = docs.select(Vec.minhash(col("text")).as("s"))
+      .select(Vec.sigMatch(col("s"), reverse(col("s"))).as("m"))
+      .filter(col("m") >= 0)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("*(1)"), s"not codegen'd:\n$finalPlan")
+  }
+
   test("expressions run inside whole-stage codegen (no eval fallback)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = emb.select(Vec.dot(col("e"), col("e")).as("d")).filter(col("d") > 0)
