@@ -138,25 +138,35 @@ object Bench {
       // within the run whose wall time is the median.
       // a failed run must be VISIBLE, not a fast bogus time: a crashed
       // query's wall is the time-to-crash, which would win a per-tier
-      // merge over a tier where it actually completed
-      var failed: Option[String] = None
-      val measured = (1 to runs).map { _ =>
+      // merge over a tier where it actually completed. But one transient
+      // crash (e.g. a single OOM among 5 runs) must not erase the
+      // otherwise-valid medians either: failed runs are dropped from the
+      // pool and the query is excluded only when failures are the
+      // MAJORITY — then no median is trustworthy.
+      var failures = 0
+      var lastErr: Option[String] = None
+      val measured = (1 to runs).flatMap { _ =>
         taskTimes.synchronized(taskTimes.clear())
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          failed = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
-        }
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failures += 1
+            lastErr = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+            false
+          }
         val wall = (System.nanoTime() - t0) / 1e9
         // listener delivery is async; give the bus a beat to drain so this
         // run's stragglers don't pollute the next snapshot (best-effort;
         // skew is informational)
         Thread.sleep(20)
-        (wall, taskTimes.synchronized(taskTimes.toVector))
+        if (ok) Some((wall, taskTimes.synchronized(taskTimes.toVector))) else None
       }.sortBy(_._1)
-      failed.foreach(msg => System.err.println(s"[bench] $name FAILED: $msg"))
+      lastErr.foreach(msg => System.err.println(
+        s"[bench] $name: $failures/$runs runs FAILED (last: $msg)"))
       val (median, medianTasks) =
-        if (failed.isDefined) (-1.0, Vector.empty[(Int, Long)]) // sentinel: excluded from totals
+        if (failures * 2 > runs || measured.isEmpty)
+          (-1.0, Vector.empty[(Int, Long)]) // sentinel: excluded from totals
         else measured(measured.length / 2)
       val byStage = medianTasks.groupBy(_._1)
       val skew =

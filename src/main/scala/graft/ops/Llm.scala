@@ -140,6 +140,33 @@ object Llm {
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(documents(s, d), threshold = 0.5)
 
+  /** Most recent shared candidate cache. The cache must outlive
+    * [[minhashPairs]] (the consuming action is the caller's), so it
+    * cannot be unpersisted inside the builder — instead live candidate
+    * caches are bounded to ONE per JVM: a new cache over a DIFFERENT
+    * plan evicts the previous (re-running the same corpus keeps the
+    * reuse win — `sameResult` guard), and a long-lived session can call
+    * [[unpersistCandidates]] explicitly.
+    */
+  private val lastCandCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def registerCandCache(c: DataFrame): DataFrame = {
+    val prev = lastCandCache.getAndSet(c)
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(c.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
+    c
+  }
+
+  /** Drop the shared LSH candidate cache (storage hygiene for long
+    * sessions; the next [[minhashPairs]] call simply re-caches).
+    */
+  def unpersistCandidates(): Unit = {
+    val prev = lastCandCache.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** Default LSH bucket cap: a bucket of n candidates emits n·(n-1)/2
     * pairs, so 256 bounds any single bucket at ~32k pairs and bounds the
     * `collect_list` buffer at 256 × (32-long sig + id) ≈ 70 KB. Buckets
@@ -175,7 +202,18 @@ object Llm {
                    verify: Boolean = true,
                    shareCandidates: Boolean = true): DataFrame = {
     val wb = Window.partitionBy("band", "bsig")
-    val cand = minhashExploded(docs)
+    // CacheManager substitutes cached data by ANALYZED-plan equality on
+    // any matching SUBTREE — so a shareCandidates=false run in a session
+    // where a shared run already cached the identical candidate plan
+    // would silently read the InMemoryRelation anyway, and the cached
+    // blocks would compete with connectedComponents' localCheckpoints
+    // (the measured 2× clusters regression the flag exists to avoid).
+    // A mid-chain Filter(true) breaks whole-plan subtree equality
+    // (it survives analysis, where substitution happens) and is folded
+    // away by the optimizer — zero runtime cost.
+    val exploded0 = minhashExploded(docs)
+    val exploded = if (shareCandidates) exploded0 else exploded0.where(lit(true))
+    val cand = exploded
       .withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
@@ -223,7 +261,7 @@ object Llm {
       // 50.7 s uncached vs 100.3 s cached, while the plain pairs gate is
       // 37.2 s -> 25.0 s WITH the cache — opposite preferences, so the
       // caller chooses).
-      val candCk = if (shareCandidates) cand.cache() else cand
+      val candCk = if (shareCandidates) registerCandCache(cand.cache()) else cand
       val ids = candCk.select(col("id1").as("doc_id"))
         .union(candCk.select(col("id2").as("doc_id"))).distinct()
       val sh = docs.join(ids, Seq("doc_id"), "left_semi")
@@ -1494,19 +1532,30 @@ object Llm {
     * doc×phrase, no regex backtracking, overlap-safe (position-based,
     * unlike non-overlapping regex/string scans). The phrase side is a
     * broadcast dim at any realistic blocklist size.
+    *
+    * Memory bound: each exploded row carries only a max-phrase-length
+    * window of the document (`ctx`), sliced INSIDE the generator input —
+    * carrying the full word array through posexplode materializes
+    * O(doc_len²) bytes per document in the generate stage, vs
+    * O(doc_len · max_phrase_len) here. The verify then compares against
+    * the bounded window instead of re-slicing the whole array.
     */
   def q_blocklist_phrases(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val phrases = Seq("slow query", "fast table", "hash join fast", "the window")
+    val maxPlen = phrases.map(_.split(" ").length).max
     val ph = phrases.toDF("phrase")
       .select(col("phrase"), split(col("phrase"), " ").as("pw"))
       .select(col("phrase"), col("pw"), element_at(col("pw"), 1).as("w"),
         size(col("pw")).as("plen"))
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("i", "w")))
+      .select(col("doc_id"), posexplode(transform(col("ws"),
+        (w, i) => struct(w.as("w"),
+          slice(col("ws"), i + 1, lit(maxPlen)).as("ctx")))).as(Seq("i", "b")))
+      .select(col("doc_id"), col("b.w").as("w"), col("b.ctx").as("ctx"))
       .join(broadcast(ph), "w")
-      .filter(slice(col("ws"), col("i") + 1, col("plen")) === col("pw"))
+      .filter(slice(col("ctx"), lit(1), col("plen")) === col("pw"))
       .groupBy("doc_id", "phrase")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id", "phrase")

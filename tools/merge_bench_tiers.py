@@ -10,8 +10,11 @@ tier runs and records which tier produced it — the local simulation of
 submitting each job to the right executor pool.
 
 Usage: merge_bench_tiers.py out.json base.json:tier [more.json:tier ...]
-The first file is the base (its full query set is the universe); later
-files override a query when faster.
+The first file is the base; the universe is the UNION of every tier's
+attempted queries (successes + reported errors), so a query that crashed
+in the base tier but succeeded elsewhere is still merged, and a query
+with no successful run in ANY tier triggers the WARNING instead of
+silently vanishing from a full-looking total.
 """
 import json, sys
 
@@ -19,23 +22,18 @@ import json, sys
 def main(out_path, specs):
     merged, tiers, srcs = {}, {}, {}
     meta = None
-    universe = None
+    universe = set()
     for spec in specs:
         path, tier = spec.rsplit(":", 1)
         line = json.load(open(path))
         if meta is None:
             meta = line
-            universe = set(line["queries"])  # base defines the query set
         srcs[tier] = path.split("/")[-1]
-        # a query the bench reported under "errors" has no median in
-        # "queries" (Bench excludes crashes); nothing to guard here, but
-        # surface the errors so a crashed tier is never silently clean
+        universe |= set(line["queries"]) | set(line.get("errors", []))
+        # surface per-tier errors so a crashed tier is never silently clean
         for q in line.get("errors", []):
-            print(f"note: {tier} reported ERROR for {q} — not merged")
+            print(f"note: {tier} reported ERROR for {q} — not merged from this tier")
         for q, sec in line["queries"].items():
-            if q not in universe:
-                print(f"note: {tier} has extra query {q} (not in base) — skipped")
-                continue
             if q not in merged or sec < merged[q]:
                 merged[q] = sec
                 tiers[q] = tier
