@@ -1,0 +1,346 @@
+package graft
+
+/** DuckDB oracle SQL for the hash-kernel gate queries — the queries that
+  * were "rows-only by design" because their values derive from the
+  * engine's own FNV-1a / splitmix64 / minhash kernels
+  * (`graft.functions.TextKernels`), which no stock SQL function
+  * reproduces. The round-7 playbook (pagerank's unrolled decimal CTE,
+  * MMR's recursive CTE) extends to these: the kernels are DETERMINISTIC
+  * integer arithmetic, so they are SQL-expressible with 64-bit wrapping
+  * semantics emulated in DuckDB's HUGEINT (int128) domain:
+  *
+  *  - `x * y mod 2^64` — split the 64-bit operand into 32-bit halves so
+  *    every partial product fits int128: `(lo·C + ((hi·C) mod 2^32)·2^32)
+  *    mod 2^64`.
+  *  - `x ^ y` — map [0, 2^64) to signed BIGINT two's-complement, use
+  *    native `xor`, map back.
+  *  - `x >>> n` — floor-division by 2^n on the unsigned representation.
+  *
+  * splitmix64's three mix steps run as a chain of CTE COLUMN steps (one
+  * step references the previous step's column), which both avoids the
+  * exponential subexpression blowup of naive inlining and keeps
+  * evaluation columnar — the same computation phrased as nested list
+  * lambdas measured ~6× slower in DuckDB.
+  *
+  * Everything here replicates `TextKernels` semantics exactly: FNV-1a
+  * over ASCII bytes (`ord(char)` = byte on the all-ASCII gate corpus —
+  * the kernel itself documents byte/char FNV coincidence on ASCII),
+  * word/shingle hashing, the 32-component minhash family (HashA/HashB
+  * literals generated from the same splitmix64 seeds), LSH banding (the
+  * oracle groups on the raw 4-component signature SLICE where Spark
+  * groups on `xxhash64(slice)` — bucket contents are identical absent a
+  * 64-bit hash collision, and only bucket contents reach the output),
+  * the winnowing window minimum (SIGNED long comparison, as in the JVM),
+  * and SimHash's per-bit ±1 votes.
+  */
+object OracleSql {
+
+  private val U64 = "18446744073709551616::HUGEINT"
+  private val U63 = "9223372036854775808::HUGEINT"
+
+  /** unsigned HUGEINT expr in [0, 2^64) → signed BIGINT two's complement */
+  private def sgn(u: String): String =
+    s"(CASE WHEN ($u) >= $U63 THEN (($u) - $U64)::BIGINT ELSE ($u)::BIGINT END)"
+
+  /** signed BIGINT expr → unsigned HUGEINT in [0, 2^64) */
+  private def uns(b: String): String =
+    s"(CASE WHEN ($b) < 0 THEN ($b)::HUGEINT + $U64 ELSE ($b)::HUGEINT END)"
+
+  /** (a ^ b) on the unsigned-HUGEINT representation */
+  private def xor64(a: String, b: String): String =
+    uns(s"xor(${sgn(a)}, ${sgn(b)})")
+
+  /** (u * c) mod 2^64 — u in [0, 2^64), c a 64-bit constant expr */
+  private def mulmod(u: String, c: String): String =
+    s"(((($u) % 4294967296::HUGEINT) * ($c) + (((($u) // 4294967296::HUGEINT) * ($c)) " +
+      s"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64)"
+
+  /** splitmix64 as four chained CTEs applying the mix steps to `colIn`
+    * of `cteIn`; returns (cteListSql, finalCteName). `carry` = columns
+    * to thread through.
+    */
+  private def smSteps(cteIn: String, colIn: String, p: String, colOut: String,
+                      carry: String): (String, String) = {
+    val c = if (carry.isEmpty) "" else carry + ", "
+    val z1 = s"((($colIn) + 11400714819323198485::HUGEINT) % $U64)"
+    val z2 = mulmod(xor64("z1", "z1 // 1073741824::HUGEINT"), "13787848793156543929::HUGEINT")
+    val z3 = mulmod(xor64("z2", "z2 // 134217728::HUGEINT"), "10723151780598845931::HUGEINT")
+    val z4 = xor64("z3", "z3 // 2147483648::HUGEINT")
+    (Seq(
+      s"${p}a AS (SELECT $c$z1 AS z1 FROM $cteIn)",
+      s"${p}b AS (SELECT $c$z2 AS z2 FROM ${p}a)",
+      s"${p}c AS (SELECT $c$z3 AS z3 FROM ${p}b)",
+      s"${p}d AS (SELECT $c$z4 AS $colOut FROM ${p}c)").mkString(",\n"), s"${p}d")
+  }
+
+  /** splitmix64 as a single expression (for one-off evaluations where a
+    * CTE chain is impossible, e.g. inside a lambda): a 3-step struct
+    * fold via list_reduce, so the input expr `x` appears exactly once.
+    */
+  private def smExpr(x: String): String = {
+    val z1 = s"((($x) + 11400714819323198485::HUGEINT) % $U64)"
+    val step = mulmod(xor64("a.z", "(a.z // b.d)"), "b.m")
+    val steps = "[{'z': 0::HUGEINT, 'd': 1073741824::HUGEINT, 'm': 13787848793156543929::HUGEINT}, " +
+      "{'z': 0::HUGEINT, 'd': 134217728::HUGEINT, 'm': 10723151780598845931::HUGEINT}, " +
+      "{'z': 0::HUGEINT, 'd': 2147483648::HUGEINT, 'm': 1::HUGEINT}]"
+    s"(list_reduce(list_prepend({'z': $z1, 'd': 1::HUGEINT, 'm': 1::HUGEINT}, $steps), " +
+      s"(a, b) -> {'z': $step, 'd': 1::HUGEINT, 'm': 1::HUGEINT}).z)"
+  }
+
+  /** FNV-1a 64 of a VARCHAR expr's ASCII bytes (empty → offset basis).
+    * The multiply-by-prime fits int128 directly (2^64 · 2^41 < 2^127);
+    * the byte XOR touches only the low 8 bits, so it runs in BIGINT
+    * without the two's-complement mapping.
+    */
+  private def fnv(w: String): String = {
+    val body = s"(((h) - (h) % 256::HUGEINT + xor(((h) % 256::HUGEINT)::BIGINT, (c)::BIGINT)::HUGEINT) " +
+      s"* 1099511628211::HUGEINT) % $U64"
+    s"(CASE WHEN ($w) = '' THEN 14695981039346656037::HUGEINT ELSE " +
+      s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(string_split(($w), ''), ch -> ord(ch)::HUGEINT)), " +
+      s"(h, c) -> $body) END)"
+  }
+
+  // ---- minhash permutation family: regenerate HashA/HashB from the
+  // same splitmix64 seeds as TextKernels (shared constants, can't drift
+  // silently — OracleConstantsSpec pins them against the kernel arrays)
+
+  private[graft] def splitmixLong(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val hashA = Array.tabulate(32)(j => splitmixLong(2L * j) & 0x3fffffffL | 1L)
+  private val hashB = Array.tabulate(32)(j => splitmixLong(2L * j + 1) & 0xffffffffL)
+  private val aLit = hashA.mkString("[", ",", "]::BIGINT[]")
+  private val bLit = hashB.mkString("[", ",", "]::BIGINT[]")
+  private val pow2Lit = // 2^0..2^63 as unsigned HUGEINT
+    (0 until 64).map(b => java.math.BigInteger.ONE.shiftLeft(b)).mkString("[", ",", "]::HUGEINT[]")
+
+  /** CTE chain `<p>docs → <p>wf → <p>tri → … → <p>exploded` computing
+    * per-doc 32-component minhash signatures and the 8 LSH band rows
+    * (band, bkey = raw 4-component slice) for `docsSql(doc_id, text)`.
+    */
+  private def minhashCtes(p: String, docsSql: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"""${p}docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM ($docsSql))"""
+    parts += s"""${p}wf AS (
+  SELECT doc_id, u.i AS i, ${fnv("u.w")} AS f, nw
+  FROM (SELECT doc_id, nw, unnest(list_transform(ws, (w, i) -> {'w': w, 'i': i})) AS u
+        FROM ${p}docs WHERE nw >= 3))"""
+    parts += s"""${p}tri AS (
+  SELECT a.doc_id, a.i, a.f AS f1, b.f AS f2, c.f AS f3
+  FROM ${p}wf a
+  JOIN ${p}wf b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN ${p}wf c ON c.doc_id = a.doc_id AND c.i = a.i + 2)"""
+    // sh = sm(f1 ^ sm(f2 ^ sm(f3))) — TextKernels.minhashSig's 3-word
+    // shingle chain, stepped through 12 columnar CTEs
+    val (s1, l1) = smSteps(s"${p}tri", "f3", s"${p}s1", "m1", "doc_id, i, f1, f2")
+    parts += s1
+    val (s2, l2) = smSteps(l1, xor64("f2", "m1"), s"${p}s2", "m2", "doc_id, i, f1")
+    parts += s2
+    val (s3, l3) = smSteps(l2, xor64("f1", "m2"), s"${p}s3", "sh", "doc_id, i")
+    parts += s3
+    parts += s"""${p}shrow AS (
+  SELECT doc_id, sh FROM $l3
+  UNION ALL
+  SELECT doc_id, ${smExpr(fnv("text"))} AS sh FROM ${p}docs WHERE nw < 3)"""
+    parts += s"""${p}hp AS (
+  SELECT j, ($aLit)[j] AS ha, ($bLit)[j] AS hb FROM generate_series(1, 32) AS g(j))"""
+    parts += s"""${p}sigv AS (
+  SELECT doc_id, j, min(ha * ((sh % 4294967296::HUGEINT))::BIGINT + hb) AS v
+  FROM ${p}shrow CROSS JOIN ${p}hp GROUP BY doc_id, j)"""
+    parts += s"""${p}sig AS (
+  SELECT doc_id, list(v ORDER BY j) AS sigs FROM ${p}sigv GROUP BY doc_id)"""
+    parts += s"""${p}exploded AS (
+  SELECT doc_id, sigs, b AS band, sigs[4*b+1:4*b+4] AS bkey
+  FROM ${p}sig, generate_series(0, 7) AS g(b))"""
+    parts.mkString(",\n")
+  }
+
+  /** matched-signature-component estimate for a pair aliased a/b */
+  private val est32 = "list_sum(list_transform(generate_series(1, 32), " +
+    "k -> CASE WHEN a.sigs[k] = b.sigs[k] THEN 1 ELSE 0 END)) / 32.0"
+
+  /** `<p>capped → <p>cand → <p>shset → <p>verified`: the 256-cap, the
+    * within-bucket pair join, and the exact shingle-set Jaccard verify.
+    */
+  private def pairCtes(p: String): String = s"""
+${p}capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM ${p}exploded)
+  WHERE bn <= 256
+), ${p}cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $est32 AS est_jaccard
+  FROM ${p}capped a JOIN ${p}capped b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), ${p}shset AS (
+  SELECT doc_id,
+         CASE WHEN nw < 3 THEN [coalesce(text, '')]
+              ELSE list_distinct(list_transform(generate_series(1, nw - 2),
+                     i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]))
+         END AS shset
+  FROM ${p}docs
+), ${p}verified AS (
+  SELECT id1, id2, est_jaccard, jaccard FROM (
+    SELECT id1, id2, est_jaccard,
+           len(list_intersect(s1.shset, s2.shset))::DOUBLE
+             / len(list_distinct(list_concat(s1.shset, s2.shset))) AS jaccard
+    FROM ${p}cand
+    JOIN ${p}shset s1 ON s1.doc_id = id1
+    JOIN ${p}shset s2 ON s2.doc_id = id2)
+  WHERE jaccard >= 0.5
+)"""
+
+  private val allDocs = "SELECT doc_id, text FROM documents"
+
+  /** q_dedup_minhash: the full LSH candidates→verify pipeline. */
+  val dedupMinhash: String =
+    "WITH " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """
+SELECT id1, id2, est_jaccard, jaccard FROM mh_verified ORDER BY id1, id2"""
+
+  /** q_dedup_clusters: transitive closure (min-label connected
+    * components) over the verified pair set, as a recursive CTE.
+    */
+  val dedupClusters: String =
+    "WITH RECURSIVE " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """,
+cc_edges AS (
+  SELECT id1 AS a, id2 AS b FROM mh_verified
+  UNION SELECT id2, id1 FROM mh_verified
+), cc_reach AS (
+  SELECT doc_id AS id, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS id, r.label FROM cc_reach r JOIN cc_edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster, min(label) = id AS keep
+FROM cc_reach GROUP BY id ORDER BY doc_id"""
+
+  /** q_dedup_bucket_stats: the LSH bucket-size distribution summary. */
+  val dedupBucketStats: String =
+    "WITH " + minhashCtes("mh_", allDocs) + """,
+bs AS (SELECT band, bkey, count(*)::BIGINT AS n FROM mh_exploded GROUP BY band, bkey)
+SELECT count(*)::BIGINT AS buckets,
+       max(n) AS max_bucket,
+       sum(CASE WHEN n > 1 THEN n * (n - 1) / 2 ELSE 0 END)::DOUBLE AS candidate_pairs,
+       count(CASE WHEN n > 256 THEN 1 END)::BIGINT AS dropped_buckets,
+       coalesce(sum(CASE WHEN n > 256 THEN n END), 0)::BIGINT AS dropped_doc_slots
+FROM bs"""
+
+  /** q_contamination_fuzzy: train×eval band-bucket meet with the
+    * planted canary (smallest train doc re-entered as eval id −1) and
+    * the cap on the train side only, est ≥ 0.5 — mirrors
+    * `Llm.contaminationFuzzy` stage for stage.
+    */
+  val contaminationFuzzy: String = {
+    val trainDocs = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    val evalDocs = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
+      "UNION ALL SELECT -1::BIGINT AS doc_id, text FROM " +
+      "(SELECT text FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 1)"
+    "WITH " + minhashCtes("ct_", trainDocs) + ",\n" + minhashCtes("ce_", evalDocs) + s""",
+ct_capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM ct_exploded)
+  WHERE bn <= 256
+)
+SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id, $est32 AS est_jaccard
+FROM ct_capped a JOIN ce_exploded b ON a.band = b.band AND a.bkey = b.bkey
+WHERE $est32 >= 0.5
+ORDER BY train_id, eval_id"""
+  }
+
+  /** q_dedup_simhash: per-bit ±1 votes over splitmix-mixed FNV word
+    * hashes, packed to a signed 64-bit signature, then the bucketed lag
+    * window and Hamming distance.
+    */
+  val dedupSimhash: String = {
+    val (smS, smLast) = smSteps("sx_wf", "f", "sx_s1", "h", "doc_id")
+    s"""WITH sx_docs AS (
+  SELECT doc_id, text FROM documents),
+sx_wf AS (
+  SELECT doc_id, ${fnv("w")} AS f
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sx_docs)),
+$smS,
+sx_votes AS (
+  SELECT doc_id, b,
+         sum(((h // ($pow2Lit)[b+1]) % 2::HUGEINT)::BIGINT) AS ones,
+         count(*) AS n
+  FROM $smLast, generate_series(0, 63) AS g(b)
+  GROUP BY doc_id, b),
+sx_sig AS (
+  SELECT doc_id,
+         ${sgn("sum(CASE WHEN 2 * ones > n THEN (" + pow2Lit + ")[b+1] ELSE 0::HUGEINT END)")} AS simhash
+  FROM sx_votes GROUP BY doc_id)
+SELECT doc_id, simhash,
+       CASE WHEN prev IS NOT NULL THEN bit_count(xor(simhash, prev))::INTEGER END AS hamming_prev
+FROM (SELECT doc_id, simhash,
+             lag(simhash) OVER (PARTITION BY doc_id // 10000 ORDER BY doc_id) AS prev
+      FROM sx_sig)
+ORDER BY doc_id"""
+  }
+
+  /** q_winnow: per-word FNV, 5-gram splitmix chains, SIGNED window-of-4
+    * minima, first-occurrence dedup (order-insensitive here: the gate
+    * surfaces count/min/max/sorted-CSV digest).
+    */
+  val winnow: String = {
+    val gramBody = smExpr(xor64("h", "f"))
+    s"""WITH w1 AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> ${fnv("w")}) AS wh,
+         text
+  FROM documents
+), g1 AS (
+  SELECT doc_id,
+         CASE WHEN len(wh) < 5
+              THEN [${sgn(smExpr(fnv("text")))}]
+              ELSE list_transform(
+                     list_transform(generate_series(1, len(wh) - 4),
+                       i -> list_reduce(list_prepend(0::HUGEINT, wh[i:i+4]),
+                              (h, f) -> $gramBody)),
+                     u -> ${sgn("u")})
+         END AS grams,
+         len(wh) AS nw
+  FROM w1
+), f1 AS (
+  SELECT doc_id,
+         CASE WHEN nw < 5 THEN grams
+              ELSE list_distinct(list_transform(
+                     generate_series(1, greatest(1, len(grams) - 3)),
+                     w -> list_min(grams[w:w+3])))
+         END AS fps
+  FROM g1
+)
+SELECT doc_id,
+       len(fps)::BIGINT AS n_fp,
+       list_min(fps) AS fp_min,
+       list_max(fps) AS fp_max,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM f1 ORDER BY doc_id"""
+  }
+
+  /** q_pack_sequences: the per-source greedy first-fit fold as a
+    * recursive CTE advancing every source in lockstep (one row per
+    * source per step; DuckDB's UNION ALL recursion carries the
+    * (bin_id, used) state exactly as the mapPartitions fold does).
+    */
+  val packSequences: String = """WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
+              THEN t.n_tokens ELSE w.used + t.n_tokens END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id FROM walk ORDER BY doc_id"""
+}

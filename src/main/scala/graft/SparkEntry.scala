@@ -104,6 +104,7 @@ object SparkEntry {
     "q_share_of_total" -> (Relational.q_share_of_total _),
     "q_word_pmi" -> (Llm.q_word_pmi _),
     "q_window_median" -> (Relational.q_window_median _),
+    "q_window_median_wide" -> (Relational.q_window_median_wide _),
     "q_ccnet_buckets" -> (Llm.q_ccnet_buckets _),
     "q_window_distinct" -> (Relational.q_window_distinct _),
     "q_abc_class" -> (Relational.q_abc_class _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_percent_change" -> (Relational.q_percent_change _),
     "q_funnel_latency" -> (Relational.q_funnel_latency _),
     "q_null_profile" -> (Relational.q_null_profile _),
+    "q_null_profile_approx" -> (Relational.q_null_profile_approx _),
     "q_k_anon" -> (Relational.q_k_anon _),
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
@@ -330,6 +332,16 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(5),
+    // hash-kernel gates: FNV-1a/splitmix64/minhash/LSH replicated in
+    // DuckDB HUGEINT arithmetic (OracleSql scaladoc) — the former
+    // "rows-only by design" class, now hash-exact
+    "q_winnow" -> OracleSql.winnow,
+    "q_pack_sequences" -> OracleSql.packSequences,
+    "q_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q_dedup_clusters" -> OracleSql.dedupClusters,
+    "q_dedup_bucket_stats" -> OracleSql.dedupBucketStats,
+    "q_contamination_fuzzy" -> OracleSql.contaminationFuzzy,
+    "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_project_cast" ->
       """SELECT p_partkey, p_name AS part_name,
         |  round(p_retailprice + 1e-9, 2) AS price_r,
@@ -990,6 +1002,14 @@ object SparkEntry {
       """SELECT event_id, user_id, value,
         |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
         |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 1e-9, 4) AS med7
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the t-digest runs in its exact (pre-compression) regime at this
+    // frame width, so the plain interpolated-median oracle is hash-exact
+    "q_window_median_wide" ->
+      """SELECT event_id, user_id, value,
+        |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING) + 1e-9, 4) AS med101
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_ccnet_buckets" ->

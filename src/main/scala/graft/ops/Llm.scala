@@ -133,9 +133,10 @@ object Llm {
     * exact shingle-set Jaccard ≥ 0.5 (candidates→verify, the standard
     * at-scale near-dup pipeline — the est-only variant keeps the upper
     * tail of the estimator and measures 0.21 precision, see
-    * [[minhashPairs]]). No DuckDB oracle (hash-dependent candidate
-    * set); OpsSpec gates recall ≥ 0.8 AND precision 1.0 vs exact
-    * ground truth.
+    * [[minhashPairs]]). Hash-exact DuckDB oracle: the full
+    * shingle→minhash→band→cap→pair→verify pipeline is replicated in
+    * HUGEINT SQL ([[graft.OracleSql.dedupMinhash]]); OpsSpec additionally
+    * gates recall ≥ 0.8 AND precision 1.0 vs exact ground truth.
     */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(documents(s, d), threshold = 0.5)
@@ -313,7 +314,8 @@ object Llm {
     * how many buckets (and candidate docs) the `maxBucket` cap dropped.
     * This is the "dropped-bucket metric" a production dedup run logs
     * next to its output; it reuses the bucket aggregation's fixed-size
-    * buffers (count/max/sum), so it is safe at any skew.
+    * buffers (count/max/sum), so it is safe at any skew. Hash-exact
+    * DuckDB oracle ([[graft.OracleSql.dedupBucketStats]]).
     */
   def minhashBucketStats(docs: DataFrame,
                          maxBucket: Int = DefaultMaxBucket): DataFrame =
@@ -329,8 +331,10 @@ object Llm {
   /** End-to-end near-dup resolution: minhash candidate pairs → connected
     * components → canonical doc per cluster (min doc_id). This is the
     * full dedup pipeline a training-data run executes: `keep = false`
-    * rows are the near-duplicates to drop. No oracle (hash-dependent);
-    * clustering invariants in OpsSpec.
+    * rows are the near-duplicates to drop. Hash-exact DuckDB oracle:
+    * recursive-CTE transitive closure over the SQL-replicated verified
+    * pair set ([[graft.OracleSql.dedupClusters]]); clustering invariants
+    * in OpsSpec.
     */
   def q_dedup_clusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -351,7 +355,8 @@ object Llm {
     * funnels every row through one task and dies at scale. The first doc
     * of each bucket gets a null prev (1-in-10k boundary loss,
     * documented trade for full parallelism).
-    * No oracle (DuckDB has no equivalent hash); driver rows-only check.
+    * Hash-exact DuckDB oracle: the FNV/splitmix vote kernel is
+    * replicated in HUGEINT SQL ([[graft.OracleSql.dedupSimhash]]).
     */
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id") / 10000 cast "long").orderBy("doc_id")
@@ -659,6 +664,9 @@ object Llm {
     * is surfaced as scalars (count, min/max, digest of the canonical
     * CSV) — the driver's pandas compare can't hash array cells
     * (round-1 gate error). The digest pins the exact multiset.
+    * Hash-exact DuckDB oracle: the FNV/splitmix k-gram chain and the
+    * SIGNED window minima are replicated in HUGEINT SQL
+    * ([[graft.OracleSql.winnow]]).
     */
   def q_winnow(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(documents(s, d))
@@ -1786,9 +1794,10 @@ object Llm {
     * bucket|, never train × eval — with the same spillable-window bucket
     * cap as [[minhashPairs]] guarding degenerate buckets on the large
     * (train) side. The eval side is benchmark-sized at 100 TB, so AQE
-    * broadcasts its exploded bands; train bytes never shuffle twice. No
-    * oracle (hash-dependent); OpsSpec plants a paraphrased eval doc and
-    * asserts it is caught and that unrelated docs are not.
+    * broadcasts its exploded bands; train bytes never shuffle twice.
+    * Hash-exact DuckDB oracle ([[graft.OracleSql.contaminationFuzzy]]);
+    * OpsSpec plants a paraphrased eval doc and asserts it is caught and
+    * that unrelated docs are not.
     */
   def q_contamination_fuzzy(s: SparkSession, d: String): DataFrame = {
     val train = documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -2377,8 +2386,9 @@ object Llm {
     * and the output is one row per document tagged with its (source,
     * bin) — so at 100 TB each executor packs its own sources with zero
     * coordination. Oversized documents get a bin of their own (never
-    * split, never dropped). No oracle (stateful sequential fold is not
-    * SQL-expressible); invariants in OpsSpec.
+    * split, never dropped). Hash-exact DuckDB oracle: the per-source
+    * fold runs as a recursive CTE advancing all sources in lockstep
+    * ([[graft.OracleSql.packSequences]]); invariants in OpsSpec.
     */
   private val PackBudget = 256L
 

@@ -2340,6 +2340,37 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** [[q_null_profile]]'s 100 TB form: the same catalog report with the
+    * exact `countDistinct`s (the cost center its own doc names — each
+    * exact distinct is a per-column shuffle-wide dedup) swapped for
+    * `approx_count_distinct` HLL sketches. ONE aggregation pass, all
+    * columns' sketches in fixed-size buffers, map-side combined — no
+    * per-column distinct expansion at all. Report shape unchanged.
+    * Rows-only gate (HLL estimates are engine-specific); the relative
+    * error bound vs the exact profile is asserted in OpsSpec.
+    */
+  def q_null_profile_approx(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_et"),
+        approx_count_distinct(col("event_type"), 0.02).as("nd_et"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_uid"),
+        approx_count_distinct(col("user_id"), 0.02).as("nd_uid"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_val"),
+        approx_count_distinct(col("value"), 0.02).as("nd_val"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        approx_count_distinct(col("props"), 0.02).as("nd_props"))
+      .select(col("n"), expr(
+        """stack(4,
+          |  'event_type', null_et, nd_et,
+          |  'props', null_props, nd_props,
+          |  'user_id', null_uid, nd_uid,
+          |  'value', null_val, nd_val) AS (column_name, n_null, n_distinct)""".stripMargin))
+      .select("column_name", "n", "n_null", "n_distinct")
+      .orderBy("column_name")
+  }
+
   /** Period-over-period growth (month-over-month revenue %): the fact
     * collapses ONCE to the month level (DECIMAL revenue), then lag +
     * ratio run over the dimension-sized month axis — the single-
@@ -2563,6 +2594,26 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("value"))
       .withColumn("med7",
         round(percentile(col("value"), lit(0.5)).over(w) + lit(1e-9), 4))
+      .orderBy("event_id")
+  }
+
+  /** Wide-frame rolling median (±50) through the t-digest aggregator —
+    * the scale path [[q_window_median]]'s scaladoc names: the exact
+    * `percentile` window buffers the whole frame per output row, while
+    * [[Udafs.TDigestMedian]] carries a bounded centroid set at ANY frame
+    * width (and merges, so the same sketch serves partial aggregation
+    * and persistence). At this gate's frame (101 rows < first
+    * compression) the digest is in its exact regime, so the query is
+    * hash-exact against DuckDB's windowed `quantile_cont`; the
+    * compressed approx regime is rank-error-gated in UdafsSpec.
+    */
+  def q_window_median_wide(s: SparkSession, d: String): DataFrame = {
+    val td = udaf(new Udafs.TDigestMedian(200))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-50, 50)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("med101", round(td(col("value")).over(w) + lit(1e-9), 4))
       .orderBy("event_id")
   }
 

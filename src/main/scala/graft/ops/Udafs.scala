@@ -94,6 +94,121 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
   }
 
+  case class TDigestBuf(var means: Array[Double], var weights: Array[Long])
+
+  /** Merging t-digest (Dunning & Ertl) as a typed Aggregator — the
+    * wide-frame scale path `q_window_median`'s scaladoc names: an exact
+    * rolling median buffers the whole frame per row, while the digest
+    * carries ≤ ~δ centroids regardless of frame width, and merges
+    * associatively (partial aggregation / sketch persistence both work).
+    *
+    * Two regimes, both load-bearing:
+    *  - EXACT below first compression: up to `MaxBuffer` points every
+    *    input is its own singleton centroid and `finish` computes the
+    *    standard interpolated median (percentile_cont semantics,
+    *    bit-identical to Spark's `percentile` and DuckDB's windowed
+    *    `median`) — so the ±50-frame gate query is hash-exact against a
+    *    plain SQL oracle.
+    *  - APPROX beyond: the merging pass bounds centroid count via the
+    *    k1 scale function (clusters sized ∝ q(1-q), tight at the tails);
+    *    UdafsSpec gates the rank error on a 20k-point adversarial mix.
+    *
+    * Compression sorts by mean and merges adjacent clusters greedily —
+    * one O(m log m) pass per `MaxBuffer` inputs, amortized O(log m) per
+    * point. The buffer encodes as two flat arrays (no per-centroid
+    * object rows on the shuffle).
+    */
+  class TDigestMedian(delta: Int) extends Aggregator[Double, TDigestBuf, Double] {
+    private val MaxBuffer = 4 * delta
+
+    override def zero: TDigestBuf = TDigestBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+    override def reduce(b: TDigestBuf, x: Double): TDigestBuf = {
+      val n = b.means.length
+      val m = java.util.Arrays.copyOf(b.means, n + 1)
+      val w = java.util.Arrays.copyOf(b.weights, n + 1)
+      m(n) = x; w(n) = 1L
+      b.means = m; b.weights = w
+      if (b.means.length > MaxBuffer) compress(b) else b
+    }
+
+    override def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = {
+      if (a.means.isEmpty) return b
+      if (b.means.isEmpty) return a
+      val m = new Array[Double](a.means.length + b.means.length)
+      val w = new Array[Long](m.length)
+      System.arraycopy(a.means, 0, m, 0, a.means.length)
+      System.arraycopy(b.means, 0, m, a.means.length, b.means.length)
+      System.arraycopy(a.weights, 0, w, 0, a.weights.length)
+      System.arraycopy(b.weights, 0, w, a.weights.length, b.weights.length)
+      val out = TDigestBuf(m, w)
+      if (out.means.length > MaxBuffer) compress(out) else out
+    }
+
+    /** k1 scale: max cluster weight at quantile q is
+      * 4·N·q(1−q)/δ — the classic bound keeping tails singleton-ish.
+      */
+    private def compress(b: TDigestBuf): TDigestBuf = {
+      val idx = b.means.indices.sortBy(b.means)
+      val total = b.weights.sum
+      val ms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ws = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var curSum = 0.0; var curW = 0L; var cumBefore = 0L
+      idx.foreach { i =>
+        val wi = b.weights(i)
+        val qMid = (cumBefore + curW + wi / 2.0) / total
+        val cap = math.max(1.0, 4.0 * total * qMid * (1.0 - qMid) / delta)
+        if (curW > 0 && curW + wi > cap) {
+          ms += curSum / curW; ws += curW
+          cumBefore += curW; curSum = 0.0; curW = 0L
+        }
+        curSum += b.means(i) * wi; curW += wi
+      }
+      if (curW > 0) { ms += curSum / curW; ws += curW }
+      b.means = ms.toArray; b.weights = ws.toArray
+      b
+    }
+
+    override def finish(b: TDigestBuf): Double = {
+      if (b.means.isEmpty) return Double.NaN
+      val idx = b.means.indices.sortBy(b.means).toArray
+      val allSingleton = b.weights.forall(_ == 1L)
+      if (allSingleton) {
+        // exact regime: standard percentile_cont(0.5) interpolation
+        val n = b.means.length
+        val r = 0.5 * (n - 1)
+        val lo = r.toInt; val hi = math.min(lo + 1, n - 1)
+        val frac = r - lo
+        val a = b.means(idx(lo)); val c = b.means(idx(hi))
+        a + frac * (c - a)
+      } else {
+        // centroid interpolation: piecewise linear between adjacent
+        // centroid means at their cumulative-weight midpoints
+        val total = b.weights.sum.toDouble
+        val target = 0.5 * total
+        var cum = 0.0
+        var k = 0
+        while (k < idx.length) {
+          val i = idx(k)
+          val mid = cum + b.weights(i) / 2.0
+          if (mid >= target) {
+            if (k == 0) return b.means(i)
+            val j = idx(k - 1)
+            val prevMid = cum - b.weights(j) / 2.0
+            val frac = (target - prevMid) / (mid - prevMid)
+            return b.means(j) + frac * (b.means(i) - b.means(j))
+          }
+          cum += b.weights(i)
+          k += 1
+        }
+        b.means(idx.last)
+      }
+    }
+
+    override def bufferEncoder: Encoder[TDigestBuf] = Encoders.product[TDigestBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   def q_udaf_custom(s: SparkSession, d: String): DataFrame = {
     val geoMean = udaf(GeometricMean)
     orders(s, d)

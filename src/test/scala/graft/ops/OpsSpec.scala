@@ -1750,4 +1750,20 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(rows(id)._2 - flesch(t)) < 5e-4, s"doc $id: ${rows(id)._2} vs ${flesch(t)}")
     }
   }
+
+  test("q_null_profile_approx: same report shape, HLL distincts within the configured rsd") {
+    val exact = Relational.q_null_profile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Relational.q_null_profile_approx(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (colName, (n, nNull, ndExact)) =>
+      val (nA, nNullA, ndApprox) = approx(colName)
+      assert(nA == n && nNullA == nNull, s"$colName: exact columns must agree")
+      // 2% rsd HLL: allow 5 sigma (10%) + small-cardinality slack
+      val tol = math.max(0.10 * ndExact, 4.0)
+      assert(math.abs(ndApprox - ndExact) <= tol,
+        s"$colName: approx $ndApprox vs exact $ndExact (tol $tol)")
+    }
+  }
 }
