@@ -321,6 +321,83 @@ SELECT doc_id,
 FROM f1 ORDER BY doc_id"""
   }
 
+  // ---- embedding kernels: the hyperplane-LSH and int8-quantization
+  // gates are deterministic DOUBLE arithmetic with pinned evaluation
+  // order, so they follow the q_sim_topk convention (left-to-right
+  // list_reduce dots — bit-identical to the codegen kernels)
+
+  /** left-to-right dot product / L2 norm — the established order-exact
+    * device (see the q_sim_topk oracle + DotProduct scaladoc).
+    */
+  private def dotLR(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def normLR(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+
+  /** The 12×64 hyperplane matrix as its INTEGER pre-image (floorMod of
+    * splitmix64, component = (k−1000)/1000.0 — an exact integer ratio,
+    * so both engines derive the identical IEEE double). Pinned against
+    * `VecKernels.PlanesFlat` in OracleSqlSpec.
+    */
+  private val planeInts: Array[Long] =
+    Array.tabulate(12 * 64)(i => Math.floorMod(splitmixLong(i.toLong), 2001L))
+  private val planeLit = planeInts.mkString("[", ",", "]::BIGINT[]")
+
+  /** q_dedup_embed: 12-bit hyperplane signature → bucket cap → pair
+    * join → exact cosine ≥ 0.95, with the planted canary (copy of the
+    * smallest vec_id as −1). The plane matrix is hoisted into a
+    * single-row CTE — inlining the 768-element literal into the lambda
+    * re-built it per element evaluation (measured 35 s → 0.4 s).
+    */
+  val dedupEmbed: String = {
+    val planedot = "list_reduce(list_transform(range(1, least(64, len(e)) + 1), " +
+      "c -> e[c] * pm[j * 64 + c]), (x, y) -> x + y)"
+    s"""WITH pl AS (SELECT list_transform($planeLit, k -> (k - 1000)::DOUBLE / 1000.0) AS pm),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+allv AS (SELECT * FROM base
+         UNION ALL SELECT -1::BIGINT AS vec_id, e FROM (SELECT e FROM base ORDER BY vec_id LIMIT 1)),
+sigv AS (
+  SELECT vec_id, e,
+         list_sum(list_transform(range(0, 12),
+           j -> CASE WHEN $planedot > 0 THEN 1 << j ELSE 0 END))::BIGINT AS sig
+  FROM allv, pl),
+capped AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY sig) AS bn FROM sigv)
+  WHERE bn <= 256)
+SELECT id1, id2, cos FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(${dotLR("a.e", "b.e")} / (${normLR("a.e")} * ${normLR("b.e")}), 6) AS cos
+  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+WHERE cos >= 0.95 ORDER BY id1, id2"""
+  }
+
+  /** q_sim_quantized: int8 symmetric quantization (scale = max|x|/127,
+    * round-half-away — both engines' `round` on doubles) + the
+    * broadcast-query top-k shape of the q_sim_topk oracle with the
+    * quantized dot and exact stored norms.
+    */
+  val simQuantized: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS q_scale,
+         ${normLR("e")} AS q_norm, e
+  FROM base),
+quant AS (
+  SELECT vec_id, q_scale, q_norm,
+         list_transform(e, x -> (round(x / q_scale)::TINYINT)::DOUBLE) AS qd
+  FROM qz),
+q AS (SELECT vec_id AS qid, qd AS qa, q_scale AS sa, q_norm AS na FROM quant WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, qd AS qb, q_scale AS sb, q_norm AS nb FROM quant),
+s AS (SELECT qid, cid,
+        round(((sa * sb) * ${dotLR("qa", "qb")}) / (na * nb), 9) AS cos_raw
+      FROM c, q WHERE cid <> qid),
+r AS (SELECT qid, cid, cos_raw,
+        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+      FROM s)
+SELECT qid, CAST(rn AS BIGINT) AS rn, cid, round(cos_raw, 6) AS cos_q
+FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   /** q_pack_sequences: the per-source greedy first-fit fold as a
     * recursive CTE advancing every source in lockstep (one row per
     * source per step; DuckDB's UNION ALL recursion carries the

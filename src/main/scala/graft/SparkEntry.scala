@@ -342,6 +342,8 @@ object SparkEntry {
     "q_dedup_bucket_stats" -> OracleSql.dedupBucketStats,
     "q_contamination_fuzzy" -> OracleSql.contaminationFuzzy,
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
+    "q_dedup_embed" -> OracleSql.dedupEmbed,
+    "q_sim_quantized" -> OracleSql.simQuantized,
     "q_project_cast" ->
       """SELECT p_partkey, p_name AS part_name,
         |  round(p_retailprice + 1e-9, 2) AS price_r,

@@ -502,7 +502,9 @@ object Llm {
   /** Near-duplicate embedding pairs: 12-bit random-hyperplane signature
     * → bucket equi-join → exact cosine ≥ 0.95. The brute-force n² cross
     * join never happens; candidate volume is |bucket|² summed, controlled
-    * by the signature width. No oracle (hash-dependent).
+    * by the signature width. Hash-exact DuckDB oracle: the plane-dot
+    * signs, bucket cap, and exact cosine replicate in order-exact
+    * list_reduce SQL ([[graft.OracleSql.dedupEmbed]]).
     */
   /** Hyperplane-signature REFERENCE implementation — parity target for
     * the native codegen kernel `graft_embsig` used by the production
@@ -793,8 +795,9 @@ object Llm {
     * norms. The int dot runs through the same codegen `graft_dot`
     * kernel (codes cast back to double inside the whole-stage loop —
     * the 4-8× saving is in STORAGE/SHUFFLE bytes, which is what
-    * dominates a 100 TB scan, not flops). No oracle (quantization
-    * rounding isn't portable SQL); OpsSpec asserts recall@5 vs the
+    * dominates a 100 TB scan, not flops). Hash-exact DuckDB oracle
+    * ([[graft.OracleSql.simQuantized]] — round-half-away and the exact
+    * integer codes ARE portable SQL); OpsSpec asserts recall@5 vs the
     * exact baseline and the per-component reconstruction bound.
     */
   def q_sim_quantized(s: SparkSession, d: String): DataFrame = {

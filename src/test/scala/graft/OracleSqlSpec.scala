@@ -24,6 +24,12 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(b.sameElements(graft.functions.TextKernels.HashB))
   }
 
+  test("oracle hyperplane matrix matches VecKernels.PlanesFlat") {
+    val ints = Array.tabulate(12 * 64)(i => Math.floorMod(OracleSql.splitmixLong(i.toLong), 2001L))
+    val doubles = ints.map(k => (k - 1000L) / 1000.0)
+    assert(doubles.sameElements(graft.functions.VecKernels.PlanesFlat))
+  }
+
   test("kernel oracle SQL embeds the pinned constants") {
     // FNV offset basis / prime, and the three splitmix mix constants,
     // in their unsigned-decimal spellings
