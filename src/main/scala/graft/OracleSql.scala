@@ -398,6 +398,90 @@ r AS (SELECT qid, cid, cos_raw,
 SELECT qid, CAST(rn AS BIGINT) AS rn, cid, round(cos_raw, 6) AS cos_q
 FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  // ---- multimodal stub kernels: the STUBBED codec is deterministic
+  // integer/dyadic arithmetic (byte histograms, mean-brightness pools),
+  // so "stub decode isn't SQL" was false — the plumbing gates are
+  // oracle-able end to end. ASCII payloads make byte ops == char ops.
+
+  /** q_mm_frames: fixed-64-byte frame split + SHA-256 digests, pure
+    * string arithmetic in both engines.
+    */
+  val mmFrames: String = """WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(cast(ceil(strlen(text) / 64.0) AS INT) - 1, 0))) AS frame_idx,
+         text
+  FROM documents)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       strlen(substr(text, frame_idx * 64 + 1, 64))::BIGINT AS frame_bytes,
+       sha256(substr(text, frame_idx * 64 + 1, 64)) AS frame_digest,
+       frame_idx % 4 = 0 AS sampled
+FROM f ORDER BY doc_id, frame_idx"""
+
+  /** q_mm_features: the fake decoder's normalized 16-bin byte histogram
+    * + pair-mean resize. The histogram values are exact small rationals;
+    * both engines round the identical doubles (HALF-UP agreement on
+    * exact .5 verified for the dyadic class).
+    */
+  val mmFeatures: String = """WITH base AS (
+  SELECT doc_id, text, strlen(text) AS n,
+         list_transform(string_split(text, ''), ch -> ord(ch) % 16) AS residues
+  FROM documents),
+hist AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, 15),
+           b -> len(list_filter(residues, r -> r = b))::DOUBLE / greatest(n, 1)) AS h
+  FROM base),
+rs AS (
+  SELECT doc_id, n, h,
+         list_transform(generate_series(1, 8), i -> (h[2*i-1] + h[2*i]) / 2.0) AS hr
+  FROM hist)
+SELECT doc_id,
+       array_to_string(list_transform(h, x -> round(x, 6)::VARCHAR), ',') AS features_csv,
+       array_to_string(list_transform(hr, x -> round(x, 6)::VARCHAR), ',') AS resized_csv,
+       n::BIGINT AS n_bytes,
+       'fake-decoder-v1' AS decoder
+FROM rs ORDER BY doc_id"""
+
+  /** q_mm_phash: the 65-segment mean-brightness pool (integer boundary
+    * arithmetic; segment sums are whole numbers, double-exact, so the
+    * dHash comparisons are order-free), the 4×16-bit band buckets with
+    * the 256 cap, and the exact hamming ≤ 3 screen, with the planted
+    * canary.
+    */
+  val mmPhash: String = {
+    val poolSum = "list_sum(list_transform(generate_series((i * n) // 65 + 1, " +
+      "least(greatest((i * n) // 65 + 1, ((i + 1) * n) // 65), n)), j -> ord(text[j])::DOUBLE))"
+    val poolDen = "(least(greatest((i * n) // 65 + 1, ((i + 1) * n) // 65), n) - (i * n) // 65)"
+    val phashU = s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> CASE WHEN p[i] > p[i+1] THEN ($pow2Lit)[i] ELSE 0::HUGEINT END))"
+    s"""WITH base AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents),
+pool AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 64), i ->
+           CASE WHEN n = 0 THEN 0.0 ELSE $poolSum / $poolDen END) AS p
+  FROM base),
+ph AS (
+  SELECT doc_id, ${sgn(phashU)} AS phash FROM pool),
+allp AS (
+  SELECT * FROM ph
+  UNION ALL SELECT -1::BIGINT, phash FROM (SELECT phash FROM ph ORDER BY doc_id LIMIT 1)),
+banded AS (
+  SELECT doc_id, phash, b AS band,
+         ((CASE WHEN phash < 0 THEN phash::HUGEINT + $U64 ELSE phash::HUGEINT END)
+            // ($pow2Lit)[b * 16 + 1]) % 65536::HUGEINT AS bkey
+  FROM allp, generate_series(0, 3) AS g(b)),
+capped AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM banded)
+  WHERE bn <= 256)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id1, id2"""
+  }
+
   /** q_pack_sequences: the per-source greedy first-fit fold as a
     * recursive CTE advancing every source in lockstep (one row per
     * source per step; DuckDB's UNION ALL recursion carries the

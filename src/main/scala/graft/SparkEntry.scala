@@ -344,6 +344,9 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_embed" -> OracleSql.dedupEmbed,
     "q_sim_quantized" -> OracleSql.simQuantized,
+    "q_mm_frames" -> OracleSql.mmFrames,
+    "q_mm_features" -> OracleSql.mmFeatures,
+    "q_mm_phash" -> OracleSql.mmPhash,
     "q_project_cast" ->
       """SELECT p_partkey, p_name AS part_name,
         |  round(p_retailprice + 1e-9, 2) AS price_r,
