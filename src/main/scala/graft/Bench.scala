@@ -178,7 +178,7 @@ object Bench {
           if (ts.length < 8) 1.0 // too few partitions for a meaningful ratio
           else pct(ts, 0.95).toDouble / math.max(pct(ts, 0.50), 1L)
         }
-      (name, median, skew)
+      (name, median, skew, lastErr)
     }
 
     // Millisecond precision keeps the whole line compact (~2.5KB for 100+
@@ -191,17 +191,32 @@ object Bench {
     // failed queries (median sentinel -1) are EXCLUDED from queries/total
     // and listed under "errors" — a crash must never read as a fast run
     val (bad, good) = results.partition(_._2 < 0)
-    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val offenders = good.filter(_._3 > 2.0)
-    val skewJson = offenders.map { case (k, _, s) => "\"" + k + "\":" + r1(s) }
+    val skewJson = offenders.map { case (k, _, s, _) => "\"" + k + "\":" + r1(s) }
       .mkString("{", ",", "}")
     val maxSkew = if (good.isEmpty) 1.0 else good.map(_._3).max
     val total = good.map(_._2).sum
     val profJson = if (profName.isEmpty) "" else s""","profile":"$profName""""
     val errJson = if (bad.isEmpty) ""
       else bad.map("\"" + _._1 + "\"").mkString(""","errors":[""", ",", "]")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson$errJson}"""
+    // the failure MESSAGE rides the JSON line too — a run whose stderr
+    // was discarded (the round-8 sf100 semantic run) must never leave
+    // an opaque "errors":[...] with nothing to disposition
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errMsgJson = {
+      val withMsg = bad.flatMap { case (k, _, _, m) => m.map(k -> _) }
+      if (withMsg.isEmpty) ""
+      else withMsg.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
+        .mkString(""","error_msgs":{""", ",", "}")
+    }
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
     println(line)
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)

@@ -101,6 +101,19 @@ object OracleSql {
       s"(h, c) -> $body) END)"
   }
 
+  /** Java `String.split(" ")` of a VARCHAR expr, as TextKernels
+    * .tokenHashes implements it (its documented contract): trailing
+    * empty tokens DROPPED, `''` → `['']`, all-spaces → `[]`, NULL
+    * treated as `''`. DuckDB's bare `string_split(t, ' ')` keeps
+    * trailing empties and nulls through — on a corpus with trailing
+    * spaces or NULL text the kernel-replica oracles would report false
+    * mismatches (round-8 ADVICE; fixtures were verified clean, this
+    * closes the latent class).
+    */
+  private def javaSplit(t: String): String =
+    s"(CASE WHEN regexp_matches(coalesce($t, ''), '^ +$$') THEN []::VARCHAR[] " +
+      s"ELSE string_split(regexp_replace(coalesce($t, ''), ' +$$', ''), ' ') END)"
+
   // ---- minhash permutation family: regenerate HashA/HashB from the
   // same splitmix64 seeds as TextKernels (shared constants, can't drift
   // silently — OracleConstantsSpec pins them against the kernel arrays)
@@ -125,7 +138,8 @@ object OracleSql {
   private def minhashCtes(p: String, docsSql: String): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += s"""${p}docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  SELECT doc_id, coalesce(text, '') AS text, ${javaSplit("text")} AS ws,
+         len(${javaSplit("text")}) AS nw
   FROM ($docsSql))"""
     parts += s"""${p}wf AS (
   SELECT doc_id, u.i AS i, ${fnv("u.w")} AS f, nw
@@ -261,7 +275,8 @@ ORDER BY train_id, eval_id"""
   SELECT doc_id, text FROM documents),
 sx_wf AS (
   SELECT doc_id, ${fnv("w")} AS f
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM sx_docs)),
+  FROM (SELECT doc_id, unnest(${javaSplit("text")}) AS w FROM sx_docs
+        WHERE text IS NOT NULL)),
 $smS,
 sx_votes AS (
   SELECT doc_id, b,
@@ -272,7 +287,12 @@ sx_votes AS (
 sx_sig AS (
   SELECT doc_id,
          ${sgn("sum(CASE WHEN 2 * ones > n THEN (" + pow2Lit + ")[b+1] ELSE 0::HUGEINT END)")} AS simhash
-  FROM sx_votes GROUP BY doc_id)
+  FROM sx_votes GROUP BY doc_id
+  UNION ALL
+  -- kernel: NULL doc casts no votes (sig 0), and an all-space doc has zero
+  -- tokens after the trailing-empty drop, so it votes nothing too
+  SELECT doc_id, 0::BIGINT AS simhash FROM sx_docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM sx_wf))
 SELECT doc_id, simhash,
        CASE WHEN prev IS NOT NULL THEN bit_count(xor(simhash, prev))::INTEGER END AS hamming_prev
 FROM (SELECT doc_id, simhash,
@@ -289,8 +309,8 @@ ORDER BY doc_id"""
     val gramBody = smExpr(xor64("h", "f"))
     s"""WITH w1 AS (
   SELECT doc_id,
-         list_transform(string_split(text, ' '), w -> ${fnv("w")}) AS wh,
-         text
+         list_transform(${javaSplit("text")}, w -> ${fnv("w")}) AS wh,
+         coalesce(text, '') AS text
   FROM documents
 ), g1 AS (
   SELECT doc_id,

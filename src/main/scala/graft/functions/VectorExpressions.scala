@@ -122,9 +122,12 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * Exact HOF parity (the reference formulation stays in the parity
   * spec): positions beyond the shorter array contribute 0 — `zip_with`
   * null-pads and `when(x === y, …)` reads the padded comparison as
-  * false — so the count runs to min(|a|, |b|). NULL array → NULL.
-  * Signature arrays are fixed-length NumHashes in practice; the
-  * min-length rule only preserves the HOF's degenerate-input behavior.
+  * false — so the count runs to min(|a|, |b|). NULL array → NULL, and
+  * a NULL ELEMENT at either position counts as a non-match (`x === y`
+  * is null, `when` reads it false — same as the HOF). The per-element
+  * null checks are emitted ONLY when an input's ArrayType declares
+  * containsNull, so minhash signatures (containsNull=false) keep the
+  * branch-free hot loop.
   */
 case class SigMatch(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -140,13 +143,26 @@ case class SigMatch(left: Expression, right: Expression) extends BinaryExpressio
         s"$prettyName requires two ARRAY<BIGINT> inputs, got ${l.sql}, ${r.sql}")
     }
 
+  /** Whether either input's type admits NULL elements — decided at
+    * plan time, so the containsNull=false hot path (minhash
+    * signatures) emits no per-element null branches.
+    */
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElems
     var c = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    while (i < n) {
+      if (!(checkNulls && (x.isNullAt(i) || y.isNullAt(i))) &&
+          x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
     c
   }
 
@@ -155,11 +171,13 @@ case class SigMatch(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
+      val nullGuard =
+        if (mayHaveNullElems) s"!($a.isNullAt($i) || $b.isNullAt($i)) && " else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -212,6 +212,12 @@ object Llm {
     // A mid-chain Filter(true) breaks whole-plan subtree equality
     // (it survives analysis, where substitution happens) and is folded
     // away by the optimizer — zero runtime cost.
+    // shareCandidates=false exists to keep the storage pool clear for
+    // the caller's own iterative localCheckpoints — so also EVICT any
+    // still-live cache a previous shared run registered (the
+    // Filter(true) plan-identity breaker below stops substitution but
+    // not the old blocks' pool pressure).
+    if (!shareCandidates) unpersistCandidates()
     val exploded0 = minhashExploded(docs)
     val exploded = if (shareCandidates) exploded0 else exploded0.where(lit(true))
     val cand = exploded
@@ -1020,27 +1026,34 @@ object Llm {
     * unusual token distribution = boilerplate/garbled/off-language —
     * the Wenzek et al. 2020 CCNet screen, with the unigram LM standing
     * in for their KenLM since the shape, not the model, is the Spark
-    * part). Shape at 100 TB: one explode in the scan stage, one
-    * map-side-combined vocab agg, one term-keyed join back (the vocab
-    * is Zipf-small — broadcastable or bucketable), one per-doc agg.
+    * part). Shape at 100 TB: one explode in the scan stage collapsed
+    * IMMEDIATELY to (doc_id, term, tf) by a map-side-combined agg —
+    * the raw token-occurrence stream never crosses a shuffle on the
+    * Zipf-skewed term key (sf100 measured 14.9×/decade before this
+    * pre-aggregation; the doc-term matrix is bounded by docs × vocab).
+    * The Zipf-bounded vocab (Heaps-law sublinear) is then BROADCAST so
+    * the per-term log-prob lookup is map-side; the only corpus-sized
+    * shuffle left is the evenly-distributed doc_id agg key.
     *
-    * Determinism: per-token log-probs are rounded to 6 then summed as
-    * DECIMAL, so partial-aggregation order can never change the score
-    * (same contract as `Relational.dsum`).
+    * Determinism: per-term log-probs are rounded to 6 then the exact
+    * per-doc sum is Σ tf·lp in DECIMAL — bit-identical to summing lp
+    * per occurrence, and partial-aggregation order can never change
+    * the score (same contract as `Relational.dsum`).
     */
   def q_quality_perplexity(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = terms.agg(count(lit(1)).as("total"))
-    terms.join(vocab, "term")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = tf.agg(sum("tf").as("total"))
+    tf.join(broadcast(vocab), "term")
       .crossJoin(broadcast(total))
       .withColumn("lp",
         round(log(col("cnt").cast("double") / col("total").cast("double")) + lit(1e-9), 6)
           .cast(DecimalType(18, 6)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lp") * col("tf")).as("slp"))
       .select(col("doc_id"), col("n_tokens"),
         round(-col("slp").cast("double") / col("n_tokens") + lit(1e-9), 6).as("nll"))
       // cutoff sits inside the fixture's nll range (3.38–3.70 at
@@ -1919,19 +1932,26 @@ object Llm {
     * (the full corpus), add-one smoothed. High scores mark documents
     * that look like the target domain — the selection signal for
     * importance resampling of a raw crawl toward a curated domain. The
-    * corpus collapses ONCE to the Zipf-bounded vocabulary (term →
-    * source/target counts); per-term log-ratios are rounded then summed
-    * as DECIMAL (the `dsum` contract) so partial-aggregation order can
-    * never change a score. Final score is per-token (length-normalized).
+    * corpus collapses ONCE to (doc_id, lang, term, tf) inside the scan
+    * stage (map-side partial agg — the raw token-occurrence stream
+    * never shuffles on the Zipf-skewed term key), then the doc-term
+    * matrix rolls up to the Zipf-bounded vocabulary (term →
+    * source/target counts), which is BROADCAST back for a map-side
+    * log-ratio lookup; the only corpus-sized shuffle is the even
+    * doc_id key. Per-term log-ratios are rounded then Σ tf·lr summed
+    * as DECIMAL (the `dsum` contract, bit-identical to per-occurrence
+    * summing) so partial-aggregation order can never change a score.
+    * Final score is per-token (length-normalized).
     */
   def q_dsir_weights(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
-    val vocab = terms
+    val tf = terms.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf
       .groupBy("term")
-      .agg(count(lit(1)).as("cnt_s"),
-        count(when(col("lang") === "en", 1)).as("cnt_t"))
+      .agg(sum("tf").as("cnt_s"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("cnt_t"))
     val totals = vocab.agg(
       sum("cnt_s").as("tot_s"), sum("cnt_t").as("tot_t"),
       count(lit(1)).as("v"))
@@ -1942,10 +1962,9 @@ object Llm {
             log((col("cnt_s") + 1).cast("double") / (col("tot_s") + col("v")).cast("double")) +
             lit(1e-9), 6)
           .cast(DecimalType(18, 6)).as("lr"))
-    terms.join(termLr, "term")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum(col("lr")).as("slr"))
-      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+    tf.join(broadcast(termLr), "term")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_tok"), sum(col("lr") * col("tf")).as("slr"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         // + 0.0 normalizes IEEE −0.0 → +0.0 (a near-zero score can round
         // to signed zero; DuckDB keeps the sign, BigDecimal-based round

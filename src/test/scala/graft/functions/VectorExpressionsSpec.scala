@@ -85,6 +85,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(0))
   }
 
+  test("SigMatch null ELEMENTS count as non-match (HOF parity), both engines") {
+    // containsNull=true arrays: a null at either position is a
+    // non-match (the HOF's when(x === y, …) reads the null comparison
+    // as false) — NOT a getLong()==0 phantom match. Checked through
+    // both the codegen path (DataFrame select) and interpreted eval.
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L, null), Seq[java.lang.Long](1L, null, 9L, 0L)))
+      .toDF("a", "b")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val row = df.select(
+      Vec.sigMatch(col("a"), col("b")).as("nat"),
+      hof(col("a"), col("b")).as("ref")).head()
+    assert(row.getInt(0) == 1)            // only position 0 matches
+    assert(row.getInt(0) == row.getInt(1))
+    // interpreted eval path (no codegen): same answer
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit_a = Literal.create(ArrayData.toArrayData(Array[Any](1L, null, 3L, null)),
+      ArrayType(LongType, containsNull = true))
+    val lit_b = Literal.create(ArrayData.toArrayData(Array[Any](1L, null, 9L, 0L)),
+      ArrayType(LongType, containsNull = true))
+    assert(SigMatch(lit_a, lit_b).eval(null) == 1)
+  }
+
   test("SigMatch runs inside whole-stage codegen (no eval fallback)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val docs = graft.ops.Tables.documents(spark, sf)

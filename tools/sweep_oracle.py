@@ -76,7 +76,11 @@ def main(sf_dir, out_dir, result_path, budget_s, only):
             results[name] = {"status": "oracle_timeout", "seconds": budget_s}
         s = results[name]
         print(f"{s['status']:>14} {name} ({s['seconds']}s)", flush=True)
-        json.dump(results, open(result_path, "w"), indent=0)
+        # checkpoint in the SAME wrapped shape as the final write, with a
+        # partial marker — an interrupted sweep must never leave an
+        # artifact a final-shape consumer would misparse as complete
+        json.dump({"results": results, "partial": True, "budget_s": budget_s,
+                   "sf_dir": sf_dir}, open(result_path, "w"), indent=0)
     by = {}
     for r in results.values():
         by[r["status"]] = by.get(r["status"], 0) + 1
