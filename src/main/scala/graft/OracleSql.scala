@@ -341,6 +341,103 @@ SELECT doc_id,
 FROM f1 ORDER BY doc_id"""
   }
 
+  // ---- BPE: the last deterministic-but-iterative gates. Training
+  // unrolls its fixed merge budget as CTE rounds (the pagerank
+  // playbook); the greedy non-overlapping PER-WORD merge — the part
+  // with no relational form — runs as a string `replace` over a
+  // separator-encoded symbol string: every symbol is wrapped in
+  // chr(31) flanks (`\x1f a \x1f\x1f b \x1f`), so replacing
+  // `\x1f l \x1f\x1f r \x1f` with `\x1f lr \x1f` is EXACTLY the
+  // kernel's left-to-right non-overlapping scan (each symbol owns its
+  // flanks — consuming a match can never eat the next match's
+  // boundary, and replace() scans left-to-right without rescanning
+  // its own output). chr(31) never occurs in the corpus (asserted
+  // ASCII-printable, same contract as the FNV byte/char coincidence).
+  // Each w-round is referenced twice (pair count + merge apply), so
+  // the rounds are AS MATERIALIZED — naive inlining doubles the tree
+  // per round (2^30 by the encode gate's budget).
+
+  /** CTE chain `w0 → (p1, t1, w1) → … → (pN, tN, wN)`: `w{i}` =
+    * distinct-word table (sep-encoded symbol string + count) after i
+    * merges; `t{i}` = round i's winning pair by (freq DESC, l, r) —
+    * the kernel's total tie-break, byte-identical on the ASCII corpus.
+    */
+  private def bpeRounds(n: Int, carryWord: Boolean): String = {
+    val sep = "chr(31)"
+    val ss = s"($sep || $sep)"
+    val wcol = if (carryWord) "w, " else ""
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"""w0 AS MATERIALIZED (
+  SELECT $wcol cnt,
+         ($sep || array_to_string(list_append(string_split(w, ''), '</w>'), $ss) || $sep) AS s
+  FROM (SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w))"""
+    (1 to n).foreach { i =>
+      val prev = s"w${i - 1}"
+      parts += s"""p$i AS (
+  SELECT u.l AS l, u.r AS r, sum(cnt) AS freq
+  FROM (SELECT cnt,
+          unnest(list_transform(range(1, len(sy)), j -> {'l': sy[j], 'r': sy[j+1]})) AS u
+        FROM (SELECT cnt, string_split(substr(s, 2, len(s)-2), $ss) AS sy FROM $prev))
+  GROUP BY u.l, u.r)"""
+      parts += s"""t$i AS (
+  SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1)"""
+      parts += s"""w$i AS MATERIALIZED (
+  SELECT $wcol cnt,
+         replace(s, $sep || t.l || $ss || t.r || $sep, $sep || t.l || t.r || $sep) AS s
+  FROM $prev, t$i AS t)"""
+    }
+    parts.mkString(",\n")
+  }
+
+  /** q_bpe_train: the 10 learned merge rules with rank and corpus
+    * frequency — each round's winner read straight off its t-CTE.
+    */
+  val bpeTrain: String = {
+    val n = 10
+    val union = (1 to n)
+      .map(i => s"SELECT $i AS rank, l, r, freq FROM t$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeRounds(n, carryWord = false)},
+m AS ($union)
+SELECT rank::BIGINT AS rank, l AS "left", r AS "right", l || r AS merged, freq::BIGINT AS freq
+FROM m ORDER BY rank"""
+  }
+
+  /** q_bpe_encode: train 30 merges, then tokenize every document. The
+    * encode side needs NO separate merge-rank loop: replaying trained
+    * merges in order equals lowest-rank-first (a rule's output can
+    * only pair with symbols that exist AFTER its training round — the
+    * bpeEncode scaladoc's equivalence, held by OpsSpec's parity
+    * invariant encode(vocab) == trained word table), and the gate
+    * encodes the same corpus it trained on, so each distinct word's
+    * token array IS its row in the final trained word table (the word
+    * rides the rounds as a carry column).
+    */
+  val bpeEncode: String = {
+    val n = 30
+    val sep = "chr(31)"
+    val ss = s"($sep || $sep)"
+    s"""WITH ${bpeRounds(n, carryWord = true)},
+vocab AS (
+  SELECT w, string_split(substr(s, 2, len(s)-2), $ss) AS toks FROM w$n),
+docw AS (
+  SELECT doc_id, u.i AS pos, u.w AS w
+  FROM (SELECT doc_id,
+          unnest(list_transform(string_split(text, ' '), (w, i) -> {'w': w, 'i': i})) AS u
+        FROM documents)
+  WHERE u.w <> ''),
+agg AS (
+  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tokens
+  FROM docw JOIN vocab USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(len(a.tokens), 0)::BIGINT AS n_tokens,
+       coalesce(array_to_string(a.tokens[1:10], '|'), '') AS head_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+  }
+
   // ---- embedding kernels: the hyperplane-LSH and int8-quantization
   // gates are deterministic DOUBLE arithmetic with pinned evaluation
   // order, so they follow the q_sim_topk convention (left-to-right

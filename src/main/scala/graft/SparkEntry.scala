@@ -344,6 +344,11 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_embed" -> OracleSql.dedupEmbed,
     "q_sim_quantized" -> OracleSql.simQuantized,
+    // BPE: fixed merge budgets unroll as materialized CTE rounds; the
+    // per-word greedy merge is a sep-encoded string replace (OracleSql
+    // scaladoc) — the last deterministic gates that were rows-only
+    "q_bpe_train" -> OracleSql.bpeTrain,
+    "q_bpe_encode" -> OracleSql.bpeEncode,
     "q_mm_frames" -> OracleSql.mmFrames,
     "q_mm_features" -> OracleSql.mmFeatures,
     "q_mm_phash" -> OracleSql.mmPhash,

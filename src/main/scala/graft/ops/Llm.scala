@@ -978,8 +978,9 @@ object Llm {
     * per-doc token count and char-per-token compression. Fully
     * deterministic (training tie-break is total); token arrays are
     * surfaced as a '|'-joined prefix so the driver's pandas hash path
-    * (no list cells) applies. No oracle — iterative tokenization isn't
-    * SQL; OpsSpec holds the parity + round-trip invariants.
+    * (no list cells) applies. Hash-exact oracle: OracleSql.bpeEncode
+    * (unrolled materialized CTE rounds + sep-encoded string replace);
+    * OpsSpec additionally holds the parity + round-trip invariants.
     */
   def q_bpe_encode(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -1006,9 +1007,10 @@ object Llm {
   /** Gate query for [[bpeTrain]]: the first 10 merge rules learned from
     * the documents corpus, with rank and corpus frequency. Exact
     * integer counts + total-order tie-break make the output
-    * deterministic at every SF; no oracle (iterative training isn't
-    * SQL) — OpsSpec verifies the learned rules on a hand-computable
-    * corpus against the published algorithm's trace.
+    * deterministic at every SF. Hash-exact oracle: OracleSql.bpeTrain
+    * (the merge budget unrolled as CTE rounds); OpsSpec additionally
+    * verifies the learned rules on a hand-computable corpus against
+    * the published algorithm's trace.
     */
   def q_bpe_train(s: SparkSession, d: String): DataFrame = {
     val spark = s

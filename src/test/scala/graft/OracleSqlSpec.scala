@@ -40,7 +40,12 @@ class OracleSqlSpec extends AnyFunSuite {
     sqls.foreach { sql => constants.foreach { c => assert(sql.contains(c), s"missing $c") } }
     // every oracle is a single statement (the driver runs one con.sql)
     (sqls ++ Seq(OracleSql.dedupClusters, OracleSql.dedupBucketStats,
-      OracleSql.contaminationFuzzy, OracleSql.packSequences))
+      OracleSql.contaminationFuzzy, OracleSql.packSequences,
+      OracleSql.bpeTrain, OracleSql.bpeEncode))
       .foreach(sql => assert(!sql.contains(";")))
+    // the BPE unrolls carry their full merge budgets (train 10,
+    // encode 30 + the word carry for the vocab join-back)
+    assert(OracleSql.bpeTrain.contains("w10") && !OracleSql.bpeTrain.contains("w11"))
+    assert(OracleSql.bpeEncode.contains("w30") && !OracleSql.bpeEncode.contains("w31"))
   }
 }
