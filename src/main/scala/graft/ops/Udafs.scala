@@ -117,6 +117,17 @@ object Udafs {
     * one O(m log m) pass per `MaxBuffer` inputs, amortized O(log m) per
     * point. The buffer encodes as two flat arrays (no per-centroid
     * object rows on the shuffle).
+    *
+    * COST NOTE, sliding windows: Spark's window exec has no retract
+    * path for Aggregators, so a `rowsBetween` frame RE-ACCUMULATES the
+    * whole frame per output row — O(frame) per row regardless of the
+    * digest's bounded state. The digest's wins on a sliding frame are
+    * memory (≤ ~δ centroids live vs the whole frame buffered by exact
+    * `percentile`) and the merge path (partial aggregation, sketch
+    * persistence, grouped — not windowed — rollups at 100 TB); it is
+    * NOT asymptotically faster per window row. TDigestSpec's
+    * distributed gate measures the compressing regime under exactly
+    * this machinery.
     */
   class TDigestMedian(delta: Int) extends Aggregator[Double, TDigestBuf, Double] {
     private val MaxBuffer = 4 * delta

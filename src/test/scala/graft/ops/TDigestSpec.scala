@@ -57,6 +57,38 @@ class TDigestSpec extends AnyFunSuite {
     assert(agg.finish(whole) == exactMedian(xs))
   }
 
+  test("approx regime DISTRIBUTED: 1% rank bound on a compressing frame (±600 ≫ 4δ)") {
+    // The driver-replay approx test exercises the same kernel, but not
+    // the Aggregator running under Spark's window machinery (ObjectAgg
+    // buffer encode/decode per partial, frame re-accumulation). Run a
+    // GLOBAL ±600 frame — 1201 rows ≫ MaxBuffer = 4δ = 800, so every
+    // interior row's digest has compressed at least once — and assert
+    // the estimate's rank within its own frame stays within 1% of the
+    // true median rank, the same bound the driver-replay test holds.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.01"
+    val td = udaf(new Udafs.TDigestMedian(200))
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"))
+      .orderBy("event_id").limit(2500)
+    val w = Window.orderBy("event_id").rowsBetween(-600, 600)
+    val rows = base
+      .withColumn("est", td(col("value")).over(w))
+      .withColumn("fvals", collect_list(col("value")).over(w))
+      .select(col("est"), col("fvals"))
+      .collect()
+    assert(rows.length == 2500)
+    assert(rows.exists(_.getSeq[Double](1).length > 800), "no frame reached compression")
+    rows.foreach { r =>
+      val est = r.getDouble(0)
+      val fv = r.getSeq[Double](1)
+      val rank = fv.count(_ <= est).toDouble / fv.length
+      assert(math.abs(rank - 0.5) <= 0.01,
+        s"rank $rank for est $est over frame of ${fv.length}")
+    }
+  }
+
   test("q_window_median_wide ≡ exact percentile window at gate scale") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
