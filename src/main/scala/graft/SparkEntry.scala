@@ -97,6 +97,7 @@ object SparkEntry {
     "q_agg_mode" -> (Relational.q_agg_mode _),
     "q_outlier_mad" -> (Relational.q_outlier_mad _),
     "q_feature_bins" -> (Relational.q_feature_bins _),
+    "q_corr_matrix" -> (Relational.q_corr_matrix _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
@@ -253,6 +254,8 @@ object SparkEntry {
     "q_pagerank" -> (Llm.q_pagerank _),
     "q_mix_sample" -> (Llm.q_mix_sample _),
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
+    "q_oov_rate" -> (Llm.q_oov_rate _),
+    "q_ngram_novelty" -> (Llm.q_ngram_novelty _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
@@ -1454,6 +1457,57 @@ object SparkEntry {
         |  round(max(value) + 1e-9, 4) AS hi,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) + 1e-9, 4) AS mean_v
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH c AS (SELECT
+        |  round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS r_qe,
+        |  round(corr(l_quantity, l_discount) + 1e-9, 6) AS r_qd,
+        |  round(corr(l_quantity, l_tax) + 1e-9, 6) AS r_qt,
+        |  round(corr(l_extendedprice, l_discount) + 1e-9, 6) AS r_ed,
+        |  round(corr(l_extendedprice, l_tax) + 1e-9, 6) AS r_et,
+        |  round(corr(l_discount, l_tax) + 1e-9, 6) AS r_dt
+        |  FROM lineitem)
+        |SELECT col_x, col_y, r FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, r_qe AS r FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', r_qd FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', r_qt FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', r_ed FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', r_et FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', r_dt FROM c)
+        |ORDER BY col_x, col_y""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |topv AS (SELECT term FROM (
+        |    SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1)
+        |  ORDER BY cnt DESC, term LIMIT 500)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN topv.term IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN topv.term IS NULL THEN tf ELSE 0 END) AS DOUBLE)
+        |        / sum(tf) + 1e-9, 6) AS oov_rate
+        |FROM tf LEFT JOIN topv USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(rtrim(text, ' '), ' ')) - 3),
+        |      i -> string_split(rtrim(text, ' '), ' ')[i] || ' ' ||
+        |           string_split(rtrim(text, ' '), ' ')[i+1] || ' ' ||
+        |           string_split(rtrim(text, ' '), ' ')[i+2] || ' ' ||
+        |           string_split(rtrim(text, ' '), ' ')[i+3] || ' ' ||
+        |           string_split(rtrim(text, ' '), ' ')[i+4])) AS g
+        |    FROM documents)),
+        |pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |u AS (SELECT min(doc_id) AS doc_id, count(*) AS df FROM g GROUP BY g),
+        |uc AS (SELECT doc_id, count(*) AS n_unique FROM u WHERE df = 1 GROUP BY 1)
+        |SELECT doc_id, n_grams,
+        |  coalesce(n_unique, 0) AS n_unique,
+        |  round(CAST(coalesce(n_unique, 0) AS DOUBLE) / n_grams + 1e-9, 6) AS novelty
+        |FROM pd LEFT JOIN uc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT o_orderpriority,

@@ -2436,4 +2436,71 @@ object Llm {
     }.toDF("doc_id", "source", "n_tokens", "bin_id")
       .orderBy("doc_id")
   }
+
+  /** Tokenizer vocabulary coverage / OOV rate: learn the top-V
+    * (V=500) vocabulary by collection frequency, then score every
+    * document by the fraction of its token OCCURRENCES falling outside
+    * it — the metric that sizes a tokenizer vocab against a corpus
+    * (and flags off-domain/garbled docs as high-OOV outliers). Scale
+    * shape: the exploded token stream collapses IMMEDIATELY to
+    * (doc_id, term, tf) by a map-side-combined partial agg (the
+    * q_tfidf pattern — the raw occurrence stream never shuffles on the
+    * Zipf-skewed term key), the vocabulary rolls up from that doc-term
+    * matrix (AQE reuses the exchange), top-V is a
+    * TakeOrderedAndProject (V rows, deterministic (cnt desc, term)
+    * total order), and the membership probe is a BROADCAST left join —
+    * the only corpus-sized shuffle is the evenly-distributed doc_id
+    * agg key.
+    */
+  def q_oov_rate(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val topv = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(500)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tf.join(broadcast(topv), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        col("n_oov").cast("long").as("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tok") + lit(1e-9), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * word 5-grams that occur in NO other document — the inverse of the
+    * boilerplate signal (template/mirror pages score near 0, original
+    * prose near 1; the doc-level complement of the corpus-level
+    * [[q_ngram_topk]] heavy hitters). Scale shape: grams explode
+    * inside the scan stage and collapse to distinct (doc_id, gram)
+    * via ONE map-side-combined agg; a doc's unique-gram count needs no
+    * join back — a gram with df=1 belongs to exactly one doc, so
+    * min(doc_id) over each gram group IS that doc, and both per-doc
+    * rollups (total distinct grams, df=1 grams) reduce on the even
+    * doc_id key. At 100 TB the gram strings would carry as 64-bit
+    * fingerprints through the shuffle (the [[q_fingerprint]] kernels);
+    * the string form keeps the gate oracle-exact.
+    */
+  def q_ngram_novelty(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.wordNGrams(col("text"), 5)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val uniq = grams.groupBy("g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_grams") + lit(1e-9), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
 }

@@ -2773,4 +2773,35 @@ object Relational {
         round(davg(col("value")) + lit(1e-9), 4).as("mean_v"))
       .orderBy("bin")
   }
+
+  /** One-pass pairwise Pearson correlation MATRIX over k numeric
+    * columns (long form: col_x, col_y, r) — the multivariate companion
+    * to [[q_agg_stats]]'s single pair and the screening step before
+    * feature selection / redundancy pruning. Scale shape: ONE scan of
+    * the table feeds k·(k−1)/2 fixed-size co-moment aggregates
+    * (partial+final like any hash agg, no shuffle of data rows — only
+    * the constant-width partial-agg buffers), and the one-row result
+    * unpivots to long form driver-side. At 100 TB this is the only
+    * correct shape: never k² passes, never a row shuffle. Rounded in
+    * both engines (co-moment accumulation is float-order-sensitive at
+    * the 1e-12 level, same contract as q_agg_stats).
+    */
+  def q_corr_matrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs =
+      for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)) + lit(1e-9), 6).as(s"${a}__${b}") }
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array.empty[Column],
+        pairs.map { case (a, b) => col(s"${a}__${b}") }.toArray,
+        "pair", "r")
+      .select(
+        substring_index(col("pair"), "__", 1).as("col_x"),
+        substring_index(col("pair"), "__", -1).as("col_y"),
+        col("r"))
+      .orderBy("col_x", "col_y")
+  }
 }
