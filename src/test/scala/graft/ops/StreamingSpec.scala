@@ -57,6 +57,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(spark.table("tumbling").count() == 2) // unchanged — late data discarded
   }
 
+  test("streaming t-digest window percentile merges digests across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startQuery(Streaming.tumblingMedian(in.toDF(), "10 minutes", "10 minutes"), "tdwin")
+
+    // batch 1: three values land in window [00:00,00:10) — median of
+    // {1,9,5} would be 5.0 if the window closed now
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 9.0, ts(3)),
+      Ev(3, 2, "click", 5.0, ts(5)), Ev(4, 2, "view", 4.0, ts(11)))
+    q.processAllAvailable()
+    assert(spark.table("tdwin").count() == 0) // window still open
+
+    // batch 2: two MORE values into the SAME window — the state store
+    // must merge this batch's partial digest into batch 1's (the
+    // Aggregator.merge path); the median over the union {1,2,3,5,9} is
+    // 3.0, NOT batch 2's own median nor batch 1's 5.0. The 00:31 event
+    // then advances the watermark and closes both windows.
+    in.addData(Ev(5, 1, "click", 3.0, ts(7)), Ev(6, 2, "click", 2.0, ts(8)),
+      Ev(7, 2, "view", 8.0, ts(31)))
+    q.processAllAvailable()
+    val rows = spark.table("tdwin").as[(Timestamp, String, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((ts(0), "click", 5L, 3.0), (ts(10), "view", 1L, 4.0)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
     val s = spark
     import s.implicits._
