@@ -256,6 +256,8 @@ object SparkEntry {
     "q_pack_sequences" -> (Llm.q_pack_sequences _),
     "q_oov_rate" -> (Llm.q_oov_rate _),
     "q_ngram_novelty" -> (Llm.q_ngram_novelty _),
+    "q_split_grouped" -> (Llm.q_split_grouped _),
+    "q_budget_trim" -> (Llm.q_budget_trim _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
@@ -501,6 +503,28 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 1) IN ('2', '3') THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_split_grouped" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(source), 1, 1) IN ('0', '1', '2') THEN 'test'
+        |       WHEN substr(md5(source), 1, 1) IN ('3', '4', '5') THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_budget_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  (cum_tokens - n_tokens < 1000) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_corpus_shuffle" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)

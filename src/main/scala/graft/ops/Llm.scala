@@ -2472,6 +2472,56 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe GROUPED train/val/test split: every document of a
+    * source (domain/site/dump — the unit near-duplicates cluster in)
+    * lands in the SAME split, assigned by a content hash of the GROUP
+    * key. Doc-level hash splits ([[q_split_train]]) leak template/
+    * boilerplate near-dups across train and eval (the contamination the
+    * decontamination gates then have to catch); group-level assignment
+    * closes that path structurally — the GroupKFold discipline at
+    * corpus scale. Shuffle-free: one map-side hash per row, no window,
+    * no join; determinism and retry-safety come from the same
+    * content-hash contract as every split/sample op here.
+    */
+  def q_split_grouped(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("source")), 1, 1)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(h.isin("0", "1", "2"), "test")
+          .when(h.isin("3", "4", "5"), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-budget trim (corpus quota enforcement): cap each
+    * source's contribution at TrimBudget tokens, keeping a
+    * deterministic hash-ordered prefix — the mixture-weight enforcement
+    * step after [[q_mix_sample]] decides fractions (budgets are set in
+    * TOKENS, the unit training actually consumes, not documents). Each
+    * source is an independent window partition ordered by
+    * md5(doc_id) — reproducible, retry-safe, and unbiased by doc_id
+    * assignment order — with a running token sum; a doc is kept while
+    * the budget is not yet exhausted BEFORE it (so the first
+    * over-budget doc still ships — budgets are soft caps, never an
+    * empty source). At 100 TB the per-source windows shard across
+    * executors on the even source key; a pathologically hot source
+    * range-partitions within the key the same way the skew-salting ops
+    * do.
+    */
+  private val TrimBudget = 1000L
+
+  def q_budget_trim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("keep", col("cum_tokens") - col("n_tokens") < lit(TrimBudget))
+      .orderBy("doc_id")
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * word 5-grams that occur in NO other document — the inverse of the
     * boilerplate signal (template/mirror pages score near 0, original
