@@ -258,6 +258,7 @@ object SparkEntry {
     "q_ngram_novelty" -> (Llm.q_ngram_novelty _),
     "q_split_grouped" -> (Llm.q_split_grouped _),
     "q_budget_trim" -> (Llm.q_budget_trim _),
+    "q_shard_rendezvous" -> (Llm.q_shard_rendezvous _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
@@ -503,6 +504,14 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 1) IN ('2', '3') THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_shard_rendezvous" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS wt
+        |  FROM documents, range(8) t(i))
+        |SELECT doc_id, CAST(arg_max(shard, wt) AS INT) AS shard
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_split_grouped" ->
       """SELECT doc_id, source,
         |  CASE WHEN substr(md5(source), 1, 1) IN ('0', '1', '2') THEN 'test'

@@ -2522,6 +2522,28 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each doc
+    * hashes once per candidate shard and lands on the shard with the
+    * max weight. Unlike modulo sharding ([[q_corpus_shuffle]]'s
+    * `position % 8`), growing k→k+1 moves ONLY the docs the new shard
+    * wins — an expected 1/(k+1) of the corpus, every move INTO the new
+    * shard — so an incremental re-shard of a 100 TB corpus rewrites
+    * one shard's worth of data instead of reshuffling everything
+    * (Thaler & Ravishankar 1998; the property is spec-asserted
+    * exactly, not statistically). Map-side only: k md5s per row, no
+    * shuffle, content-hash deterministic and retry-safe.
+    */
+  private[graft] def rendezvousShard(doc: Column, k: Int): Column = {
+    val ws = array((0 until k).map(i =>
+      md5(concat(doc.cast("string"), lit(":" + i)))): _*)
+    (array_position(ws, array_max(ws)) - 1).cast("int")
+  }
+
+  def q_shard_rendezvous(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), rendezvousShard(col("doc_id"), 8).as("shard"))
+      .orderBy("doc_id")
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * word 5-grams that occur in NO other document — the inverse of the
     * boilerplate signal (template/mirror pages score near 0, original

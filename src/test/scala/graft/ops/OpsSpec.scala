@@ -1766,4 +1766,23 @@ class OpsSpec extends AnyFunSuite {
         s"$colName: approx $ndApprox vs exact $ndExact (tol $tol)")
     }
   }
+
+  test("rendezvous sharding: k->k+1 moves only winners of the NEW shard") {
+    import org.apache.spark.sql.functions.col
+    // the defining property (exact, not statistical): growing the shard
+    // count can only move a doc TO the new shard — every other shard's
+    // weight is unchanged, so a doc moves iff the new shard's weight
+    // beats its old max. Movement volume is ~1/(k+1) in expectation.
+    val docs = Tables.documents(spark, sf)
+    val assigned = docs.select(col("doc_id"),
+        Llm.rendezvousShard(col("doc_id"), 8).as("s8"),
+        Llm.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val moved = assigned.filter { case (a, b) => a != b }
+    assert(moved.nonEmpty, "fixture too small to exercise a reshard move")
+    assert(moved.forall(_._2 == 8),
+      s"every moved doc must land on the NEW shard, got ${moved.filter(_._2 != 8).take(3).toSeq}")
+    val frac = moved.length.toDouble / assigned.length
+    assert(frac < 0.25, s"moved fraction $frac should be near 1/9")
+  }
 }
