@@ -535,29 +535,36 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
 FROM f ORDER BY doc_id, frame_idx"""
 
   /** q_mm_features: the fake decoder's normalized 16-bin byte histogram
-    * + pair-mean resize. The histogram values are exact small rationals;
-    * both engines round the identical doubles (HALF-UP agreement on
-    * exact .5 verified for the dyadic class).
+    * + pair-mean resize, rendered as INTEGER-exact round-half-up
+    * micro-units (the engine recovers the exact count from its double
+    * and does the same integer arithmetic — see the q_mm_features
+    * scaladoc). No doubles cross the comparison: the sf10 sweep caught
+    * both engine-disagreement modes of the previous `round(x, 6)` form
+    * (the 41/640 six-dp tie and scientific-notation small values).
     */
-  val mmFeatures: String = """WITH base AS (
-  SELECT doc_id, text, strlen(text) AS n,
+  val mmFeatures: String = {
+    // round-half-up of num·10⁶ / den, pure BIGINT
+    def fp(num: String, den: String) = {
+      val ppm = s"((2 * ($num) * 1000000 + ($den)) // (2 * ($den)))"
+      s"printf('%d.%06d', $ppm // 1000000, $ppm % 1000000)"
+    }
+    s"""WITH base AS (
+  SELECT doc_id, strlen(text) AS n,
          list_transform(string_split(text, ''), ch -> ord(ch) % 16) AS residues
   FROM documents),
-hist AS (
-  SELECT doc_id, n,
+cnt AS (
+  SELECT doc_id, n, greatest(n, 1)::BIGINT AS d,
          list_transform(generate_series(0, 15),
-           b -> len(list_filter(residues, r -> r = b))::DOUBLE / greatest(n, 1)) AS h
-  FROM base),
-rs AS (
-  SELECT doc_id, n, h,
-         list_transform(generate_series(1, 8), i -> (h[2*i-1] + h[2*i]) / 2.0) AS hr
-  FROM hist)
+           b -> len(list_filter(residues, r -> r = b))::BIGINT) AS c
+  FROM base)
 SELECT doc_id,
-       array_to_string(list_transform(h, x -> round(x, 6)::VARCHAR), ',') AS features_csv,
-       array_to_string(list_transform(hr, x -> round(x, 6)::VARCHAR), ',') AS resized_csv,
+       array_to_string(list_transform(c, x -> ${fp("x", "d")}), ',') AS features_csv,
+       array_to_string(list_transform(generate_series(1, 8),
+         i -> ${fp("c[2*i-1] + c[2*i]", "2 * d")}), ',') AS resized_csv,
        n::BIGINT AS n_bytes,
        'fake-decoder-v1' AS decoder
-FROM rs ORDER BY doc_id"""
+FROM cnt ORDER BY doc_id"""
+  }
 
   /** q_mm_phash: the 65-segment mean-brightness pool (integer boundary
     * arithmetic; segment sums are whole numbers, double-exact, so the

@@ -103,18 +103,32 @@ object Multimodal {
   }
 
   /** Gate-facing view of [[features]]: the vector columns are rendered
-    * as rounded CSV strings because the driver's pandas compare can't
-    * hash array cells (round-1 gate error). Downstream consumers use
+    * as CSV strings because the driver's pandas compare can't hash
+    * array cells (round-1 gate error). Downstream consumers use
     * [[features]] directly for the typed arrays.
+    *
+    * Formatting is INTEGER-exact, not `round(x, 6)`: every histogram
+    * value is an exact rational count/den (den = n or 2n), so the view
+    * recovers the integer count from the double (`round(x * den)` is
+    * exact for counts < 2^52) and renders round-half-up micro-units
+    * `(2·c·10⁶ + den) div (2·den)` with fixed-point `%d.%06d`. The
+    * sf10 sweep caught both failure modes of the double path: engines
+    * disagree on .5 ties (41/640 at 6 dp) and on scientific-notation
+    * thresholds (Spark `8.94E-4` vs fixed `0.000894`).
     */
   def q_mm_features(s: SparkSession, d: String): DataFrame = {
-    def csv(c: org.apache.spark.sql.Column) =
-      array_join(transform(c, x => round(x, 6).cast("string")), ",")
+    // mult = 1: features (denominator n); 2: resized (denominator 2n)
+    def microCsv(arr: String, mult: Int): org.apache.spark.sql.Column = {
+      val den = s"(${mult}L * greatest(n_bytes, 1L))"
+      val ppm = s"((2 * cast(round(x * $den) as bigint) * 1000000 + $den) div (2 * $den))"
+      expr(s"array_join(transform($arr, x -> " +
+        s"format_string('%d.%06d', $ppm div 1000000, $ppm % 1000000)), ',')")
+    }
     features(s, d)
       .select(
         col("doc_id"),
-        csv(col("features")).as("features_csv"),
-        csv(col("features_resized")).as("resized_csv"),
+        microCsv("features", 1).as("features_csv"),
+        microCsv("features_resized", 2).as("resized_csv"),
         col("n_bytes"), col("decoder"))
       .orderBy("doc_id")
   }

@@ -212,6 +212,21 @@ class OpsSpec extends AnyFunSuite {
     // pooling preserves mass: both normalize to the same total / 2
     assert(math.abs(resized.sum - feats.sum / 2) < 1e-9)
     assert(r.getLong(3) > 0)
+    // the CSV rendering is integer-exact fixed-point — never scientific
+    // notation, never a float-tie ambiguity (sf10 sweep regression: Spark
+    // `8.94E-4` vs DuckDB `0.000894`, and the 41/640 six-dp HALF_UP tie)
+    val cellRe = """\d+\.\d{6}""".r
+    gate.select("features_csv", "resized_csv").limit(50).collect().foreach { row =>
+      Seq(row.getString(0), row.getString(1)).foreach { csvStr =>
+        csvStr.split(",").foreach(c => assert(cellRe.matches(c), s"bad cell format: $c"))
+      }
+    }
+    // tie case pinned: count 41 over 640 bytes = 0.0640625 → half-up 0.064063
+    val tiePayload = Array.tabulate[Byte](640)(i => if (i < 41) 1 else 0)
+    val h = Multimodal.fakeDecode(tiePayload)
+    val c41 = math.round(h(1) * 640)
+    assert(c41 == 41L)
+    assert((2 * 41L * 1000000 + 640) / (2 * 640) == 64063L)
   }
 
   test("winnowing: identical docs share all fingerprints; long shared substrings guarantee overlap") {
