@@ -341,6 +341,41 @@ SELECT doc_id,
 FROM f1 ORDER BY doc_id"""
   }
 
+  /** q_dedup_cdc: content-defined chunking census. The boundary rule is
+    * a pure per-token predicate (low 4 bits of splitmix64(fnv(token))
+    * are zero), so chunk membership is a window PREFIX-SUM over the
+    * boundary flags — no sequential fold anywhere. Chunk identity =
+    * md5 of the single-space-joined tokens (byte-identical to the
+    * kernel's byte-slice emission). Canary doc −1 = smallest doc's
+    * text, as in the engine.
+    */
+  val dedupCdc: String = {
+    val bnd = s"CASE WHEN (${smExpr(fnv("u.w"))}) % 16 = 0 THEN 1 ELSE 0 END"
+    s"""WITH cdocs0 AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT -1::BIGINT, coalesce(text, '')
+  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)),
+cdocs AS (SELECT doc_id, ${javaSplit("text")} AS ws FROM cdocs0),
+tok AS (
+  SELECT doc_id, u.i AS pos, u.w AS w, $bnd AS bnd
+  FROM (SELECT doc_id, unnest(list_transform(ws, (w, i) -> {'w': w, 'i': i})) AS u
+        FROM cdocs WHERE len(ws) > 0)),
+chunked AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+  FROM tok),
+chunks AS (
+  SELECT doc_id, chunk_no, md5(string_agg(w, ' ' ORDER BY pos)) AS ck
+  FROM chunked GROUP BY doc_id, chunk_no),
+freq AS (SELECT ck FROM chunks GROUP BY ck HAVING count(DISTINCT doc_id) > 1)
+SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN f.ck IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_chunks
+FROM chunks c LEFT JOIN freq f ON c.ck = f.ck
+GROUP BY c.doc_id ORDER BY doc_id"""
+  }
+
   // ---- BPE: the last deterministic-but-iterative gates. Training
   // unrolls its fixed merge budget as CTE rounds (the pagerank
   // playbook); the greedy non-overlapping PER-WORD merge — the part

@@ -193,6 +193,43 @@ object TextKernels {
     sig
   }
 
+  private final val CdcMask = 15L // boundary hits ≈ 1/16 of tokens → 16-word mean chunks
+
+  /** Content-defined chunking: a token ENDS a chunk when the low 4 bits
+    * of `splitmix64(fnv1a(token))` are zero (geometric chunk sizes, mean
+    * 16 words); the remainder after the last boundary is the final
+    * chunk. Because the boundary decision is per-token (stateless),
+    * inserting or deleting a word perturbs only the chunk containing
+    * the edit — every later chunk re-aligns bit-identically, which is
+    * the property that makes CDC dedup shift-robust where fixed-size
+    * frames/lines are not. Production CDC adds min/max chunk cutoffs to
+    * bound size variance; this kernel omits them so the boundary rule
+    * stays a pure per-token predicate (exactly SQL-replicable — the
+    * DuckDB oracle is a window prefix-sum, no sequential fold).
+    *
+    * Chunks are emitted as byte slices (single-space join property, same
+    * as [[wordNGrams]]): no decode, no StringBuilder. Null ≡ `""` → one
+    * empty chunk (the oracle coalesces NULL text to ''); all-spaces →
+    * empty array (java split semantics via [[tokenOffsets]]).
+    */
+  def cdcChunks(u0: UTF8String): ArrayData = {
+    val u = if (u0 == null) UTF8String.EMPTY_UTF8 else u0
+    val (starts, ends, n) = tokenOffsets(u)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = u.getBytes
+    val out = new java.util.ArrayList[Any]()
+    var cs = 0 // first token of the current chunk
+    var i = 0
+    while (i < n) {
+      if ((splitmix64(fnv1a(u, starts(i), ends(i))) & CdcMask) == 0L || i == n - 1) {
+        out.add(UTF8String.fromBytes(bytes, starts(cs), ends(i) - starts(cs)))
+        cs = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private final val WinnowK = 5 // k-gram length (words)
   private final val WinnowW = 4 // window size
 

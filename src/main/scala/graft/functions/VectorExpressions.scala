@@ -382,6 +382,45 @@ case class WordNGrams(child: Expression, n: Int, stride: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** Content-defined chunks of a document as a codegen expression over
+  * the byte-level [[TextKernels.cdcChunks]] kernel (boundary = low-4-
+  * bits-zero splitmix64 of the token's FNV hash; see the kernel
+  * scaladoc for the shift-robustness property). Never null: a null
+  * document chunks like the empty document (one empty chunk).
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def prettyName: String = "graft_cdc_chunks"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextKernels.cdcChunks(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.TextKernels.cdcChunks(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. Routed through
   * the session FunctionRegistry + `call_function` (the public
   * Expression→Column path in Spark 4; `Column(expr)` construction is
@@ -428,6 +467,10 @@ object Vec {
     import org.apache.spark.sql.functions.lit
     call_function("graft_word_ngrams", text, lit(n), lit(stride))
   }
+  def cdcChunks(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_cdc_chunks", text)
+  }
 
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -455,6 +498,9 @@ object Vec {
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
       (es: Seq[Expression]) => WordNGrams(es(0),
         foldToInt(es(1), "n"), foldToInt(es(2), "stride"))),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (es: Seq[Expression]) => CdcChunks(es(0))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated

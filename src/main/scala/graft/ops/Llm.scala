@@ -1217,6 +1217,41 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking dedup census — the shift-robust sibling of
+    * [[q_dedup_lines]]: chunk boundaries come from a per-token rolling-
+    * hash predicate (`graft_cdc_chunks`, mean 16-word chunks), so an
+    * insertion or deletion perturbs only the chunk containing the edit
+    * and every later chunk re-aligns bit-identically — fixed frames and
+    * fixed-stride lines lose ALL downstream chunks to the shift. This is
+    * the storage-dedup CDC idea (Muthitacharoen et al. 2001, LBFS)
+    * applied to corpus boilerplate detection. A planted canary (doc −1 =
+    * copy of the smallest doc) keeps the gate non-vacuous.
+    *
+    * Shape at 100 TB: chunks are emitted inside the scan stage by a
+    * codegen kernel (no token-stream explode, no per-doc window); the
+    * shuffle currency is the 16-byte md5 of each ~16-word chunk — one
+    * map-side-combined agg finds cross-doc duplicates, one chunk-keyed
+    * join counts them per doc. md5 keys are uniform: no skew, and both
+    * shuffles move ~1/16 of the token stream.
+    */
+  def q_dedup_cdc(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val canary = base.orderBy("doc_id").limit(1)
+      .select(lit(-1L).as("doc_id"), col("text"))
+    val chunks = base.unionAll(canary)
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.cdcChunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("ck"))
+    val dup = chunks.groupBy("ck")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select(col("ck").as("dck"))
+    chunks.join(dup, col("ck") === col("dck"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("dck")).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 §4.1): any span of `k` consecutive tokens that

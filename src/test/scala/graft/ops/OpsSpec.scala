@@ -49,6 +49,41 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L }) // unrelated absent
   }
 
+  test("cdc chunks: reconstruction, shift-robust re-alignment, edge cases, gate canary") {
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunksOf(t: String): Seq[String] = {
+      val a = TextKernels.cdcChunks(UTF8String.fromString(t))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // chunks re-join to the original text (single-space join property)
+    val text = (1 to 400).map(i => s"w${i % 97}").mkString(" ")
+    val cs = chunksOf(text)
+    assert(cs.mkString(" ") == text)
+    assert(cs.size > 1, "400 tokens at mean-16 chunking must split")
+    // shift robustness: inserting one word early perturbs only the chunk
+    // containing the edit — the chunk SUFFIX after it is identical, so a
+    // set-difference census sees O(1) change, not O(doc) (the fixed-frame
+    // failure mode)
+    val edited = text.split(' ').patch(3, Seq("INSERTED"), 0).mkString(" ")
+    val es = chunksOf(edited)
+    assert(es.drop(1) == cs.drop(1),
+      "all chunks after the edited first chunk must re-align bit-identically")
+    assert(es.head != cs.head)
+    // edge semantics match the oracle's javaSplit contract
+    assert(chunksOf("") == Seq(""))
+    assert(TextKernels.cdcChunks(UTF8String.fromString("   ")).numElements() == 0)
+    // null ≡ "" (the oracle coalesces NULL text to ''): one empty chunk
+    assert(TextKernels.cdcChunks(null).getUTF8String(0).toString == "")
+    // gate: the planted canary (doc −1 = smallest doc's copy) makes every
+    // canary chunk a cross-doc duplicate, so the gate is never vacuous
+    val gate = Llm.q_dedup_cdc(spark, sf)
+    val canaryRow = gate.filter(col("doc_id") === -1L).head()
+    assert(canaryRow.getLong(1) > 0 && canaryRow.getLong(1) == canaryRow.getLong(2),
+      "every canary chunk must be flagged duplicate")
+    assert(gate.filter(col("doc_id") >= 0).count() > 0)
+  }
+
   test("incremental dedup: corpus-hit and within-batch dups drop; minhash index flags corpus near-dups") {
     import spark.implicits._
     // exact-key flavor: key in corpus / key duplicated inside the batch /

@@ -23,6 +23,11 @@ sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 import os
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
+# concurrent sweeps share the box: cap each child's fan-out/footprint
+if os.environ.get("SWEEP_DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['SWEEP_DUCKDB_THREADS'])}")
+if os.environ.get("SWEEP_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['SWEEP_DUCKDB_MEM']}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     src = f"{sf_dir}/{t}.parquet"
     if os.path.isdir(src):
