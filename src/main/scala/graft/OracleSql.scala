@@ -462,14 +462,29 @@ docw AS (
           unnest(list_transform(string_split(text, ' '), (w, i) -> {'w': w, 'i': i})) AS u
         FROM documents)
   WHERE u.w <> ''),
-agg AS (
+-- memory shape (sf10 learning): the old flatten(list(toks)) over every
+-- token occurrence materialized ~27M VARCHAR lists and OOM'd DuckDB at
+-- 30 GB. n_tokens needs only a SUM of per-word token counts, and since
+-- every word encodes to >= 1 token the 10 head tokens live in each
+-- doc's first 10 WORDS — so lists are built for <= 10 rows per doc.
+tot AS (
+  SELECT doc_id, sum(len(toks))::BIGINT AS n_tokens
+  FROM docw JOIN vocab USING (w) GROUP BY doc_id),
+firstw AS (
+  SELECT doc_id, pos, w
+  FROM (SELECT doc_id, pos, w,
+          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM docw)
+  WHERE rn <= 10),
+heads AS (
   SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tokens
-  FROM docw JOIN vocab USING (w) GROUP BY doc_id)
+  FROM firstw JOIN vocab USING (w) GROUP BY doc_id)
 SELECT d.doc_id,
-       coalesce(len(a.tokens), 0)::BIGINT AS n_tokens,
-       coalesce(array_to_string(a.tokens[1:10], '|'), '') AS head_tokens
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(array_to_string(h.tokens[1:10], '|'), '') AS head_tokens
 FROM (SELECT DISTINCT doc_id FROM documents) d
-LEFT JOIN agg a USING (doc_id)
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN heads h USING (doc_id)
 ORDER BY doc_id"""
   }
 
