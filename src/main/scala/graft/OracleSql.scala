@@ -232,6 +232,28 @@ cc_edges AS (
 SELECT id AS doc_id, min(label) AS cluster, min(label) = id AS keep
 FROM cc_reach GROUP BY id ORDER BY doc_id"""
 
+  /** q_dedup_keep_best: same transitive closure, but the survivor is
+    * the longest cluster member (ties → smallest doc_id).
+    */
+  val dedupKeepBest: String =
+    "WITH RECURSIVE " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """,
+cc_edges AS (
+  SELECT id1 AS a, id2 AS b FROM mh_verified
+  UNION SELECT id2, id1 FROM mh_verified
+), cc_reach AS (
+  SELECT doc_id AS id, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS id, r.label FROM cc_reach r JOIN cc_edges e ON e.a = r.id
+), cl AS (
+  SELECT id AS doc_id, min(label) AS cluster FROM cc_reach GROUP BY id
+), scored AS (
+  SELECT c.doc_id, c.cluster, strlen(d.text)::BIGINT AS n_bytes,
+         row_number() OVER (PARTITION BY c.cluster
+           ORDER BY strlen(d.text) DESC, c.doc_id) AS rk
+  FROM cl c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster, n_bytes, rk = 1 AS keep
+FROM scored ORDER BY doc_id"""
+
   /** q_dedup_bucket_stats: the LSH bucket-size distribution summary. */
   val dedupBucketStats: String =
     "WITH " + minhashCtes("mh_", allDocs) + """,

@@ -352,6 +352,29 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Near-dup resolution with a QUALITY keep rule: clusters as in
+    * [[q_dedup_clusters]], but the canonical survivor is the LONGEST
+    * member (ties → smallest doc_id) instead of the smallest id — the
+    * rule production dedup actually ships (near-dup groups usually
+    * contain truncated/boilerplate-stripped variants; keeping the
+    * longest retains the most content). The argmax is a row_number
+    * window PARTITIONED BY cluster — near-dup clusters are small by
+    * construction (bucket-capped candidates), so the window never
+    * concentrates rows the way a global rank would.
+    */
+  def q_dedup_keep_best(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = minhashPairs(docs, threshold = 0.5, shareCandidates = false)
+      .select("id1", "id2")
+    val cl = Scale.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+    val w = Window.partitionBy("cluster").orderBy(col("n_bytes").desc, col("doc_id").asc)
+    cl.join(docs.select(col("doc_id"), length(col("text")).cast("long").as("n_bytes")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("n_bytes"), (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash per document + Hamming distance to the previous doc

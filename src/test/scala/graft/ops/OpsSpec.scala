@@ -114,6 +114,24 @@ class OpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("keep-best dedup: same clusters as min-id rule; survivor is the longest member") {
+    val minId = Llm.q_dedup_clusters(spark, sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = Llm.q_dedup_keep_best(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // identical cluster assignment (the keep rule changes, not the graph)
+    assert(best.map(b => b._1 -> b._2).toMap == minId)
+    // exactly one keeper per cluster, and it is the (len desc, id asc) max
+    best.groupBy(_._2).foreach { case (c, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $c must keep exactly one")
+      val expected = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == expected._1,
+        s"cluster $c kept ${keepers.head._1}, expected longest ${expected._1}")
+    }
+  }
+
   test("simhash: identical → equal sigs; near-dup hamming < unrelated hamming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
