@@ -287,6 +287,40 @@ WHERE $est32 >= 0.5
 ORDER BY train_id, eval_id"""
   }
 
+  /** q_dedup_snm: sorted-neighborhood blocking — normalized-key sort,
+    * w=3 sliding window as two lag columns, word-set Jaccard verify.
+    * Same window partition (2-char key prefix) and (sk, doc_id)
+    * tie-break as the engine; the Jaccard is a division of two small
+    * ints, IEEE-identical in both engines.
+    */
+  val dedupSnm: String = {
+    def wset(t: String) = s"list_distinct(string_split($t, ' '))"
+    def jac(a: String, b: String) =
+      s"len(list_intersect(${wset(a)}, ${wset(b)}))::DOUBLE / " +
+        s"len(list_distinct(list_concat(${wset(a)}, ${wset(b)})))"
+    def arm(k: Int) =
+      s"""SELECT least(doc_id, p${k}_id) AS id1, greatest(doc_id, p${k}_id) AS id2,
+       ${jac("text", s"p${k}_text")} AS jaccard
+FROM lagged WHERE p${k}_id IS NOT NULL"""
+    s"""WITH snm0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -1::BIGINT, text FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)),
+keyed AS (
+  SELECT doc_id, text,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')), 1, 12) AS sk
+  FROM snm0),
+lagged AS (
+  SELECT doc_id, text,
+         lag(doc_id, 1) OVER w AS p1_id, lag(text, 1) OVER w AS p1_text,
+         lag(doc_id, 2) OVER w AS p2_id, lag(text, 2) OVER w AS p2_text
+  FROM keyed
+  WINDOW w AS (PARTITION BY substr(sk, 1, 2) ORDER BY sk, doc_id)),
+pr AS (${arm(1)} UNION ALL ${arm(2)})
+SELECT DISTINCT id1, id2, jaccard FROM pr
+WHERE jaccard >= 0.5 ORDER BY id1, id2"""
+  }
+
   /** q_dedup_simhash: per-bit ±1 votes over splitmix-mixed FNV word
     * hashes, packed to a signed 64-bit signature, then the bucketed lag
     * window and Hamming distance.

@@ -217,6 +217,7 @@ object SparkEntry {
     "q_dedup_lines" -> (Llm.q_dedup_lines _),
     "q_dedup_cdc" -> (Llm.q_dedup_cdc _),
     "q_dedup_keep_best" -> (Llm.q_dedup_keep_best _),
+    "q_dedup_snm" -> (Llm.q_dedup_snm _),
     "q_dedup_spans" -> (Llm.q_dedup_spans _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
@@ -352,6 +353,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_cdc" -> OracleSql.dedupCdc,
     "q_dedup_keep_best" -> OracleSql.dedupKeepBest,
+    "q_dedup_snm" -> OracleSql.dedupSnm,
     "q_dedup_embed" -> OracleSql.dedupEmbed,
     "q_sim_quantized" -> OracleSql.simQuantized,
     // BPE: fixed merge budgets unroll as materialized CTE rounds; the

@@ -375,6 +375,52 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the third
+    * candidate-generation scheme next to LSH banding and simhash
+    * buckets: docs sort by a normalized content key (lowercased
+    * alphanumerics, first 12 chars), and each doc pairs with its w−1=2
+    * predecessors in key order; survivors are pairs with word-set
+    * Jaccard ≥ 0.5. Near-identical records get near-identical keys and
+    * land adjacent, so candidate volume is O(n·w), never n².
+    *
+    * Scale shape: the sort is a lag window PARTITIONED by the key's
+    * 2-char prefix — bounded buckets, full parallelism; neighbors that
+    * straddle a prefix boundary are the documented recall loss
+    * (standard for distributed SNM; a prefix-skewed corpus — every doc
+    * starting "the …" — would want a longer bucket prefix or a
+    * domain-aware key, traded against more boundary loss). A planted
+    * canary (doc −1 = copy of the smallest doc → identical key,
+    * adjacent by tie-break) keeps the gate non-vacuous.
+    */
+  def q_dedup_snm(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val canary = base.orderBy("doc_id").limit(1)
+      .select(lit(-1L).as("doc_id"), col("text"))
+    val keyed = base.unionAll(canary)
+      .withColumn("sk", substring(
+        lower(regexp_replace(col("text"), "[^A-Za-z0-9]", "")), 1, 12))
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+    val w = Window.partitionBy("bucket").orderBy(col("sk"), col("doc_id"))
+    val lagged = keyed
+      .withColumn("p1_id", lag("doc_id", 1).over(w))
+      .withColumn("p1_text", lag("text", 1).over(w))
+      .withColumn("p2_id", lag("doc_id", 2).over(w))
+      .withColumn("p2_text", lag("text", 2).over(w))
+    def pairs(idc: String, txtc: String) = lagged
+      .filter(col(idc).isNotNull)
+      .select(
+        least(col("doc_id"), col(idc)).as("id1"),
+        greatest(col("doc_id"), col(idc)).as("id2"),
+        (size(array_intersect(array_distinct(split(col("text"), " ")),
+                              array_distinct(split(col(txtc), " ")))).cast("double") /
+         size(array_union(array_distinct(split(col("text"), " ")),
+                          array_distinct(split(col(txtc), " "))))).as("jaccard"))
+    pairs("p1_id", "p1_text").unionAll(pairs("p2_id", "p2_text"))
+      .filter(col("jaccard") >= 0.5)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash per document + Hamming distance to the previous doc

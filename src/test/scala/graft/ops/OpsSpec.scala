@@ -132,6 +132,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-neighborhood blocking: canary pair found; pairs well-formed; O(n·w) bound") {
+    val gate = Llm.q_dedup_snm(spark, sf)
+    val rows = gate.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // canary doc −1 is a byte-identical copy of the smallest doc: same
+    // normalized key, adjacent by tie-break → must pair at jaccard 1.0
+    val canary = rows.filter(_._1 == -1L)
+    assert(canary.nonEmpty, "canary pair missing")
+    assert(canary.exists(_._3 == 1.0))
+    rows.foreach { case (a, b, j) =>
+      assert(a < b && j >= 0.5 && j <= 1.0, s"bad pair ($a,$b,$j)")
+    }
+    // candidate volume is bounded by n·(w−1), never n²
+    val n = Tables.documents(spark, sf).count() + 1
+    assert(rows.length <= 2 * n)
+  }
+
   test("simhash: identical → equal sigs; near-dup hamming < unrelated hamming") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
