@@ -192,6 +192,7 @@ object SparkEntry {
     "q_dedup_bucket_stats" -> ((s, d) => Llm.minhashBucketStats(Tables.documents(s, d))),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
+    "q_sim_truncated" -> (Llm.q_sim_truncated _),
     "q_sim_ivf" -> (Llm.q_sim_ivf _),
     // LLM: text analysis
     "q_text_stats" -> (Llm.q_text_stats _),
@@ -1947,6 +1948,27 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
         |      FROM s)
         |SELECT qid, CAST(rn AS BIGINT) AS rn, cid, round(cos_raw, 6) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_sim_truncated" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT qid, cid, qe, ce,
+        |        round(list_reduce(list_transform(range(1, 33), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe[1:32], x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce[1:32], x -> x * x), (a, b) -> a + b))), 9) AS cos32_raw
+        |      FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, cid, qe, ce, cos32_raw,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos32_raw DESC, cid) AS rn
+        |      FROM s)
+        |SELECT qid, CAST(rn AS BIGINT) AS rn, cid,
+        |  round(cos32_raw, 6) AS cos32,
+        |  round(round(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9), 6) AS cos_full
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q_text_stats" ->

@@ -676,6 +676,37 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** Truncated-embedding top-k (the Matryoshka/MRL serving trick): rank
+    * by cosine over the FIRST 32 of 64 dims — prefix truncation plus
+    * renormalization is exactly prefix cosine — and surface the
+    * full-dim cosine of each retrieved candidate alongside, so the
+    * quality trade is visible in the gate output itself. Scale story:
+    * half the scan/shuffle bytes of [[q_sim_topk]] with the same plan
+    * shape (broadcast pinned queries, per-query window top-k), and it
+    * composes with int8 quantization ([[q_sim_quantized]]) for a 16×
+    * cut. The full-dim cosine is computed only for the k survivors,
+    * not per candidate pair. Same order-exact arithmetic conventions
+    * as q_sim_topk (left-to-right dots, round(·,9) before ranking).
+    */
+  def q_sim_truncated(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("e32", slice(col("e"), 1, 32))
+    val q = emb.select(col("vec_id").as("qid"), col("e32").as("qe"), l2norm(col("e32")).as("qn"),
+      col("e").as("qfull"), l2norm(col("e")).as("qfn")).filter(col("qid") < 20)
+    val c = emb.select(col("vec_id").as("cid"), col("e32").as("ce"), l2norm(col("e32")).as("cn"),
+      col("e").as("cfull"), l2norm(col("e")).as("cfn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos32_raw").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos32_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"),
+        round(col("cos32_raw"), 6).as("cos32"),
+        round(round(dot(col("qfull"), col("cfull")) / (col("qfn") * col("cfn")), 9), 6).as("cos_full"))
+      .orderBy("qid", "rn")
+  }
+
   /** Edit-distance probe between consecutive docs (built-in levenshtein,
     * capped to the first 80 chars to bound the O(len²) DP). Linear pair
     * count via the doc_id+1 equi-join — an all-pairs edit-distance sweep
