@@ -406,17 +406,25 @@ FROM f1 ORDER BY doc_id"""
     * text, as in the engine.
     */
   val dedupCdc: String = {
-    val bnd = s"CASE WHEN (${smExpr(fnv("u.w"))}) % 16 = 0 THEN 1 ELSE 0 END"
+    // the splitmix/FNV HUGEINT chain runs once per DISTINCT word, not
+    // per occurrence (the bpe_encode memory lesson: per-occurrence
+    // kernel replicas OOM'd DuckDB at sf10; the Zipf-bounded vocab is
+    // thousands of rows)
+    val bnd = s"CASE WHEN (${smExpr(fnv("w"))}) % 16 = 0 THEN 1 ELSE 0 END"
     s"""WITH cdocs0 AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL
   SELECT -1::BIGINT, coalesce(text, '')
   FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)),
 cdocs AS (SELECT doc_id, ${javaSplit("text")} AS ws FROM cdocs0),
-tok AS (
-  SELECT doc_id, u.i AS pos, u.w AS w, $bnd AS bnd
+tok0 AS (
+  SELECT doc_id, u.i AS pos, u.w AS w
   FROM (SELECT doc_id, unnest(list_transform(ws, (w, i) -> {'w': w, 'i': i})) AS u
         FROM cdocs WHERE len(ws) > 0)),
+wb AS (
+  SELECT w, $bnd AS bnd FROM (SELECT DISTINCT w FROM tok0)),
+tok AS (
+  SELECT t.doc_id, t.pos, t.w, wb.bnd FROM tok0 t JOIN wb USING (w)),
 chunked AS (
   SELECT doc_id, pos, w,
          coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
