@@ -219,6 +219,7 @@ object SparkEntry {
     "q_dedup_cdc" -> (Llm.q_dedup_cdc _),
     "q_dedup_keep_best" -> (Llm.q_dedup_keep_best _),
     "q_dedup_snm" -> (Llm.q_dedup_snm _),
+    "q_bigram_lm" -> (Llm.q_bigram_lm _),
     "q_dedup_spans" -> (Llm.q_dedup_spans _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
@@ -1970,6 +1971,22 @@ object SparkEntry {
         |    / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
         |     * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9), 6) AS cos_full
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |        FROM toks WHERE len(t) >= 2)),
+        |types AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY w1, w2),
+        |l AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_fwd
+        |      FROM types GROUP BY w1),
+        |r AS (SELECT w2, count(*)::BIGINT AS n1p_bwd FROM types GROUP BY w2)
+        |SELECT t.w1, t.w2, t.c12, l.c1, l.n1p_fwd, r.n1p_bwd
+        |FROM types t JOIN l USING (w1) JOIN r USING (w2)
+        |WHERE c12 >= 5
+        |ORDER BY c12 DESC, w1, w2 LIMIT 1000""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

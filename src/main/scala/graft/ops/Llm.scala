@@ -1177,6 +1177,42 @@ object Llm {
       .filter(col("cf") >= 50)
       .orderBy("term")
 
+  /** Bigram LM sufficient statistics — the integer count tables a
+    * Kneser-Ney/Katz n-gram model trains from: per surviving bigram,
+    * `c12` = bigram count, `c1` = left-context count Σc(w1·),
+    * `n1p_fwd` = N1+(w1·) distinct continuations of w1, `n1p_bwd` =
+    * N1+(·w2) distinct left contexts of w2 (the KN continuation-
+    * probability numerator). Emitting the exact integer statistics
+    * instead of smoothed probabilities keeps the gate hash-exact and
+    * IS the trained model — the discounted probability is a cheap
+    * query-time formula over these four columns.
+    *
+    * Shape at 100 TB: bigram pairs are built with an array transform
+    * inside the scan stage (no token-stream self-join); the first
+    * aggregation map-side-combines occurrences into the Zipf-bounded
+    * bigram TYPE table, and every downstream stat is an aggregate or
+    * join over types, never occurrences (the q_tfidf pattern).
+    */
+  def q_bigram_lm(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      // the >= 2 filter also dodges Spark's descending sequence(1, 0)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val types = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val right = types.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    types.join(left, "w1").join(right, "w2")
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1p_fwd"), col("n1p_bwd"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(1000)
+  }
+
   /** TF-IDF weights per (document, term): tf from one grouped count,
     * df from a term-level aggregate joined back on the term, N from a
     * 1-row broadcast (no driver action). Smooth idf
