@@ -399,45 +399,51 @@ FROM f1 ORDER BY doc_id"""
 
   /** q_dedup_cdc: content-defined chunking census. The boundary rule is
     * a pure per-token predicate (low 4 bits of splitmix64(fnv(token))
-    * are zero), so chunk membership is a window PREFIX-SUM over the
-    * boundary flags — no sequential fold anywhere. Chunk identity =
-    * md5 of the single-space-joined tokens (byte-identical to the
-    * kernel's byte-slice emission). Canary doc −1 = smallest doc's
-    * text, as in the engine.
+    * are zero); chunk identity = md5 of the single-space-joined tokens
+    * (byte-identical to the kernel's byte-slice emission). Canary doc
+    * −1 = smallest doc's text, as in the engine.
+    *
+    * Memory shape (two sf10 OOM lessons): the HUGEINT splitmix chain
+    * runs once per DISTINCT word (Zipf-bounded vocab) and fans back out
+    * through a broadcast MAP lookup; chunking happens as per-doc LIST
+    * ops (boundary positions → range slices → md5) so DuckDB streams
+    * doc by doc — the earlier window-prefix-sum + ordered string_agg
+    * over the 27M-row token stream OOM'd at a 30 GB cap, this form
+    * runs sf10 in ~13 s.
     */
   val dedupCdc: String = {
-    // the splitmix/FNV HUGEINT chain runs once per DISTINCT word, not
-    // per occurrence (the bpe_encode memory lesson: per-occurrence
-    // kernel replicas OOM'd DuckDB at sf10; the Zipf-bounded vocab is
-    // thousands of rows)
-    val bnd = s"CASE WHEN (${smExpr(fnv("w"))}) % 16 = 0 THEN 1 ELSE 0 END"
+    val bnd = s"((${smExpr(fnv("w"))}) % 16 = 0)"
     s"""WITH cdocs0 AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL
   SELECT -1::BIGINT, coalesce(text, '')
   FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1)),
 cdocs AS (SELECT doc_id, ${javaSplit("text")} AS ws FROM cdocs0),
-tok0 AS (
-  SELECT doc_id, u.i AS pos, u.w AS w
-  FROM (SELECT doc_id, unnest(list_transform(ws, (w, i) -> {'w': w, 'i': i})) AS u
-        FROM cdocs WHERE len(ws) > 0)),
 wb AS (
-  SELECT w, $bnd AS bnd FROM (SELECT DISTINCT w FROM tok0)),
-tok AS (
-  SELECT t.doc_id, t.pos, t.w, wb.bnd FROM tok0 t JOIN wb USING (w)),
-chunked AS (
-  SELECT doc_id, pos, w,
-         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
-  FROM tok),
+  SELECT w, $bnd AS bnd
+  FROM (SELECT DISTINCT unnest(ws) AS w FROM cdocs)),
+bm AS (SELECT map(list(w), list(bnd)) AS m FROM wb),
+docs2 AS (
+  SELECT doc_id, ws, list_transform(ws, w -> (m[w])[1]) AS bnds
+  FROM cdocs, bm WHERE len(ws) > 0),
+ranged AS (
+  SELECT doc_id, ws,
+         list_filter(generate_series(1, len(ws)),
+                     i -> i = len(ws) OR bnds[i]) AS ends
+  FROM docs2),
 chunks AS (
-  SELECT doc_id, chunk_no, md5(string_agg(w, ' ' ORDER BY pos)) AS ck
-  FROM chunked GROUP BY doc_id, chunk_no),
-freq AS (SELECT ck FROM chunks GROUP BY ck HAVING count(DISTINCT doc_id) > 1)
-SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ends)),
+           k -> md5(array_to_string(
+                  ws[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):ends[k]],
+                  ' '))) AS cks
+  FROM ranged),
+occ AS (SELECT doc_id, unnest(cks) AS ck FROM chunks),
+freq AS (SELECT ck FROM occ GROUP BY ck HAVING count(DISTINCT doc_id) > 1)
+SELECT o.doc_id, count(*)::BIGINT AS n_chunks,
        coalesce(sum(CASE WHEN f.ck IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_chunks
-FROM chunks c LEFT JOIN freq f ON c.ck = f.ck
-GROUP BY c.doc_id ORDER BY doc_id"""
+FROM occ o LEFT JOIN freq f ON o.ck = f.ck
+GROUP BY o.doc_id ORDER BY doc_id"""
   }
 
   // ---- BPE: the last deterministic-but-iterative gates. Training
