@@ -76,6 +76,7 @@ object SparkEntry {
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
     "q_join_asof_forward" -> (Relational.q_join_asof_forward _),
     "q_join_asof_fwd_native" -> (Relational.q_join_asof_fwd_native _),
+    "q_join_asof_tol" -> (Relational.q_join_asof_tol _),
     "q_join_salted" -> (Relational.q_join_salted _),
     "q_join_bloom" -> (Relational.q_join_bloom _),
     "q_join_nullsafe" -> (Relational.q_join_nullsafe _),
@@ -98,6 +99,9 @@ object SparkEntry {
     "q_outlier_mad" -> (Relational.q_outlier_mad _),
     "q_feature_bins" -> (Relational.q_feature_bins _),
     "q_corr_matrix" -> (Relational.q_corr_matrix _),
+    "q_stat_ks" -> (Relational.q_stat_ks _),
+    "q_stat_chi2" -> (Relational.q_stat_chi2 _),
+    "q_window_ewma" -> (Relational.q_window_ewma _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
@@ -220,6 +224,8 @@ object SparkEntry {
     "q_dedup_keep_best" -> (Llm.q_dedup_keep_best _),
     "q_dedup_snm" -> (Llm.q_dedup_snm _),
     "q_bigram_lm" -> (Llm.q_bigram_lm _),
+    "q_bigram_ppl" -> (Llm.q_bigram_ppl _),
+    "q_mine_hardneg" -> (Llm.q_mine_hardneg _),
     "q_dedup_spans" -> (Llm.q_dedup_spans _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
@@ -264,6 +270,11 @@ object SparkEntry {
     "q_split_grouped" -> (Llm.q_split_grouped _),
     "q_budget_trim" -> (Llm.q_budget_trim _),
     "q_shard_rendezvous" -> (Llm.q_shard_rendezvous _),
+    "q_eval_auc" -> (Llm.q_eval_auc _),
+    "q_eval_calibration" -> (Llm.q_eval_calibration _),
+    "q_lang_kappa" -> (Llm.q_lang_kappa _),
+    "q_dedup_soft" -> (Llm.q_dedup_soft _),
+    "q_sim_sparse" -> (Llm.q_sim_sparse _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
     // TPC-H shapes II + generators/provenance
     "q_tpch_q4ish" -> (Relational.q_tpch_q4ish _),
@@ -341,6 +352,31 @@ object SparkEntry {
     * in both engines; exact-DECIMAL accumulation for float sums; BIGINT
     * casts where the engines' integer widths differ).
     */
+  /** Shared oracle CTE for the classifier-eval gates (q_eval_auc /
+    * q_eval_calibration): the quality-classifier logistic rendered as
+    * exact micro-unit integers + the C4 cascade keep decision as the
+    * gold label — the SQL mirror of `Llm.classifierScored`. Kept
+    * margin-raw (stripMargin is applied by the concatenating entries).
+    */
+  private val ClassifierScoredSql: String =
+    """WITH sc AS (SELECT doc_id, source,
+      |    CAST(round(round(1.0 / (1.0 + exp(-z)) + 1e-9, 6) * 1000000.0) AS BIGINT) AS score_ppm,
+      |    (n_tok >= 30 AND n_tok <= 5000
+      |     AND round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) >= 3.0
+      |     AND round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) <= 12.0
+      |     AND stop_hits >= 2 AND NOT has_block) AS label
+      |  FROM (SELECT doc_id, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |         w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS stop_hits,
+      |    list_contains(string_split(text, ' '), 'slow') AS has_block,
+      |    -2.0 + 1.5 * least(len(string_split(text,' ')) / 100.0, 1.0)
+      |         + 0.4 * ((n_chars - len(string_split(text,' ')) + 1.0) / len(string_split(text,' ')))
+      |         + 2.0 * (len(list_intersect(string_split(text,' '),
+      |                      string_split('the,a,and,of,to,in,is,it',','))) / 8.0)
+      |         + 1.2 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS z
+      |   FROM documents))"""
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(5),
     // hash-kernel gates: FNV-1a/splitmix64/minhash/LSH replicated in
@@ -1517,6 +1553,81 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_discount', 'l_tax', r_dt FROM c)
         |ORDER BY col_x, col_y""".stripMargin,
 
+    // exact-rational KS: the max is taken over the integer numerator
+    // |F1·n2 − F2·n1|; only the report rate is (integer-)rounded
+    "q_stat_ks" ->
+      """WITH byv AS (SELECT value, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |va AS (SELECT value, CAST(sum(c) AS BIGINT) AS c_all FROM byv GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type AS et FROM events),
+        |grid AS (SELECT t.et, v.value, coalesce(b.c, 0) AS c, v.c_all
+        |  FROM ty t CROSS JOIN va v
+        |  LEFT JOIN byv b ON b.event_type = t.et AND b.value = v.value),
+        |cum AS (SELECT et, value,
+        |    CAST(sum(c) OVER w AS BIGINT) AS f_t,
+        |    CAST(sum(c_all) OVER w AS BIGINT) AS f_all
+        |  FROM grid WINDOW w AS (PARTITION BY et ORDER BY value)),
+        |tot AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events) - CAST(count(*) AS BIGINT) AS n2
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT et, CAST(max(abs(f_t * n2 - (f_all - f_t) * n1)) AS BIGINT) AS d_num
+        |  FROM cum JOIN tot USING (et) GROUP BY 1)
+        |SELECT t.et AS event_type, n1, n2, d_num,
+        |  CAST((2000000 * CAST(d_num AS HUGEINT) + CAST(n1 AS HUGEINT) * n2)
+        |       // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_micro
+        |FROM mx m JOIN tot t ON t.et = m.et ORDER BY event_type""".stripMargin,
+
+    // integer-exact chi-square grid: expected and contribution rendered
+    // as round-half-up micro-units in int128 arithmetic, zero cells kept
+    "q_stat_chi2" ->
+      """WITH rm AS (SELECT lang, CAST(count(*) AS BIGINT) AS r FROM documents GROUP BY 1),
+        |cm AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |ob AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT rm.lang, cm.source, coalesce(ob.o, 0) AS o, rm.r, cm.c, tn.n
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN ob ON ob.lang = rm.lang AND ob.source = cm.source
+        |  CROSS JOIN tn)
+        |SELECT lang, source, o,
+        |  CAST((2000000 * CAST(r AS HUGEINT) * c + n)
+        |       // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS e_micro,
+        |  CAST((2000000 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |                * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |        + CAST(n AS HUGEINT) * r * c)
+        |       // (2 * CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
+        |FROM g ORDER BY lang, source""".stripMargin,
+
+    // α = 1/2 keeps every weight an exact power of two: the weighted sum
+    // is a fixed left-to-right chain of exact double scalings, and the
+    // truncated-tail normalizer 1 − 2^−m is exact too
+    "q_window_ewma" ->
+      """SELECT event_id, user_id,
+        |  round((value * 0.5
+        |    + coalesce(lag(value, 1) OVER w, 0) * 0.25
+        |    + coalesce(lag(value, 2) OVER w, 0) * 0.125
+        |    + coalesce(lag(value, 3) OVER w, 0) * 0.0625
+        |    + coalesce(lag(value, 4) OVER w, 0) * 0.03125
+        |    + coalesce(lag(value, 5) OVER w, 0) * 0.015625
+        |    + coalesce(lag(value, 6) OVER w, 0) * 0.0078125
+        |    + coalesce(lag(value, 7) OVER w, 0) * 0.00390625)
+        |    / (1.0 - 1.0 / pow(2.0, least(row_number() OVER w, 8))) + 1e-9, 6) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // nearest preceding purchase, but only within the 7-day tolerance:
+    // the unbounded ASOF match post-filtered by the bound (any other
+    // candidate is older still, so filtering the nearest is exact)
+    "q_join_asof_tol" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN p.ts >= e.ts - INTERVAL 7 DAY
+        |       THEN CAST(epoch_ns(p.ts) AS BIGINT) END AS last_purchase_tol_ns
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_oov_rate" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1988,6 +2099,50 @@ object SparkEntry {
         |WHERE c12 >= 5
         |ORDER BY c12 DESC, w1, w2 LIMIT 1000""".stripMargin,
 
+    // interpolated bigram LM scoring over the q_bigram_lm count tables:
+    // per-type -ln p rounded then DECIMAL-summed (the house convention)
+    "q_bigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |        FROM toks WHERE len(t) >= 2)),
+        |dt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2, 3),
+        |types AS (SELECT w1, w2, sum(cnt)::BIGINT AS c12 FROM dt GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM types GROUP BY 1),
+        |r AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM types GROUP BY 1),
+        |tot AS (SELECT sum(c12)::BIGINT AS n_total FROM types),
+        |model AS (SELECT w1, w2,
+        |    CAST(round(-ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |               + 0.25 * (CAST(c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+        |         + 1e-9, 6) AS DECIMAL(18,6)) AS nll
+        |  FROM types JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(nll * cnt) AS DOUBLE) / sum(cnt) + 1e-9, 6) AS avg_nll
+        |FROM dt JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_sim_topk's exact-cosine plan + a label-mismatch predicate:
+    // the closest WRONG-label neighbors (contrastive hard negatives)
+    "q_mine_hardneg" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+        |           CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clabel,
+        |      CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT qid, qlabel, cid, clabel,
+        |        round(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9) AS cos_raw
+        |      FROM q, c WHERE clabel <> qlabel),
+        |r AS (SELECT qid, qlabel, cid, clabel, cos_raw,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+        |      FROM s)
+        |SELECT qid, qlabel, CAST(rn AS BIGINT) AS rn, cid, clabel, round(cos_raw, 6) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
@@ -2208,6 +2363,102 @@ object SparkEntry {
         |       + 1.2 * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS z
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // classifier scores as exact micro-unit integers + the C4 cascade
+    // keep as gold → tie-aware Mann-Whitney AUC, all integer statistics
+    "q_eval_auc" ->
+      (ClassifierScoredSql +
+      """,
+        |g AS (SELECT source, score_ppm, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (SELECT source, score_ppm, cnt, pos,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY score_ppm) AS BIGINT) AS cumall
+        |  FROM g),
+        |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS p,
+        |    CAST(sum(cnt - pos) AS BIGINT) AS n,
+        |    CAST(sum(pos * (2 * (cumall - cnt) + cnt + 1)) AS BIGINT) AS rs2
+        |  FROM c GROUP BY 1)
+        |SELECT source, p, n, rs2 - p * (p + 1) AS u2,
+        |  CASE WHEN p > 0 AND n > 0 THEN
+        |    CAST((1000000 * (rs2 - p * (p + 1)) + 2 * p * n) // (4 * p * n) AS BIGINT)
+        |  END AS auc_micro
+        |FROM a ORDER BY source""").stripMargin,
+
+    "q_eval_calibration" ->
+      (ClassifierScoredSql +
+      """,
+        |b AS (SELECT least(score_ppm // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(score_ppm) AS BIGINT) AS sum_ppm
+        |  FROM sc GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST((2 * sum_ppm + n) // (2 * n) AS BIGINT) AS mean_score_ppm,
+        |  CAST((2000000 * n_pos + n) // (2 * n) AS BIGINT) AS pos_rate_ppm
+        |FROM b ORDER BY bin""").stripMargin,
+
+    // kappa ships the exact fraction (num/den), never a rounded
+    // quotient: kappa can be negative and floor-vs-truncate integer
+    // division diverges between engines below zero
+    "q_lang_kappa" ->
+      """WITH base AS (SELECT source, lang AS gold,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+        |  FROM (SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
+        |   FROM documents)),
+        |pm AS (SELECT source, pred AS cat, CAST(count(*) AS BIGINT) AS rp
+        |  FROM base GROUP BY 1, 2),
+        |gm AS (SELECT source, gold AS cat, CAST(count(*) AS BIGINT) AS rg
+        |  FROM base GROUP BY 1, 2),
+        |ss AS (SELECT source, CAST(sum(rp * rg) AS BIGINT) AS s
+        |  FROM pm JOIN gm USING (source, cat) GROUP BY 1),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM base GROUP BY 1)
+        |SELECT ag.source, n, agree, s,
+        |  n * agree - s AS kappa_num, n * n - s AS kappa_den
+        |FROM ag JOIN ss USING (source) ORDER BY source""".stripMargin,
+
+    "q_dedup_soft" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS k FROM documents),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS m FROM k GROUP BY 1)
+        |SELECT doc_id, m, CAST((2000000 + m) // (2 * m) AS BIGINT) AS weight_ppm
+        |FROM k JOIN m USING (k) ORDER BY doc_id""".stripMargin,
+
+    // inverted-index sparse cosine: integer dot/norms; sqrt and ÷ are
+    // IEEE-correctly-rounded, so both engines rank identical doubles
+    "q_sim_sparse" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(rtrim(text, ' '), ' '))),
+        |      i -> string_split(rtrim(text, ' '), ' ')[i] || ' ' ||
+        |           string_split(rtrim(text, ' '), ' ')[i+1])) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |kt AS (SELECT term FROM tf CROSS JOIN nd
+        |  GROUP BY term, n_docs HAVING count(*) * 10 <= n_docs),
+        |kept AS (SELECT tf.* FROM tf JOIN kt USING (term)),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+        |  FROM kept GROUP BY 1),
+        |qv AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM kept
+        |  WHERE doc_id IN (1, 2, 3, 4, 5)),
+        |dots AS (SELECT q_doc, k.doc_id, CAST(sum(qtf * k.tf) AS BIGINT) AS dot
+        |  FROM kept k JOIN qv USING (term) WHERE k.doc_id <> qv.q_doc GROUP BY 1, 2),
+        |sc AS (SELECT q_doc, d.doc_id, dot,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(n1.norm2 AS DOUBLE) * CAST(n2.norm2 AS DOUBLE)) AS cos
+        |  FROM dots d JOIN norms n1 ON n1.doc_id = d.doc_id
+        |  JOIN norms n2 ON n2.doc_id = d.q_doc),
+        |r AS (SELECT q_doc, doc_id, dot, cos,
+        |    row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT q_doc, CAST(rank AS BIGINT) AS rank, doc_id, dot,
+        |  round(cos + 1e-9, 6) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY q_doc, rank""".stripMargin,
 
     // adjacent-run collapse via DuckDB's indexed list comprehension
     "q_dedup_runs" ->

@@ -2746,4 +2746,281 @@ object Llm {
           / col("n_grams") + lit(1e-9), 6).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** Bigram-LM perplexity scoring — APPLIES the model whose sufficient
+    * statistics [[q_bigram_lm]] trains: per-doc average negative
+    * log-likelihood under an interpolated bigram model
+    * p(w2|w1) = 0.75·c12/c1 + 0.25·c2/N (bigram MLE backed off to the
+    * second-position unigram), the bigram upgrade of the CCNet-style
+    * unigram screen [[q_quality_perplexity]]. Model trained on the
+    * scored corpus itself, so no zero probabilities.
+    *
+    * Scale shape (the q_tfidf pattern end-to-end): documents collapse
+    * to per-doc bigram TYPES in the scan stage (no token-stream
+    * shuffle); the model is built once from the global type table —
+    * Heaps-bounded, its c1/c2/N components fold in BEFORE the doc join
+    * — and the scoring join runs on the composite (w1, w2) key, far
+    * flatter than any unigram term key. Per-type log-probs are rounded
+    * then DECIMAL-summed (partitioning-independent).
+    */
+  def q_bigram_ppl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docTypes = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val types = docTypes.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
+    val left = types.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = types.groupBy("w2").agg(sum("c12").as("c2"))
+    val total = types.agg(sum("c12").as("n_total"))
+    val model = types.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", round(-log(
+        lit(0.75) * (col("c12").cast("double") / col("c1").cast("double")) +
+        lit(0.25) * (col("c2").cast("double") / col("n_total").cast("double")))
+        + lit(1e-9), 6).cast(DecimalType(18, 6)))
+      .select("w1", "w2", "nll")
+    docTypes.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"), sum(col("nll") * col("cnt")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / col("n_bigrams") + lit(1e-9), 6)
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining for contrastive training: for each pinned
+    * query vector, the top-5 nearest neighbors carrying a DIFFERENT
+    * label — the "closest wrong answers" a contrastive or reranker
+    * objective needs. Same broadcast-query exact-cosine plan as
+    * [[q_sim_topk]] (norms once per side, codegen dot, round(·,9)
+    * before ranking) with the label-mismatch predicate applied before
+    * the window, so per-query state stays k candidates.
+    */
+  def q_mine_hardneg(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), l2norm(col("e")).as("qn"))
+      .filter(col("qid") < 20)
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("e").as("ce"), l2norm(col("e")).as("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("cos_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"), col("rn"),
+        col("cid"), col("clabel").cast("long").as("clabel"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---- classifier evaluation (AUC / calibration) ----------------------
+
+  /** Shared scoring frame for the classifier-eval gates: the
+    * [[q_quality_classifier]] logistic rendered as exact micro-unit
+    * integers (`score_ppm` = the house 6-dp rounding × 10⁶ — an
+    * integer both engines agree on bit-for-bit), labeled with the
+    * [[q_c4_filters]] rule-cascade keep decision as the reference
+    * "gold" signal. Pure scan-stage column math.
+    */
+  private[ops] def classifierScored(s: SparkSession, d: String): DataFrame = {
+    val stop = "the,a,and,of,to,in,is,it"
+    documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_w", size(col("words")).cast("double"))
+      .withColumn("f_len", least(col("n_w") / 100.0, lit(1.0)))
+      .withColumn("f_wlen",
+        (col("n_chars").cast("double") - col("n_w") + 1.0) / col("n_w"))
+      .withColumn("f_stop",
+        size(array_intersect(col("words"), split(lit(stop), ","))).cast("double") / 8.0)
+      .withColumn("f_ttr",
+        size(array_distinct(col("words"))).cast("double") / col("n_w"))
+      .withColumn("z",
+        lit(-2.0) + lit(1.5) * col("f_len") + lit(0.4) * col("f_wlen") +
+          lit(2.0) * col("f_stop") + lit(1.2) * col("f_ttr"))
+      .withColumn("score_ppm",
+        round(round(lit(1.0) / (lit(1.0) + exp(-col("z"))) + lit(1e-9), 6)
+          * lit(1000000.0)).cast("long"))
+      .withColumn("n_tok", size(col("words")).cast("long"))
+      .withColumn("avg_wlen",
+        round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")
+          + lit(1e-9), 4))
+      .withColumn("label",
+        col("n_tok") >= 30 && col("n_tok") <= 5000 &&
+          col("avg_wlen") >= 3.0 && col("avg_wlen") <= 12.0 &&
+          stopHits(col("words"), EnStops) >= 2 &&
+          !array_contains(col("words"), "slow"))
+      .select("doc_id", "source", "score_ppm", "label")
+  }
+
+  /** Per-source AUC of the quality classifier against the C4 cascade
+    * (the Mann–Whitney rank form, tie-aware via average ranks). EXACT
+    * integer statistics: with scores as micro-unit integers, the
+    * doubled positive rank sum, U₂ = 2·ΣR⁺ − P(P+1), and the report
+    * `auc_micro` = round(10⁶·U₂ / (2·2PN)) are all integer arithmetic —
+    * no float ranks, no tie nondeterminism. Slice-parallel: windows
+    * partition by source, the per-source score grid is ≤ 10⁶+1 rows by
+    * construction, and nothing global exists. Degenerate slices (all
+    * positive / all negative) report NULL auc, as the statistic is
+    * undefined there.
+    */
+  def q_eval_auc(s: SparkSession, d: String): DataFrame = {
+    val grp = classifierScored(s, d)
+      .groupBy("source", "score_ppm")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+    val w = Window.partitionBy("source").orderBy("score_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.withColumn("cumall", sum("cnt").over(w))
+      .groupBy("source")
+      .agg(sum("pos").as("p"),
+        sum(col("cnt") - col("pos")).as("n"),
+        sum(col("pos") * (lit(2L) * (col("cumall") - col("cnt"))
+          + col("cnt") + 1L)).as("rs2"))
+      .withColumn("u2", col("rs2") - col("p") * (col("p") + 1L))
+      .select(col("source"), col("p"), col("n"), col("u2"),
+        when(col("p") > 0 && col("n") > 0,
+          expr("cast((1000000 * u2 + 2 * p * n) div (4 * p * n) as bigint)"))
+          .as("auc_micro"))
+      .orderBy("source")
+  }
+
+  /** Calibration (reliability-diagram) bins for the quality classifier
+    * vs the C4 cascade: 10 fixed-width score bins, each reporting
+    * count, empirical positive rate, and mean predicted score — the
+    * "is a 0.8 really an 80%" table. All micro-unit integer exact
+    * (scores enter as integers, rates are round-half-up integer
+    * division). One map-side-combined groupBy on a 10-value key.
+    */
+  def q_eval_calibration(s: SparkSession, d: String): DataFrame =
+    classifierScored(s, d)
+      .withColumn("bin", least(expr("score_ppm div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum("score_ppm").as("sum_ppm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("cast((2 * sum_ppm + n) div (2 * n) as bigint)").as("mean_score_ppm"),
+        expr("cast((2000000 * n_pos + n) div (2 * n) as bigint)").as("pos_rate_ppm"))
+      .orderBy("bin")
+
+  /** Per-source Cohen's kappa between the stopword lang-ID heuristic
+    * ([[q_lang_id]]'s predictor) and the gold `lang` column —
+    * chance-corrected rater agreement, the standard annotation-quality
+    * number. Reported as exact integers: observed agreement `agree`,
+    * the marginal product sum S = Σₖ rₖ·cₖ, and kappa's exact rational
+    * as `kappa_num` = N·agree − S over `kappa_den` = N² − S (kappa can
+    * be negative, and floor-vs-truncate integer division diverges
+    * between engines there — so the gate ships the fraction, not a
+    * rounded quotient). Marginals and cells are tiny grouped counts;
+    * the corpus is scanned once.
+    */
+  def q_lang_kappa(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val base = documents(s, d)
+      .select(col("source"), col("lang").as("gold"),
+        stopHits(words, EnStops).as("s_en"),
+        stopHits(words, EsStops).as("s_es"),
+        stopHits(words, DeStops).as("s_de"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+    // one corpus scan: marginals, N, and agreement all reduce the tiny
+    // per-(source, gold, pred) cell table
+    val cells = base.groupBy("source", "gold", "pred").agg(count(lit(1)).as("cc"))
+    val predM = cells.groupBy("source", "pred").agg(sum("cc").as("rp"))
+      .withColumnRenamed("pred", "cat")
+    val goldM = cells.groupBy("source", "gold").agg(sum("cc").as("rg"))
+      .withColumnRenamed("gold", "cat")
+    val sSum = predM.join(goldM, Seq("source", "cat"))
+      .groupBy("source").agg(sum(col("rp") * col("rg")).as("s"))
+    cells.groupBy("source")
+      .agg(sum("cc").as("n"),
+        sum(when(col("gold") === col("pred"), col("cc")).otherwise(0L)).as("agree"))
+      .join(sSum, "source")
+      .select(col("source"), col("n"), col("agree"), col("s"),
+        (col("n") * col("agree") - col("s")).as("kappa_num"),
+        (col("n") * col("n") - col("s")).as("kappa_den"))
+      .orderBy("source")
+  }
+
+  // ---- soft dedup -----------------------------------------------------
+
+  /** SOFT dedup: keep every duplicate but down-weight it by its exact
+    * duplicate-cluster size (weight 1/m in micro-units) — the
+    * reweight-don't-drop alternative when duplicates carry signal
+    * (domain mixing, quotes, boilerplate-adjacent pages). Scale shape:
+    * the text never shuffles — docs collapse to a 16-byte md5 digest,
+    * cluster sizes aggregate on the digest key, and the weight joins
+    * back on the same even digest key. Two 16-byte-key shuffles total.
+    */
+  def q_dedup_soft(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d).select(col("doc_id"), md5(col("text")).as("k"))
+    val m = keyed.groupBy("k").agg(count(lit(1)).as("m"))
+    keyed.join(m, "k")
+      .select(col("doc_id"), col("m"),
+        expr("cast((2000000 + m) div (2 * m) as bigint)").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // ---- sparse (bag-of-words) similarity -------------------------------
+
+  /** Sparse-vector cosine top-k via the INVERTED INDEX — the lexical
+    * sibling of [[q_sim_topk]]'s dense path: query docs' term vectors
+    * broadcast against a df-capped term-partitioned index, partial dot
+    * products reduce on (query, doc), and cosine orders exactly
+    * (integer dot and norms; `sqrt`/`÷` are IEEE-correctly-rounded, so
+    * both engines rank identical doubles). The df cap (terms in >10%
+    * of docs are dropped) is what makes the term shuffle Zipf-safe —
+    * the head terms that would dominate the posting volume carry no
+    * discrimination anyway (the BM25 idf argument, applied as a
+    * pre-filter). Top-k per query via the salted two-phase
+    * [[Scale.topKPerGroup]] — 5 query groups never funnel through 5
+    * tasks.
+    */
+  def q_sim_sparse(s: SparkSession, d: String): DataFrame = {
+    val qIds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L)
+    // bigram terms, not unigrams: the synthetic corpus draws from a
+    // ~31-word pool, so every unigram is a head term and a df cap
+    // degenerates; bigrams give a realistic Zipf-tailed vocabulary
+    // (and are the better lexical-similarity signal anyway)
+    val tf = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Vec.wordNGrams(col("text"), 2)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tot = documents(s, d).groupBy().agg(count(lit(1)).as("n_docs"))
+    val keptTerms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select("term")
+    val kept = tf.join(keptTerms, "term")
+    val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("norm2"))
+    val qvec = kept.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("q_doc"), col("term"), col("tf").as("qtf"))
+    val dots = kept.join(broadcast(qvec), "term")
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy("q_doc", "doc_id")
+      .agg(sum(col("qtf") * col("tf")).as("dot"))
+    val qnorms = broadcast(
+      norms.filter(col("doc_id").isin(qIds: _*))
+        .select(col("doc_id").as("q_doc"), col("norm2").as("qnorm2")))
+    val scored = dots.join(norms, "doc_id").join(qnorms, "q_doc")
+      .withColumn("cos",
+        col("dot").cast("double") /
+          sqrt(col("norm2").cast("double") * col("qnorm2").cast("double")))
+    val top = Scale.topKPerGroup(scored, Seq(col("q_doc")),
+      Seq(col("cos").desc, col("doc_id")), 10, Seq(col("doc_id")))
+    val wr = Window.partitionBy("q_doc").orderBy(col("cos").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("q_doc"), col("rank"), col("doc_id"), col("dot"),
+        round(col("cos") + lit(1e-9), 6).as("cos"))
+      .orderBy("q_doc", "rank")
+  }
 }

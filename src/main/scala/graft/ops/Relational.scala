@@ -2804,4 +2804,134 @@ object Relational {
         col("r"))
       .orderBy("col_x", "col_y")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift screen: for each event type,
+    * the KS distance between that type's `value` distribution and the
+    * pooled rest. EXACT rational arithmetic — at any sample point
+    * |F1 − F2| = |c1·n2 − c2·n1| / (n1·n2), so the max is taken over
+    * the integer numerator `d_num` and only the final report rate is
+    * rounded (to micro-units via integer round-half-up).
+    *
+    * Scale shape: one groupBy(value) shuffle collapses occurrences to
+    * the distinct-value grid, then ONE range-partitioned sorted pass
+    * ([[Scale.globalCumSums]] — terasort cumsum, never a single-task
+    * global window) carries all six cumulative counters at once. The
+    * long products bound N ≤ 3·10⁹ rows (n1·n2 < 2⁶³); beyond that
+    * cast the counters to DECIMAL(38,0) in the max expression.
+    */
+  def q_stat_ks(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = events(s, d)
+    val byVal = ev.groupBy("value").agg(
+      count(lit(1)).as("c_all"),
+      types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")): _*)
+    val cum = Scale.globalCumSums(byVal, Seq(col("value")),
+      (col("c_all"), "f_all") +: types.map(t => (col(s"c_$t"), s"f_$t")))
+    // totals reduce the distinct-value grid, not the corpus — one scan
+    val totals = byVal.groupBy().agg(
+      sum(col("c_all")).as("n_tot"),
+      types.map(t => sum(col(s"c_$t")).as(s"n_$t")): _*)
+    val maxes = cum.crossJoin(broadcast(totals)).groupBy().agg(
+      max(col("n_tot")).as("n_tot"),
+      types.flatMap(t => Seq(
+        max(col(s"n_$t")).as(s"n1_$t"),
+        max(abs(col(s"f_$t") * (col("n_tot") - col(s"n_$t")) -
+          (col("f_all") - col(s"f_$t")) * col(s"n_$t"))).as(s"d_$t"))): _*)
+    maxes
+      .select(explode(array(types.map(t => struct(
+        lit(t).as("event_type"),
+        col(s"n1_$t").as("n1"),
+        (col("n_tot") - col(s"n1_$t")).as("n2"),
+        col(s"d_$t").as("d_num"))): _*)).as("r"))
+      .select("r.*")
+      .withColumn("d_micro", expr(
+        "cast((2000000 * cast(d_num as decimal(38,0)) + n1 * n2) div (2 * n1 * n2) as bigint)"))
+      .orderBy("event_type")
+  }
+
+  /** Chi-square independence screen over the lang × source contingency
+    * grid (the "is my corpus mix independent of provenance" question).
+    * Every reported number is integer-exact: expected counts and
+    * per-cell χ² contributions are rationals over counts —
+    * E = r·c/N, contrib = (O·N − r·c)²/(N·r·c) — rendered as
+    * round-half-up micro-units computed in DECIMAL(38,0) integer
+    * arithmetic ((O·N − r·c)² overflows 64-bit by sf10), never a
+    * double in sight. Missing grid cells (lang seen, source seen, pair
+    * unseen) enter with O = 0 via the marginal cross join, as the
+    * statistic requires.
+    *
+    * Scale: three grouped counts + a |langs|×|sources| broadcast grid —
+    * the corpus is touched once per marginal, all map-side combined.
+    */
+  def q_stat_chi2(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val obs = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    // one corpus scan: the marginals and N reduce the tiny cell table
+    val rm = obs.groupBy("lang").agg(sum("o").as("r"))
+    val cm = obs.groupBy("source").agg(sum("o").as("c"))
+    val tot = obs.groupBy().agg(sum("o").as("n"))
+    rm.crossJoin(cm)
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("od", col("o").cast(DecimalType(38, 0)))
+      .withColumn("rd", col("r").cast(DecimalType(38, 0)))
+      .withColumn("cd", col("c").cast(DecimalType(38, 0)))
+      .withColumn("nd", col("n").cast(DecimalType(38, 0)))
+      .withColumn("dev", expr("od * nd - rd * cd"))
+      .select(
+        col("lang"), col("source"), col("o"),
+        expr("cast((2000000 * rd * cd + nd) div (2 * nd) as bigint)")
+          .as("e_micro"),
+        expr("cast((2000000 * dev * dev + nd * rd * cd) div (2 * nd * rd * cd) as bigint)")
+          .as("contrib_micro"))
+      .orderBy("lang", "source")
+  }
+
+  /** Frame-truncated EWMA smoother (α = 1/2 over the last 8
+    * observations) per user in event-time order. The α = 1/2 family
+    * keeps every per-term weight an exact power of two, so the
+    * weighted sum is a fixed left-to-right chain of EXACT double
+    * scalings — bit-identical across engines — and the truncated-tail
+    * normalizer 1 − 2^−m (m = observations in frame) is exact too;
+    * only the final report is rounded. One user-key shuffle, windows
+    * partitioned per user — no global funnel, linear at any corpus
+    * size.
+    */
+  def q_window_ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val lagTerms = (1 until 8).map(k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(math.pow(0.5, k + 1)))
+    val num = lagTerms.foldLeft(col("value") * lit(0.5))(_ + _)
+    val m = least(row_number().over(w), lit(8))
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ewma",
+        round(num / (lit(1.0) - lit(1.0) / pow(lit(2.0), m)) + lit(1e-9), 6))
+      .select("event_id", "user_id", "ewma")
+      .orderBy("event_id")
+  }
+
+  /** As-of join with a STALENESS TOLERANCE: nearest preceding purchase
+    * per event, but only if it happened within the last 7 days — the
+    * bound production as-of joins carry (pandas `merge_asof
+    * tolerance`, kdb `wj` windows) so a years-old match can't leak
+    * into a freshness-sensitive feature. Same single-window shape as
+    * [[q_join_asof]] with the frame narrowed from unbounded-preceding
+    * to a RANGE (event-time) lower bound: still one user-key shuffle,
+    * no join node, and the state per window position is O(frame), not
+    * O(history).
+    */
+  def q_join_asof_tol(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 7L * 24 * 3600 * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-tolUs, 0)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("pus", when(col("event_type") === "purchase", col("ts_us")))
+      .withColumn("last_purchase_tol_ns", max("pus").over(w) * 1000L)
+      .select("event_id", "user_id", "last_purchase_tol_ns")
+      .orderBy("event_id")
+  }
 }

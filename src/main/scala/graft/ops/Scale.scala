@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -167,6 +167,64 @@ object Scale {
       .drop("__cs_pid", "__cs_off")
     if (totalCol == null) cum
     else cum.withColumn(totalCol, lit(totalStr).cast(sumType))
+  }
+
+  /** Multi-column form of [[globalCumSum]]: one range sort, one P-row
+    * driver collect, N running sums — for operators that need several
+    * synchronized cumulative counters over ONE total order (e.g. a
+    * per-category CDF grid for a KS statistic). Values must be exact
+    * (long/decimal) expressions; offsets accumulate in BigDecimal and
+    * round-trip through canonical strings, as in [[globalCumSum]].
+    * Same localCheckpoint contract — release via
+    * [[Llm.unpersistCheckpoint]] when run repeatedly.
+    */
+  def globalCumSums(df: DataFrame, order: Seq[Column],
+                    values: Seq[(Column, String)],
+                    numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mcs_pid", spark_partition_id())
+      .localCheckpoint()
+    val sumCols = values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"__mcs_s$i") }
+    val stats = sorted.groupBy("__mcs_pid").agg(sumCols.head, sumCols.tail: _*)
+    val sumTypes = values.indices.map(i => stats.schema(s"__mcs_s$i").dataType)
+    val perPart = stats.collect()
+      .map { r =>
+        val sums = values.indices.map { i =>
+          r.get(i + 1) match {
+            case null                    => java.math.BigDecimal.ZERO
+            case b: java.math.BigDecimal => b
+            case n: Number               => new java.math.BigDecimal(n.toString)
+          }
+        }
+        (r.getInt(0), sums)
+      }
+      .sortBy(_._1)
+    val accs = Array.fill(values.size)(java.math.BigDecimal.ZERO)
+    val offsets = perPart.map { case (pid, sums) =>
+      val o = accs.toSeq.map(_.toPlainString)
+      values.indices.foreach(i => accs(i) = accs(i).add(sums(i)))
+      Row.fromSeq(pid +: o)
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__mcs_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+      values.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"__mcs_o$i", org.apache.spark.sql.types.StringType)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
+    val w = Window.partitionBy("__mcs_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.zipWithIndex.foldLeft(
+      sorted.join(broadcast(offsetsDf), Seq("__mcs_pid"))) {
+        case (acc, ((v, name), i)) =>
+          acc.withColumn(name,
+            (col(s"__mcs_o$i").cast(sumTypes(i)) + sum(v).over(w)).cast(sumTypes(i)))
+      }
+      .drop("__mcs_pid" +: values.indices.map(i => s"__mcs_o$i"): _*)
   }
 
   /** Generic as-of join: append to every left row the payload of the most
