@@ -71,6 +71,7 @@ object SparkEntry {
     "q_split_train" -> (Llm.q_split_train _),
     "q_corpus_shuffle" -> (Llm.q_corpus_shuffle _),
     "q_sessionize_batch" -> (Relational.q_sessionize_batch _),
+    "q_session_paths" -> (Relational.q_session_paths _),
     "q_event_transitions" -> (Relational.q_event_transitions _),
     "q_join_asof" -> (Relational.q_join_asof _),
     "q_join_asof_native" -> (Relational.q_join_asof_native _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q_text_redact" -> (Llm.q_text_redact _),
     "q_contamination" -> (Llm.q_contamination _),
     "q_contamination_fuzzy" -> (Llm.q_contamination_fuzzy _),
+    "q_decontam_semantic" -> (Llm.q_decontam_semantic _),
     "q_dsir_weights" -> (Llm.q_dsir_weights _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
@@ -604,6 +606,34 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // sessionize → ordered first-5 path per session → top-20 paths;
+    // the ordered list() makes the path total-order deterministic
+    "q_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts_us, event_id) AS rn
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY user_id, session_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
     "q_event_transitions" ->
       """WITH pairs AS (
         |  SELECT user_id,
@@ -2122,6 +2152,28 @@ object SparkEntry {
         |  round(CAST(sum(nll * cnt) AS DOUBLE) / sum(cnt) + 1e-9, 6) AS avg_nll
         |FROM dt JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // semantic decontamination: per train vector, the nearest eval item
+    // by exact cosine (canary: train -1 = eval 0's copy, cos exactly 1)
+    "q_decontam_semantic" ->
+      """WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS ee
+        |           FROM embeddings WHERE vec_id < 50),
+        |tr AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS te
+        |       FROM embeddings WHERE vec_id >= 50
+        |       UNION ALL
+        |       SELECT -1, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT tid, eid,
+        |        round(list_reduce(list_transform(range(1, len(te) + 1), i -> te[i] * ee[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(te, x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ee, x -> x * x), (a, b) -> a + b))), 9) AS cos_raw
+        |      FROM tr, ev),
+        |r AS (SELECT tid, eid, cos_raw,
+        |        row_number() OVER (PARTITION BY tid ORDER BY cos_raw DESC, eid DESC) AS rn
+        |      FROM s)
+        |SELECT tid, eid AS nearest_eval, round(cos_raw, 6) AS cos,
+        |  cos_raw > 0.9 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY tid""".stripMargin,
 
     // q_sim_topk's exact-cosine plan + a label-mismatch predicate:
     // the closest WRONG-label neighbors (contrastive hard negatives)

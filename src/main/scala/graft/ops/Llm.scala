@@ -2820,6 +2820,43 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** EMBEDDING-space benchmark decontamination — the semantic sibling
+    * of the n-gram screens ([[q_contamination]] exact,
+    * [[q_contamination_fuzzy]] MinHash): flag every train vector whose
+    * max cosine to the (small, broadcast) eval set crosses the
+    * threshold, reporting the nearest eval item as evidence. Paraphrase
+    * contamination survives n-gram screens; this is the screen that
+    * catches it.
+    *
+    * Scale shape: eval sets are thousands of items — broadcast them and
+    * the whole screen is ONE linear scan of the train corpus with a
+    * map-side-combined per-vector arg-max (struct max), no shuffle of
+    * candidate pairs at all (the crossJoin-then-window form would
+    * shuffle |eval|× the corpus).
+    */
+  def q_decontam_semantic(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val ev = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eid"), col("e").as("ee"), l2norm(col("e")).as("en"))
+    // Planted canary (the q_dedup_embed convention): train vector −1 is
+    // an exact copy of eval vector 0 — fixture embeddings are random
+    // (max train-eval cosine ≈ 0.49 at sf0.01), so without it the
+    // threshold flags nothing and the gate asserts nothing. cos = 1.0.
+    val canary = emb.filter(col("vec_id") === 0)
+      .select(lit(-1L).as("tid"), col("e").as("te"), l2norm(col("e")).as("tn"))
+    val train = emb.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("tid"), col("e").as("te"), l2norm(col("e")).as("tn"))
+      .unionByName(canary)
+    train.crossJoin(broadcast(ev))
+      .withColumn("cos_raw", round(dot(col("te"), col("ee")) / (col("tn") * col("en")), 9))
+      .groupBy("tid")
+      .agg(max(struct(col("cos_raw"), col("eid"))).as("m"))
+      .select(col("tid"), col("m.eid").as("nearest_eval"),
+        round(col("m.cos_raw"), 6).as("cos"),
+        (col("m.cos_raw") > 0.9).as("contaminated"))
+      .orderBy("tid")
+  }
+
   // ---- classifier evaluation (AUC / calibration) ----------------------
 
   /** Shared scoring frame for the classifier-eval gates: the

@@ -2913,6 +2913,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Top user journeys: gap-sessionize (30-min), render each session's
+    * first-5-event-type path, count sessions per path, top-20 — the
+    * "common paths" product-analytics report. Determinism: the path is
+    * assembled by sorting a collected (position, type) struct array —
+    * `collect_list` order is partition-dependent, `array_sort` of the
+    * windowed position makes it total. Both windows partition on
+    * user/session keys (parallel); the path rollup map-side combines;
+    * the final top-20 is a TakeOrdered, never a global sort.
+    */
+  def q_session_paths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev").isNull || col("ts_us") - col("prev") > 30L * 60 * 1000000L)
+          .cast("long"))
+      .withColumn("sess", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wp = Window.partitionBy("user_id", "sess").orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id", "sess")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** As-of join with a STALENESS TOLERANCE: nearest preceding purchase
     * per event, but only if it happened within the last 7 days — the
     * bound production as-of joins carry (pandas `merge_asof

@@ -881,6 +881,26 @@ class OpsSpec extends AnyFunSuite {
     assert(gotDesc == wantDesc)
   }
 
+  test("globalCumSums: N synchronized counters ≡ N single-column runs, one sort") {
+    import spark.implicits._
+    val df = spark.range(1, 401).toDF("id")
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("a", pmod(col("id") * 13, lit(7)))
+      .withColumn("b", pmod(col("id") * 29, lit(11)))
+      .repartition(6)
+    val got = Scale.globalCumSums(df, Seq(col("k"), col("id")),
+        Seq((col("a"), "ca"), (col("b"), "cb")), numPartitions = 5)
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map { case (id, b, c) => id -> ((b, c)) }.toMap
+    val wantA = Scale.globalCumSum(df, Seq(col("k"), col("id")), col("a"),
+      "ca", numPartitions = 5).select("id", "ca").as[(Long, Long)].collect().toMap
+    val wantB = Scale.globalCumSum(df, Seq(col("k"), col("id")), col("b"),
+      "cb", numPartitions = 5).select("id", "cb").as[(Long, Long)].collect().toMap
+    df.select("id").as[Long].collect().foreach { id =>
+      assert(got(id) == ((wantA(id), wantB(id))), s"row $id")
+    }
+  }
+
   test("globalCumSum on doubles: matches the naive running sum and survives NaN/Infinity") {
     import spark.implicits._
     // plain double path (no NaN): bit-exact vs the naive plan is not

@@ -275,6 +275,59 @@ class StatEvalSpec extends AnyFunSuite {
     assert(gotTop.getLong(3) == expTop._2, "query 0 top hard negative matches brute force")
   }
 
+  test("q_session_paths: brute-force sessionize + path replay") {
+    val got = Relational.q_session_paths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (sessions.isEmpty || e._2 - prev > 30L * 60 * 1000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._2
+      }
+      sessions.map(_.take(5).mkString(">"))
+    }
+    val expect = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expect, "top-20 session paths must match the naive replay")
+    assert(got.forall(_._1.split(">", -1).length <= 5))
+  }
+
+  test("q_decontam_semantic: canary flags, nearest-eval matches brute force") {
+    val rows = Llm.q_decontam_semantic(spark, sf).collect()
+    val canary = rows.find(_.getLong(0) == -1L).get
+    assert(canary.getLong(1) == 0L && canary.getDouble(2) == 1.0 && canary.getBoolean(3),
+      "planted copy of eval 0 must flag as contaminated with cos exactly 1")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nTrain = emb.count(_._1 >= 50)
+    assert(rows.length == nTrain + 1, "every train vector + the canary reports")
+    assert(rows.forall(r => r.getLong(1) < 50), "nearest item always from the eval set")
+    // brute-force the nearest eval for the largest train id
+    def cos9(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probe = emb.filter(_._1 >= 50).maxBy(_._1)
+    val evals = emb.filter(_._1 < 50)
+    val best = evals.map(e => (cos9(probe._2, e._2), e._1)).maxBy(identity)
+    val gotProbe = rows.find(_.getLong(0) == probe._1).get
+    assert(gotProbe.getLong(1) == best._2, "nearest eval for the probe matches brute force")
+  }
+
   test("q_sim_sparse: ranks are cosine-monotone and top-1 matches brute force") {
     val rows = Llm.q_sim_sparse(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
