@@ -248,6 +248,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (Windows.q_stream_tumbling _),
     "q_stream_sliding" -> (Windows.q_stream_sliding _),
     "q_stream_session" -> (Windows.q_stream_session _),
+    "q_stream_drift" -> (Windows.q_stream_drift _),
     // UDAF
     "q_udaf_custom" -> (Udafs.q_udaf_custom _),
     // scalar families II (variant / lateral / interval / regexp / url)
@@ -289,6 +290,7 @@ object SparkEntry {
     "q_tpch_q22ish" -> (Relational.q_tpch_q22ish _),
     // TPC-H shapes III (partsupp-free adaptations)
     "q_tpch_q8ish" -> (Relational.q_tpch_q8ish _),
+    "q_tpch_q9ish" -> (Relational.q_tpch_q9ish _),
     "q_tpch_q12ish" -> (Relational.q_tpch_q12ish _),
     "q_tpch_q15ish" -> (Relational.q_tpch_q15ish _),
     "q_tpch_q21ish" -> (Relational.q_tpch_q21ish _),
@@ -2171,7 +2173,7 @@ object SparkEntry {
         |r AS (SELECT tid, eid, cos_raw,
         |        row_number() OVER (PARTITION BY tid ORDER BY cos_raw DESC, eid DESC) AS rn
         |      FROM s)
-        |SELECT tid, eid AS nearest_eval, round(cos_raw, 6) AS cos,
+        |SELECT tid, eid AS nearest_eval, cos_raw AS cos,
         |  cos_raw > 0.9 AS contaminated
         |FROM r WHERE rn = 1 ORDER BY tid""".stripMargin,
 
@@ -2303,6 +2305,38 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM events CROSS JOIN (VALUES (0), (300)) AS t(off)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hourly event-type mix vs whole-corpus baseline, Laplace-smoothed
+    // PSI per window; grid completed so zero-count cells contribute
+    "q_stream_drift" ->
+      """WITH win AS (
+        |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_epoch,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_base
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS k_types FROM events),
+        |wt AS (SELECT window_start_epoch, CAST(sum(n) AS BIGINT) AS n_win
+        |  FROM win GROUP BY 1),
+        |grid AS (
+        |  SELECT wt.window_start_epoch, b.event_type, coalesce(w.n, 0) AS n,
+        |    wt.n_win, b.n_base, tot.n_tot, tot.k_types
+        |  FROM wt CROSS JOIN base b
+        |  LEFT JOIN win w ON w.window_start_epoch = wt.window_start_epoch
+        |    AND w.event_type = b.event_type
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT window_start_epoch, n,
+        |    CAST(round(((n + 0.5) / (n_win + 0.5 * k_types)
+        |                - (n_base + 0.5) / (n_tot + 0.5 * k_types))
+        |          * ln(((n + 0.5) / (n_win + 0.5 * k_types))
+        |               / ((n_base + 0.5) / (n_tot + 0.5 * k_types)))
+        |          + 1e-9, 6) AS DECIMAL(18,6)) AS psi_term
+        |  FROM grid)
+        |SELECT window_start_epoch, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(psi_term) AS DOUBLE) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_session" ->
       """WITH flagged AS (
@@ -2638,6 +2672,24 @@ object SparkEntry {
         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // factor-first exact decimal profit (matches the Spark side's
+    // cast-before-multiply rule); 0.6·p_retailprice is the documented
+    // partsupp-free surrogate supply cost
+    "q_tpch_q9ish" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |         - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,1))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tpch_q12ish" ->
       """SELECT CASE

@@ -2852,7 +2852,13 @@ object Llm {
       .groupBy("tid")
       .agg(max(struct(col("cos_raw"), col("eid"))).as("m"))
       .select(col("tid"), col("m.eid").as("nearest_eval"),
-        round(col("m.cos_raw"), 6).as("cos"),
+        // the cos is reported at the ranking precision (9 dp), NOT
+        // re-rounded to 6: with ~n output rows the 9-dp grid lands
+        // exactly on 6-dp half boundaries at decade scale (2 rows of
+        // 200k at sf10, caught by the sweep) where the engines'
+        // half-handling splits — and an epsilon just relocates the tie
+        // (x.xxxxx499 + 1e-9 IS the boundary). One rounding, no ties.
+        col("m.cos_raw").as("cos"),
         (col("m.cos_raw") > 0.9).as("contaminated"))
       .orderBy("tid")
   }

@@ -1890,6 +1890,34 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Q9 shape (product-type profit by nation × order year): the
+    * widest-fan TPC-H profit rollup — lineitem joined to part (name
+    * filter), supplier→nation, and orders (year extraction), profit =
+    * revenue − cost with the fixture's surrogate unit cost
+    * 0.6·p_retailprice standing in for the absent partsupp
+    * ps_supplycost (documented adaptation). Every factor is cast to
+    * its exact decimal scale BEFORE multiplying (the q1ish rule), so
+    * the profit sum is order-independent decimal arithmetic. Plan
+    * shape: the selective part filter broadcasts and prunes lineitem
+    * FIRST; supplier→nation broadcast; the only big shuffle is
+    * lineitem⋈orders on the even orderkey.
+    */
+  def q_tpch_q9ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount", expr(
+        """cast(l_extendedprice as decimal(18,2)) *
+          |  (1 - cast(l_discount as decimal(18,2))) -
+          |  cast(0.6 as decimal(2,1)) * cast(p_retailprice as decimal(18,1)) *
+          |  cast(l_quantity as decimal(18,2))""".stripMargin))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("amount")).cast("double").as("profit"), count(lit(1)).as("n"))
+      .orderBy("n_name", "o_year")
+
   /** Q8 shape (national market share): one supplier nation's share of
     * a region's market for one part type, per order year. Two
     * conditional decimal sums in ONE aggregation pass — never two

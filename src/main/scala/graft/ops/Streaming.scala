@@ -152,6 +152,62 @@ object Streaming {
     }
   }
 
+  /** Streaming EWMA anomaly monitor via `transformWithState`: per key,
+    * a ValueState carries exponential moments (n, ewma, ewvar) and each
+    * arriving value is flagged BEFORE it updates them —
+    * |x − ewma| > k·√ewvar after `warmup` observations (the control-
+    * chart rule over West-1979 exponential moment updates:
+    * d = x − ewma; ewma += α·d; ewvar = (1−α)·(ewvar + α·d²)). The
+    * streaming sibling of the batch [[Relational.q_window_ewma]]
+    * smoother and [[Relational.q_outlier_mad]] screen: O(1) state per
+    * key (three numbers in RocksDB), emits every observation with its
+    * smoothed value and flag in update mode. Rows fold in arrival
+    * order within a micro-batch — callers needing strict event-time
+    * order sort upstream or accept per-batch arrival order (standard
+    * for monitors).
+    */
+  class EwmaAnomalyProcessor(alpha: Double = 0.5, k: Double = 3.0, warmup: Int = 3)
+      extends StatefulProcessor[Long, Ev, (Long, Long, Double, Double, Boolean)] {
+    @transient private var st: ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double)](
+        "moments", Encoders.product[(Long, Double, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double, Double, Boolean)] = {
+      var (n, m, v) = if (st.exists()) st.get() else (0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Boolean)]()
+      rows.foreach { e =>
+        if (n == 0) {
+          // seed the moments from the first observation — folding from
+          // (0, 0) would bias the smoother toward zero for ~1/α steps
+          m = e.value; v = 0.0; n = 1
+          out += ((key, e.event_id, e.value, m, false))
+        } else {
+          val anomaly = n >= warmup && math.abs(e.value - m) > k * math.sqrt(v)
+          val d = e.value - m
+          m += alpha * d
+          v = (1 - alpha) * (v + alpha * d * d)
+          n += 1
+          out += ((key, e.event_id, e.value, m, anomaly))
+        }
+      }
+      st.update((n, m, v))
+      out.iterator
+    }
+  }
+
+  /** `(user_id, event_id, value, ewma, anomaly)` per observation. */
+  def ewmaAnomalies(events: Dataset[Ev], alpha: Double = 0.5, k: Double = 3.0,
+                    warmup: Int = 3): Dataset[(Long, Long, Double, Double, Boolean)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaAnomalyProcessor(alpha, k, warmup),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Idle-key flush via `transformWithState` EVENT-TIME TIMERS — the
     * Spark 4 timer API (the piece `flatMapGroupsWithState` exposes only
     * as coarse timeouts): each key re-arms ONE timer at

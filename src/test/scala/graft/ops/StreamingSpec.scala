@@ -259,6 +259,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("transformWithState: EWMA anomaly monitor flags a cross-batch spike, state carries") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.ewmaAnomalies(in.toDS())
+        .toDF("user_id", "event_id", "value", "ewma", "anomaly"), "ewmaq")
+      // batch 1: a stable series — builds the moments, no flags (warmup)
+      in.addData(Ev(1, 1, "m", 10.0, ts(0)), Ev(2, 1, "m", 10.2, ts(1)),
+        Ev(3, 1, "m", 9.8, ts(2)), Ev(4, 1, "m", 10.1, ts(3)))
+      q.processAllAvailable()
+      // batch 2: a spike for user 1 (state from batch 1 must be live),
+      // and a fresh user whose first points can never flag (warmup)
+      in.addData(Ev(5, 1, "m", 50.0, ts(4)), Ev(6, 2, "m", 500.0, ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("ewmaq")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+        .map(r => r._2 -> r).toMap
+      assert(!rows(1)._5 && !rows(2)._5 && !rows(3)._5, "warmup never flags")
+      assert(rows(5)._5, "the cross-batch spike must flag — moments persisted in RocksDB")
+      assert(!rows(6)._5, "a new key's first observation is warmup, not an anomaly")
+      // replay the exponential-moment fold exactly (seeded from x₀)
+      var (m, v) = (10.0, 0.0)
+      assert(rows(1)._4 == m, "event 1 seeds the ewma")
+      Seq(10.2, 9.8, 10.1, 50.0).zipWithIndex.foreach { case (x, i) =>
+        val d = x - m
+        m += 0.5 * d; v = 0.5 * (v + 0.5 * d * d)
+        assert(rows(i + 2)._4 == m, s"event ${i + 2} ewma replay")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timers: idle keys flush when the watermark passes last-event + gap") {
     val s = spark
     import s.implicits._
