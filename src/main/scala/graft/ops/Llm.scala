@@ -2773,7 +2773,14 @@ object Llm {
           |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val docTypes = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    // materialize the Heaps-bounded TYPE table once: without it each of
+    // the four model components re-derives the full corpus explode —
+    // the executed plan showed EIGHT parquet scans (no exchange reuse
+    // across differing agg parents). With the checkpoint the corpus is
+    // scanned twice (types build + scoring join) and c1/c2/N reduce the
+    // small cached table. Release via [[unpersistCheckpoint]].
     val types = docTypes.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
+      .localCheckpoint()
     val left = types.groupBy("w1").agg(sum("c12").as("c1"))
     val right = types.groupBy("w2").agg(sum("c12").as("c2"))
     val total = types.agg(sum("c12").as("n_total"))
