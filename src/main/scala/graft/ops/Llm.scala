@@ -1147,8 +1147,11 @@ object Llm {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
-    val total = tf.agg(sum("tf").as("total"))
+    // the Zipf-bounded vocab is materialized once; the total reduces it
+    // (previously the plan re-derived the token explode per component —
+    // 4 corpus scans, ExecProbe-audited; now 2: vocab build + doc join)
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt")).localCheckpoint()
+    val total = vocab.agg(sum("cnt").as("total"))
     tf.join(broadcast(vocab), "term")
       .crossJoin(broadcast(total))
       .withColumn("lp",
@@ -1202,7 +1205,12 @@ object Llm {
         """transform(sequence(1, size(toks) - 1),
           |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // one corpus scan: the Heaps-bounded type table is materialized
+    // once and the marginals reduce it (without the checkpoint the
+    // executed plan re-derived the full bigram explode per component —
+    // 6 parquet scans, ExecProbe-audited; PERF.md round 9)
     val types = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val left = types.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fwd"))
     val right = types.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
@@ -2121,10 +2129,13 @@ object Llm {
     val terms = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    // Zipf-bounded vocab materialized once; totals/termLr reduce it
+    // (4 corpus scans → 2, same audit as q_quality_perplexity)
     val vocab = tf
       .groupBy("term")
       .agg(sum("tf").as("cnt_s"),
         sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("cnt_t"))
+      .localCheckpoint()
     val totals = vocab.agg(
       sum("cnt_s").as("tot_s"), sum("cnt_t").as("tot_t"),
       count(lit(1)).as("v"))
@@ -2630,6 +2641,7 @@ object Llm {
     val topv = tf.groupBy("term").agg(sum("tf").as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc).limit(500)
       .select(col("term"), lit(1).as("in_vocab"))
+      .localCheckpoint() // 500 rows — pins the vocab to one corpus scan
     tf.join(broadcast(topv), Seq("term"), "left")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tok"),
@@ -3041,15 +3053,22 @@ object Llm {
     // ~31-word pool, so every unigram is a head term and a df cap
     // degenerates; bigrams give a realistic Zipf-tailed vocabulary
     // (and are the better lexical-similarity signal anyway)
+    // the (doc, bigram, tf) index is materialized ONCE — the executed
+    // plan otherwise re-derives the bigram explode along every chain
+    // (df / kept / norms / qvec / dots / qnorms: 16 parquet scans,
+    // ExecProbe-audited). "Build the index once" is also the honest
+    // 100 TB shape; blocks spill via MEMORY_AND_DISK.
     val tf = documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.Vec.wordNGrams(col("text"), 2)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val tot = documents(s, d).groupBy().agg(count(lit(1)).as("n_docs"))
     val keptTerms = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tot))
       .filter(col("df") * 10 <= col("n_docs"))
       .select("term")
+      .localCheckpoint() // vocab-sized; re-derived per kept-chain otherwise
     val kept = tf.join(keptTerms, "term")
     val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("norm2"))
     val qvec = kept.filter(col("doc_id").isin(qIds: _*))
