@@ -294,6 +294,11 @@ object SparkEntry {
     "q_tpch_q12ish" -> (Relational.q_tpch_q12ish _),
     "q_tpch_q15ish" -> (Relational.q_tpch_q15ish _),
     "q_tpch_q21ish" -> (Relational.q_tpch_q21ish _),
+    // TPC-H shapes IV — the last four of the 22 (partsupp-free adaptations)
+    "q_tpch_q2ish" -> (Relational.q_tpch_q2ish _),
+    "q_tpch_q11ish" -> (Relational.q_tpch_q11ish _),
+    "q_tpch_q16ish" -> (Relational.q_tpch_q16ish _),
+    "q_tpch_q20ish" -> (Relational.q_tpch_q20ish _),
     "q_listagg" -> (Relational.q_listagg _),
     "q_agg_bitmap" -> (Relational.q_agg_bitmap _),
     "q_explode_outer" -> (Relational.q_explode_outer _),
@@ -2690,6 +2695,74 @@ object SparkEntry {
         |  JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Q2 shape: min-cost supplier per part — lineitem's min extended
+    // price is the documented ps_supplycost surrogate; the correlated
+    // min is exact DECIMAL so the equality never float-drifts
+    "q_tpch_q2ish" ->
+      """WITH eu_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, min(cost) OVER (PARTITION BY partkey) AS min_cost FROM costs)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |       CAST(cost AS DOUBLE) AS cost
+        |FROM best JOIN part ON partkey = p_partkey
+        |  JOIN eu_supp ON suppkey = s_suppkey
+        |WHERE cost = min_cost AND p_size BETWEEN 10 AND 20 AND p_type = 'SMALL'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // Q11 shape: HAVING vs scalar subquery; threshold compared as
+    // value*1000 > total in exact decimal (boundary-stable)
+    "q_tpch_q11ish" ->
+      """WITH asia_supp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |val AS (
+        |  SELECT l_partkey AS partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        |  FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT partkey, CAST(value AS DOUBLE) AS value FROM val
+        |WHERE value * 1000 > (SELECT sum(value) FROM val)
+        |ORDER BY value DESC, partkey""".stripMargin,
+
+    // Q16 shape: distinct-supplier census with a blocklist anti join
+    // (negative acctbal = the "complaints" surrogate)
+    "q_tpch_q16ish" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 100""".stripMargin,
+
+    // Q20 shape: both quantity sums from ONE pass over the red-part
+    // slice; 2·q97 > qa exact decimal; NULL q97 (no 1997 rows) drops
+    "q_tpch_q20ish" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+        |g AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    sum(CASE WHEN year(l_shipdate) = 1997
+        |             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS q97,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qa
+        |  FROM lineitem JOIN red ON l_partkey = p_partkey
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT suppkey FROM g WHERE q97 * 2 > qa)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY s_name""".stripMargin,
 
     "q_tpch_q12ish" ->
       """SELECT CASE

@@ -1918,6 +1918,124 @@ object Relational {
       .agg(sum(col("amount")).cast("double").as("profit"), count(lit(1)).as("n"))
       .orderBy("n_name", "o_year")
 
+  /** Q2 shape (minimum-cost supplier): the testdata lacks partsupp, so
+    * the supply relation is lineitem itself — per (part, supplier) the
+    * MINIMUM observed extended price stands in for ps_supplycost
+    * (documented adaptation; same correlated-min query shape as TPC-H
+    * Q2's `ps_supplycost = (SELECT min(...))`). Plan: the
+    * region-restricted supplier dim broadcasts (semi-filter, then
+    * enrich), lineitem reduces to the (part, supplier) grain on ONE
+    * shuffle, and the per-part min is a window over that reduced grain
+    * — never over the raw fact. Costs stay DECIMAL end to end so the
+    * min-equality correlation can never float-drift; the final
+    * (acctbal desc, name, partkey) order is total, so the LIMIT is
+    * deterministic at every SF.
+    */
+  def q_tpch_q2ish(s: SparkSession, d: String): DataFrame = {
+    val euSupp = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val costs = lineitem(s, d)
+      .join(broadcast(euSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("cost"))
+    costs
+      .withColumn("min_cost", min(col("cost")).over(Window.partitionBy("partkey")))
+      .filter(col("cost") === col("min_cost"))
+      .join(broadcast(part(s, d)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "SMALL")),
+        col("partkey") === col("p_partkey"))
+      .join(broadcast(euSupp), col("suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 shape (important stock): per-part inventory value restricted
+    * to one region's suppliers, kept where the part exceeds a fixed
+    * fraction of the TOTAL value — group-by + HAVING against a scalar
+    * subquery over the same aggregate. The threshold compare is
+    * `value·1000 > total` in EXACT decimal (never `value >
+    * total·0.001` in double), so boundary parts cannot flip between
+    * engines or partition orders. One fact shuffle (partkey); the
+    * 1-row total broadcasts.
+    */
+  def q_tpch_q11ish(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val value = lineitem(s, d)
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr(
+        "cast(l_extendedprice as decimal(18,2)) * cast(l_quantity as decimal(18,2))"))
+        .as("value"))
+    val total = value.agg(sum("value").as("total"))
+    value
+      .crossJoin(broadcast(total))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** Q16 shape (supplier relationship count): distinct suppliers per
+    * (brand, size) for a filtered part family, EXCLUDING a blocklisted
+    * supplier set (TPC-H's "complaints" suppliers — surrogate here:
+    * negative account balance) via a broadcast anti join on the fact.
+    * The distinct agg shuffles the Heaps-bounded (brand, size,
+    * suppkey) triple, not raw lineitem; `(cnt desc, brand, size)` is a
+    * total order so the LIMIT is deterministic.
+    */
+  def q_tpch_q16ish(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part(s, d)
+        .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#5")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(100)
+
+  /** Q20 shape (excess-supply promotion candidates): suppliers of a
+    * part family whose 1997 shipped quantity exceeds HALF their
+    * all-time quantity for that part — TPC-H Q20's nested
+    * `ps_availqty > 0.5·sum(l_quantity)` re-expressed without
+    * partsupp as a recent-vs-total concentration test. BOTH sums come
+    * from ONE scan/shuffle of the red-part fact slice (conditional
+    * decimal sum for the 1997 leg); the half test is `2·q97 > qa` in
+    * exact decimal; the qualifying-supplier set then semi-joins the
+    * nation-restricted supplier dim. Pairs with no 1997 shipment have
+    * NULL q97 and drop, matching the oracle's inner-join semantics.
+    */
+  def q_tpch_q20ish(s: SparkSession, d: String): DataFrame = {
+    val qualifying = lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").contains("red"))
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1997,
+          col("l_quantity").cast(DecimalType(18, 2)))).as("q97"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("qa"))
+      .filter(col("q97") * 2 > col("qa"))
+      .select("suppkey").distinct()
+    supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_regionkey") === 2)
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(qualifying), col("s_suppkey") === col("suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   /** Q8 shape (national market share): one supplier nation's share of
     * a region's market for one part type, per order year. Two
     * conditional decimal sums in ONE aggregation pass — never two
