@@ -103,6 +103,8 @@ object SparkEntry {
     "q_stat_ks" -> (Relational.q_stat_ks _),
     "q_stat_chi2" -> (Relational.q_stat_chi2 _),
     "q_window_ewma" -> (Relational.q_window_ewma _),
+    "q_skyline" -> (Relational.q_skyline _),
+    "q_mutual_info" -> (Relational.q_mutual_info _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
@@ -115,6 +117,7 @@ object SparkEntry {
     "q_window_distinct" -> (Relational.q_window_distinct _),
     "q_abc_class" -> (Relational.q_abc_class _),
     "q_temperature_sample" -> (Llm.q_temperature_sample _),
+    "q_sample_weighted" -> (Llm.q_sample_weighted _),
     "q_twap" -> (Relational.q_twap _),
     "q_interval_union" -> (Relational.q_interval_union _),
     "q_benford" -> (Relational.q_benford _),
@@ -274,6 +277,7 @@ object SparkEntry {
     "q_budget_trim" -> (Llm.q_budget_trim _),
     "q_shard_rendezvous" -> (Llm.q_shard_rendezvous _),
     "q_eval_auc" -> (Llm.q_eval_auc _),
+    "q_eval_ndcg" -> (Llm.q_eval_ndcg _),
     "q_eval_calibration" -> (Llm.q_eval_calibration _),
     "q_lang_kappa" -> (Llm.q_lang_kappa _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
@@ -1085,6 +1089,19 @@ object SparkEntry {
         |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // A-Res weighted sample: u = 52-bit integer from the first 13 md5
+    // hex chars (hex-cast BIGINT here, conv(…,16,10) on the Spark side)
+    // — both engines divide the SAME exact integers before the one ln
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |       / 4503599627370497.0) / n_chars AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |       round(k + 1e-9, 6) AS key6
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |t AS (SELECT sum(n_l) AS n_tot FROM c),
@@ -1634,6 +1651,45 @@ object SparkEntry {
         |        + CAST(n AS HUGEINT) * r * c)
         |       // (2 * CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
         |FROM g ORDER BY lang, source""".stripMargin,
+
+    // skyline: dominance via per-level maxima + a strictly-higher-level
+    // running max over the tiny level table — spend stays DECIMAL
+    // through every comparison
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment AS segment, o_custkey AS custkey,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |lvl AS (SELECT segment, n_orders, max(spend) AS lvl_max
+        |        FROM pts GROUP BY 1, 2),
+        |lvl2 AS (SELECT segment, n_orders, lvl_max,
+        |  max(lvl_max) OVER (PARTITION BY segment ORDER BY n_orders DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_higher
+        |  FROM lvl)
+        |SELECT p.segment, p.custkey, p.n_orders, CAST(p.spend AS DOUBLE) AS spend
+        |FROM pts p JOIN lvl2 l ON p.segment = l.segment AND p.n_orders = l.n_orders
+        |WHERE p.spend = l.lvl_max
+        |  AND (l.best_higher IS NULL OR l.best_higher < p.spend)
+        |ORDER BY p.segment, p.n_orders DESC, p.custkey""".stripMargin,
+
+    // MI cells: the log argument is a ratio of exact integer products
+    // (< 2^53 at any tested SF) so both engines ln the same double
+    "q_mutual_info" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS n FROM c),
+        |rl AS (SELECT lang, sum(c) AS cl FROM c GROUP BY 1),
+        |rs AS (SELECT source, sum(c) AS cs FROM c GROUP BY 1)
+        |SELECT c.lang, c.source, c.c,
+        |  round(ln(CAST(c.c * n AS DOUBLE) / CAST(cl * cs AS DOUBLE)) + 1e-9, 6)
+        |    AS pmi,
+        |  round(CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(c.c * n AS DOUBLE) / CAST(cl * cs AS DOUBLE)) + 1e-9, 6)
+        |    AS mi_term
+        |FROM c JOIN rl USING (lang) JOIN rs USING (source) CROSS JOIN tot
+        |ORDER BY lang, source""".stripMargin,
 
     // α = 1/2 keeps every weight an exact power of two: the weighted sum
     // is a fixed left-to-right chain of exact double scalings, and the
@@ -2457,6 +2513,41 @@ object SparkEntry {
 
     // classifier scores as exact micro-unit integers + the C4 cascade
     // keep as gold → tie-aware Mann-Whitney AUC, all integer statistics
+    // NDCG@10/P@10 over the BM25 ranker: ranking key is the 6-dp
+    // rounded score (doc_id ties), gains are exact term frequencies
+    "q_eval_ndcg" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |qt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM documents),
+        |qf AS (SELECT doc_id, term FROM qt WHERE term IN ('the','data','model')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qf GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1e-9, 6) AS score
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS irnk
+        |  FROM scored)
+        |SELECT term,
+        |  round(sum(CASE WHEN rnk <= 10 THEN tf / log2(rnk + 1.0) END) + 1e-9, 6)
+        |    AS dcg10,
+        |  round(sum(CASE WHEN irnk <= 10 THEN tf / log2(irnk + 1.0) END) + 1e-9, 6)
+        |    AS idcg10,
+        |  round(sum(CASE WHEN rnk <= 10 THEN tf / log2(rnk + 1.0) END)
+        |      / sum(CASE WHEN irnk <= 10 THEN tf / log2(irnk + 1.0) END) + 1e-9, 6)
+        |    AS ndcg10,
+        |  round(sum(CASE WHEN rnk <= 10 AND tf >= 2 THEN 1 ELSE 0 END) / 10.0
+        |        + 1e-9, 6) AS p10
+        |FROM ranked GROUP BY term ORDER BY term""".stripMargin,
+
     "q_eval_auc" ->
       (ClassifierScoredSql +
       """,

@@ -2547,6 +2547,32 @@ object Llm {
     * quota in the scan stage, rank only survivors — same selected set
     * with overwhelming probability, verifiable by a count-check.
     */
+  /** Deterministic WEIGHTED sample (Efraimidis–Spirakis 2006 A-Res):
+    * each doc draws u ∈ (0,1] from the md5 of its id (the suite's
+    * cross-engine uniform) and the reservoir key is ln(u)/w with
+    * w = n_chars — the global top-k by key IS a weighted
+    * without-replacement sample, P(i ∈ sample) increasing in wᵢ.
+    * Fully deterministic and retry-stable (same ids → same sample).
+    * One scan + a TakeOrderedAndProject top-k — the corpus never
+    * shuffles. The 52-bit u comes from the first 13 md5 hex chars
+    * (exactly representable in a double), so both engines divide the
+    * SAME integers; only ln differs at ≤1 ulp, far below inter-key
+    * gaps, and the reported key is 6-dp rounded.
+    */
+  def q_sample_weighted(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("u52",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("k",
+        log((col("u52") + 1).cast("double") / lit(4503599627370497.0))
+          / col("n_chars"))
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        round(col("k") + lit(1e-9), 6).as("key6"), col("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(20)
+      .drop("k")
+
   def q_temperature_sample(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val target = 200
@@ -2951,6 +2977,56 @@ object Llm {
           expr("cast((1000000 * u2 + 2 * p * n) div (4 * p * n) as bigint)"))
           .as("auc_micro"))
       .orderBy("source")
+  }
+
+  /** Retrieval-quality eval (NDCG@10 / P@10) for the BM25 ranker over
+    * pinned query terms — the eval-side mate of [[q_bm25]]. Gains are
+    * exact term frequencies; the ranking key is the 6-dp-rounded BM25
+    * score with doc_id ties, so the @10 cutoff is deterministic
+    * cross-engine; the ideal ordering ranks by gain directly. Doc
+    * length comes from `size(split(...))` — ONE corpus scan, no
+    * second explode — and every rank window runs on the query-term
+    * slice, never the full posting space.
+    */
+  def q_eval_ndcg(s: SparkSession, d: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val qTerms = Seq("the", "data", "model")
+    val dl = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val qt = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = qt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+          + lit(1e-9), 6))
+    val wr = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    val wi = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("irnk", row_number().over(wi))
+      .groupBy("term")
+      .agg(
+        round(sum(when(col("rnk") <= 10,
+          col("tf").cast("double") / log2(col("rnk").cast("double") + 1)))
+          + lit(1e-9), 6).as("dcg10"),
+        round(sum(when(col("irnk") <= 10,
+          col("tf").cast("double") / log2(col("irnk").cast("double") + 1)))
+          + lit(1e-9), 6).as("idcg10"),
+        round(sum(when(col("rnk") <= 10,
+          col("tf").cast("double") / log2(col("rnk").cast("double") + 1)))
+          / sum(when(col("irnk") <= 10,
+            col("tf").cast("double") / log2(col("irnk").cast("double") + 1)))
+          + lit(1e-9), 6).as("ndcg10"),
+        round(sum(when(col("rnk") <= 10 && col("tf") >= 2, 1).otherwise(0))
+          .cast("double") / 10.0 + lit(1e-9), 6).as("p10"))
+      .orderBy("term")
   }
 
   /** Calibration (reliability-diagram) bins for the quality classifier

@@ -3035,6 +3035,66 @@ object Relational {
       .orderBy("lang", "source")
   }
 
+  /** 2-D Pareto frontier (skyline) per market segment: customers not
+    * dominated on (order count, total spend) — the "best customers"
+    * report without collapsing two axes into one score. NOT an
+    * all-pairs self-join: points reduce to per-(segment, n_orders)
+    * spend maxima, the strictly-higher-level running max is a window
+    * over that tiny level table, and frontier membership joins back
+    * broadcast. A point survives iff it holds its level's max spend
+    * AND beats every strictly-higher level's max (ties on both axes
+    * are mutually non-dominating and all kept). Spend stays DECIMAL
+    * through every comparison, so the max-equality and strict `<`
+    * tests are exact. One custkey agg shuffle + one broadcast join —
+    * no n² pair blow-up at any corpus size.
+    */
+  def q_skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("custkey") === col("c_custkey"))
+      // customer-grain table feeds BOTH the level build and the join
+      // back — materialized once so orders is scanned once, not twice
+      .localCheckpoint()
+    val lvl = pts.groupBy("segment", "n_orders").agg(max("spend").as("lvl_max"))
+    val wl = Window.partitionBy("segment").orderBy(col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl2 = lvl.withColumn("best_higher", max(col("lvl_max")).over(wl))
+    pts.join(broadcast(lvl2), Seq("segment", "n_orders"))
+      .filter(col("spend") === col("lvl_max") &&
+        (col("best_higher").isNull || col("best_higher") < col("spend")))
+      .select(col("segment"), col("custkey"), col("n_orders"),
+        col("spend").cast("double").as("spend"))
+      .orderBy(col("segment"), col("n_orders").desc, col("custkey"))
+  }
+
+  /** Mutual information between two categorical columns (lang ×
+    * source): the corpus-level association diagnostic behind feature
+    * selection and leakage screens — [[q_stat_chi2]]'s
+    * information-theoretic sibling. Cells, marginals, and N all
+    * reduce from ONE scan's tiny cell table; each observed cell
+    * reports its PMI and its MI contribution. The log argument is a
+    * ratio of EXACT integer products (c·n / cl·cs, both < 2⁵³ at any
+    * tested SF), identical in both engines before the one rounded ln.
+    */
+  def q_mutual_info(s: SparkSession, d: String): DataFrame = {
+    val obs = documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val rl = obs.groupBy("lang").agg(sum("c").as("cl"))
+    val rs = obs.groupBy("source").agg(sum("c").as("cs"))
+    val tot = obs.agg(sum("c").as("n"))
+    obs.join(broadcast(rl), "lang").join(broadcast(rs), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio",
+        (col("c") * col("n")).cast("double") / (col("cl") * col("cs")).cast("double"))
+      .select(col("lang"), col("source"), col("c"),
+        round(log(col("ratio")) + lit(1e-9), 6).as("pmi"),
+        round(col("c").cast("double") / col("n").cast("double") * log(col("ratio"))
+          + lit(1e-9), 6).as("mi_term"))
+      .orderBy("lang", "source")
+  }
+
   /** Frame-truncated EWMA smoother (α = 1/2 over the last 8
     * observations) per user in event-time order. The α = 1/2 family
     * keeps every per-term weight an exact power of two, so the
