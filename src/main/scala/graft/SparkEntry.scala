@@ -105,6 +105,7 @@ object SparkEntry {
     "q_window_ewma" -> (Relational.q_window_ewma _),
     "q_skyline" -> (Relational.q_skyline _),
     "q_mutual_info" -> (Relational.q_mutual_info _),
+    "q_winsorize" -> (Relational.q_winsorize _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "q_shard_rendezvous" -> (Llm.q_shard_rendezvous _),
     "q_eval_auc" -> (Llm.q_eval_auc _),
     "q_eval_ndcg" -> (Llm.q_eval_ndcg _),
+    "q_rank_fusion" -> (Llm.q_rank_fusion _),
     "q_eval_calibration" -> (Llm.q_eval_calibration _),
     "q_lang_kappa" -> (Llm.q_lang_kappa _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
@@ -1761,6 +1763,23 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // winsorize: bounds rounded to the data's 2-dp grain so every
+    // clamped value is exact DECIMAL; means are exact-sum / count
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.05) + 1e-9, 2) AS lo,
+        |    round(quantile_cont(o_totalprice, 0.95) + 1e-9, 2) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, b.lo, b.hi, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*) + 1e-9, 6) AS mean_raw,
+        |  round(CAST(sum(CAST(least(greatest(o_totalprice, b.lo), b.hi)
+        |                      AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*) + 1e-9, 6) AS mean_winsor
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -2513,6 +2532,53 @@ object SparkEntry {
 
     // classifier scores as exact micro-unit integers + the C4 cascade
     // keep as gold → tie-aware Mann-Whitney AUC, all integer statistics
+    // RRF: both rankings rounded before ranking (6/9 dp) so the orders
+    // are engine-exact; rank sentinel 0 = absent from that top-50 list;
+    // 1/(60+r) divides the same exact integers in both engines
+    "q_rank_fusion" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term = 'data' GROUP BY 1),
+        |dfq AS (SELECT count(*) AS df FROM tf),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1e-9, 6) AS score
+        |  FROM tf CROSS JOIN dfq JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bmr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS r1
+        |        FROM bm),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_reduce(list_transform(range(1, len(qe) + 1), i -> ce[i] * qe[i]),
+        |                      (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))), 9)
+        |      AS c
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN q),
+        |cr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY c DESC, doc_id) AS r2
+        |       FROM cos),
+        |fused AS (
+        |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |    CAST(coalesce(b.r1, 0) AS BIGINT) AS r1,
+        |    CAST(coalesce(c.r2, 0) AS BIGINT) AS r2
+        |  FROM (SELECT * FROM bmr WHERE r1 <= 50) b
+        |  FULL JOIN (SELECT * FROM cr WHERE r2 <= 50) c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, r1, r2,
+        |  round(CASE WHEN r1 > 0 THEN 1.0 / (r1 + 60) ELSE 0 END
+        |      + CASE WHEN r2 > 0 THEN 1.0 / (r2 + 60) ELSE 0 END + 1e-9, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
     // NDCG@10/P@10 over the BM25 ranker: ranking key is the 6-dp
     // rounded score (doc_id ties), gains are exact term frequencies
     "q_eval_ndcg" ->

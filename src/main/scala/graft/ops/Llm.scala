@@ -3029,6 +3029,61 @@ object Llm {
       .orderBy("term")
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of a LEXICAL and a
+    * SEMANTIC ranker — the standard hybrid-retrieval combiner
+    * (RRF(d) = Σᵢ 1/(60 + rankᵢ(d)), missing list → 0 via rank
+    * sentinel 0). Ranker 1 is single-term BM25 ('data'); ranker 2 is
+    * cosine vs a pinned query embedding, both rounded before ranking
+    * (6 dp / 9 dp) so the orders are engine-exact. Each leg reduces to
+    * its top-50 with a distributed TakeOrderedAndProject BEFORE any
+    * window — the global row_number only ever sees ≤50 rows, so
+    * nothing funnels at scale; the fusion itself is a full outer join
+    * of two 50-row lists. 1/(60+r) divides the same exact integers in
+    * both engines.
+    */
+  def q_rank_fusion(s: SparkSession, d: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val dl = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") === "data")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+    val dfq = tf.agg(count(lit(1)).as("df"))
+    val bmTop = tf.join(dl, "doc_id").crossJoin(broadcast(dfq))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+          + lit(1e-9), 6))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .withColumn("r1",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "r1")
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), l2norm(col("e")).as("qn"))
+    val cosTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("c", round(dot(col("e"), col("qe")) / (l2norm(col("e")) * col("qn")), 9))
+      .select(col("vec_id").as("doc_id"), col("c"))
+      .orderBy(col("c").desc, col("doc_id")).limit(50)
+      .withColumn("r2",
+        row_number().over(Window.orderBy(col("c").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "r2")
+    bmTop.join(cosTop, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("r1", "r2"))
+      .withColumn("rrf",
+        round(
+          when(col("r1") > 0, lit(1.0) / (col("r1") + 60)).otherwise(lit(0.0))
+            + when(col("r2") > 0, lit(1.0) / (col("r2") + 60)).otherwise(lit(0.0))
+            + lit(1e-9), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Calibration (reliability-diagram) bins for the quality classifier
     * vs the C4 cascade: 10 fixed-width score bins, each reporting
     * count, empirical positive rate, and mean predicted score — the

@@ -3035,6 +3035,39 @@ object Relational {
       .orderBy("lang", "source")
   }
 
+  /** Per-group winsorization (p05/p95 clamp) — the standard
+    * outlier-robust normalization before training-weight or revenue
+    * models, reported as a per-group before/after audit. Bounds come
+    * from ONE exact-percentile pass (group-keyed agg), are rounded to
+    * the data's own 2-dp grain so every clamped value is an exact
+    * DECIMAL, broadcast back, and the clamped mean accumulates
+    * exactly. At 100 TB swap the exact percentile for the mergeable
+    * approx_percentile sketch ([[q_agg_approx_pct]]) — same plan, no
+    * sort. Two fact scans (bounds + clamp); the join back is a
+    * broadcast of ≤|groups| rows.
+    */
+  def q_winsorize(s: SparkSession, d: String): DataFrame = {
+    val pcts = percentile(col("o_totalprice"), lit(Array(0.05, 0.95)))
+    val bounds = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(element_at(pcts, 1) + lit(1e-9), 2).as("lo"),
+        round(element_at(pcts, 2) + lit(1e-9), 2).as("hi"))
+    orders(s, d)
+      .join(broadcast(bounds), "o_orderpriority")
+      .withColumn("clamped",
+        least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+          .cast(DecimalType(18, 2)))
+      .groupBy("o_orderpriority", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)) + lit(1e-9), 6).as("mean_raw"),
+        round(sum(col("clamped")).cast("double") / count(lit(1)) + lit(1e-9), 6)
+          .as("mean_winsor"))
+      .orderBy("o_orderpriority")
+  }
+
   /** 2-D Pareto frontier (skyline) per market segment: customers not
     * dominated on (order count, total spend) — the "best customers"
     * report without collapsing two axes into one score. NOT an
