@@ -1101,7 +1101,7 @@ object SparkEntry {
         |       / 4503599627370497.0) / n_chars AS k
         |  FROM documents)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-        |       round(k + 1e-9, 6) AS key6
+        |       round(k + 1e-9, 6) + 0 AS key6
         |FROM keyed ORDER BY k DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_temperature_sample" ->

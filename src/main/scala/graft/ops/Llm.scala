@@ -2557,7 +2557,12 @@ object Llm {
     * shuffles. The 52-bit u comes from the first 13 md5 hex chars
     * (exactly representable in a double), so both engines divide the
     * SAME integers; only ln differs at ≤1 ulp, far below inter-key
-    * gaps, and the reported key is 6-dp rounded.
+    * gaps, and the reported key is 6-dp rounded. As the corpus grows
+    * the winning keys approach 0⁻ and the rounded report collapses to
+    * zero — the oracle adds `+ 0` to normalize IEEE −0.0 (DuckDB
+    * preserves the sign through round; Spark's BigDecimal round does
+    * not), found as a hash mismatch at sf10; the substantive check is
+    * the selected SET, which stays exact at every SF.
     */
   def q_sample_weighted(s: SparkSession, d: String): DataFrame =
     documents(s, d)
