@@ -3034,6 +3034,59 @@ object Llm {
       .orderBy("term")
   }
 
+  /** Greedy maximum-coverage data selection (the classic set-cover
+    * greedy, (1−1/e)-optimal): pick k = 8 docs maximizing cumulative
+    * DISTINCT bigram coverage over the df ≥ 5 target vocabulary — the
+    * COVERAGE objective next to [[q_mmr_select]]'s diversity
+    * objective; production corpus assembly uses exactly this loop to
+    * pick few-shot/eval exemplars that span a phrase inventory.
+    *
+    * Scale shape: the distinct doc-bigram table is built ONCE (one
+    * corpus scan, Heaps-bounded) and localCheckpoint-pinned; each of
+    * the k rounds is one anti-join against the covered set (broadcast,
+    * ≤ |vocab| rows) + one doc-keyed agg + a distributed
+    * TakeOrderedAndProject argmax with a limit(1) collect — the
+    * sanctioned bounded-driver-traffic pattern ([[bpeTrain]], MMR).
+    * Driver state is the covered-bigram set, bounded by |vocab| like
+    * BPE's merge table. Gains are exact integers with doc_id
+    * tie-break, so the greedy trajectory is engine-exact; the oracle
+    * replays it as a lockstep recursive CTE.
+    */
+  def q_select_cover(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val dt0 = documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
+        .as("bg"))
+      .distinct()
+    val vocab = dt0.groupBy("bg").agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+    val dt = dt0.join(vocab.select("bg"), Seq("bg"), "left_semi").localCheckpoint()
+    var covered = Set.empty[String]
+    val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (rank <- 1 to k) {
+      val coveredDf = s.createDataFrame(
+        s.sparkContext.parallelize(covered.toSeq.map(Tuple1(_)), 1)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        new org.apache.spark.sql.types.StructType()
+          .add("bg", org.apache.spark.sql.types.StringType))
+      val top = dt.join(broadcast(coveredDf), Seq("bg"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        covered ++= dt.filter(col("doc_id") === id)
+          .select("bg").collect().map(_.getString(0))
+        out += ((rank, id, gain, covered.size.toLong))
+      }
+    }
+    unpersistCheckpoint(dt)
+    import s.implicits._
+    out.toSeq.toDF("rank", "doc_id", "gain", "cum_cover")
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. 2009) of a LEXICAL and a
     * SEMANTIC ranker — the standard hybrid-retrieval combiner
     * (RRF(d) = Σᵢ 1/(60 + rankᵢ(d)), missing list → 0 via rank
