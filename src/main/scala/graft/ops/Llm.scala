@@ -3042,7 +3042,9 @@ object Llm {
     * pick few-shot/eval exemplars that span a phrase inventory.
     *
     * Scale shape: the distinct doc-bigram table is built ONCE (one
-    * corpus scan, Heaps-bounded) and localCheckpoint-pinned; each of
+    * corpus scan, Heaps-bounded) and DISK_ONLY-cached (evictable — a
+    * pinned localCheckpoint starved the execution pool at sf100; see
+    * the inline note); each of
     * the k rounds is one anti-join against the covered set (broadcast,
     * ≤ |vocab| rows) + one doc-keyed agg + a distributed
     * TakeOrderedAndProject argmax with a limit(1) collect — the
@@ -3061,7 +3063,15 @@ object Llm {
         .as("bg"))
       .distinct()
     val vocab = dt0.groupBy("bg").agg(count(lit(1)).as("df")).filter(col("df") >= 5)
-    val dt = dt0.join(vocab.select("bg"), Seq("bg"), "left_semi").localCheckpoint()
+    // DISK_ONLY, not localCheckpoint: the doc-bigram table is
+    // corpus-sized (450M rows at sf100) and checkpoint blocks pinned
+    // in the unified pool starved execution memory at the fourth
+    // decade (UNABLE_TO_ACQUIRE_MEMORY in the round-gain agg); a
+    // disk-cached evictable copy gives the same scan-once behavior
+    // with zero memory-pool footprint
+    val dt = dt0.join(vocab.select("bg"), Seq("bg"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    dt.count() // materialize before the rounds so each reads the cache
     var covered = Set.empty[String]
     val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     for (rank <- 1 to k) {
@@ -3082,7 +3092,7 @@ object Llm {
         out += ((rank, id, gain, covered.size.toLong))
       }
     }
-    unpersistCheckpoint(dt)
+    dt.unpersist(blocking = false)
     import s.implicits._
     out.toSeq.toDF("rank", "doc_id", "gain", "cum_cover")
   }
