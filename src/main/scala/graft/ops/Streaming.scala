@@ -303,6 +303,63 @@ object Streaming {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming WEIGHTED reservoir (Efraimidis–Spirakis A-Res) via
+    * `transformWithState` — the streaming sibling of the batch
+    * [[Llm.q_sample_weighted]] gate: per key, keep the k items with
+    * the largest ln(u)/w reservoir keys seen so far, where u is the
+    * md5-derived deterministic uniform of the item id and w its
+    * weight. Because the A-Res key is a pure function of (id, w), the
+    * reservoir is DETERMINISTIC across retries, replays, and batch
+    * boundaries — the defining property a restart-safe streaming
+    * sampler needs — and converges to exactly the batch sample over
+    * the same ids. State is O(k) doubles+longs per key in RocksDB;
+    * each micro-batch emits the key's current reservoir in update
+    * mode.
+    */
+  class WeightedReservoirProcessor(k: Int)
+      extends StatefulProcessor[String, Ev, (String, Long, Double)] {
+    @transient private var res: ValueState[(Seq[Double], Seq[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      res = getHandle.getValueState[(Seq[Double], Seq[Long])](
+        "reservoir", Encoders.product[(Seq[Double], Seq[Long])], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[(String, Long, Double)] = {
+      var cur: List[(Double, Long)] =
+        if (res.exists()) { val (ks, ids) = res.get(); ks.zip(ids).toList } else Nil
+      rows.foreach { e =>
+        val kk = Streaming.aresKey(e.event_id, math.max(e.value, 1e-9))
+        // (key desc, id asc) total order; keep the top k
+        cur = ((kk, e.event_id) :: cur)
+          .sortBy { case (x, id) => (-x, id) }.take(k)
+      }
+      res.update((cur.map(_._1), cur.map(_._2)))
+      cur.iterator.map { case (x, id) => (key, id, x) }
+    }
+  }
+
+  /** ln(u)/w with u = (first 13 md5 hex chars of the id, +1) / 2⁵³+ε —
+    * byte-identical to the batch gate's md5/conv formulation.
+    */
+  def aresKey(id: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    math.log((java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370497.0) / w
+  }
+
+  /** `(event_type, event_id, ares_key)` — the current per-type
+    * reservoir after each micro-batch.
+    */
+  def weightedReservoir(events: Dataset[Ev], k: Int = 3): Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new WeightedReservoirProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** `user_id, n_events, value_sum` updated per micro-batch. */
   def runningTotals(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._

@@ -300,6 +300,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("transformWithState weighted reservoir: deterministic A-Res top-k across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.weightedReservoir(in.toDS(), k = 3)
+        .toDF("event_type", "event_id", "ares_key"), "wres")
+      val b1 = Seq(Ev(1, 1, "m", 10.0, ts(0)), Ev(2, 1, "m", 500.0, ts(1)),
+        Ev(3, 1, "m", 2.0, ts(2)), Ev(4, 1, "m", 80.0, ts(3)))
+      val b2 = Seq(Ev(5, 1, "m", 900.0, ts(4)), Ev(6, 1, "m", 1.0, ts(5)))
+      def naive(evs: Seq[Ev]): Seq[(String, Long, Double)] = evs
+        .map(e => (e.event_type, e.event_id, Streaming.aresKey(e.event_id, math.max(e.value, 1e-9))))
+        .sortBy { case (_, id, k0) => (-k0, id) }.take(3)
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // update-mode memory sink accumulates each batch's emission: the
+      // table is exactly reservoir(b1) ++ reservoir(b1 ++ b2)
+      val got = spark.table("wres").as[(String, Long, Double)].collect().toSeq
+        .sortBy(t => (t._2, t._3))
+      val expect = (naive(b1) ++ naive(b1 ++ b2)).sortBy(t => (t._2, t._3))
+      assert(got == expect,
+        "reservoir must be the exact deterministic A-Res top-k after each batch")
+      // the final reservoir must be reachable from the persisted state,
+      // i.e. a batch-2-heavy item must EVICT a batch-1 survivor
+      val finalIds = naive(b1 ++ b2).map(_._2).toSet
+      assert(finalIds != naive(b1).map(_._2).toSet,
+        "fixture must exercise cross-batch eviction")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timers: idle keys flush when the watermark passes last-event + gap") {
     val s = spark
     import s.implicits._
