@@ -2996,14 +2996,19 @@ object Llm {
   def q_eval_ndcg(s: SparkSession, d: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val qTerms = Seq("the", "data", "model")
+    // dl feeds the join AND the stats agg; tf feeds scoring AND the df
+    // marginal — each materialized once (ExecProbe: 4 corpus scans → 2)
     val dl = documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
-    val qt = documents(s, d)
+    val tf = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(qTerms: _*))
-    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = qt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // tf is one row per (doc, term), so df is a plain row count per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("score",
@@ -3111,13 +3116,17 @@ object Llm {
     */
   def q_rank_fusion(s: SparkSession, d: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
+    // dl and the term slice each materialize once — 4 corpus scans → 2
+    // (ExecProbe-audited, same reuse gap as q_eval_ndcg)
     val dl = documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
     val tf = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") === "data")
       .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfq = tf.agg(count(lit(1)).as("df"))
     val bmTop = tf.join(dl, "doc_id").crossJoin(broadcast(dfq))
       .crossJoin(broadcast(stats))

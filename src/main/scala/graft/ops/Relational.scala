@@ -3124,7 +3124,12 @@ object Relational {
     * tested SF), identical in both engines before the one rounded ln.
     */
   def q_mutual_info(s: SparkSession, d: String): DataFrame = {
+    // the tiny cell table feeds FOUR consumers (cells, both marginals,
+    // N) — materialized once so the corpus is scanned once, not four
+    // times (ExecProbe-audited; exchange reuse does not fire across
+    // the differing aggregate parents)
     val obs = documents(s, d).groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val rl = obs.groupBy("lang").agg(sum("c").as("cl"))
     val rs = obs.groupBy("source").agg(sum("c").as("cs"))
     val tot = obs.agg(sum("c").as("n"))
