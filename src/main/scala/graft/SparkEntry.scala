@@ -132,6 +132,8 @@ object SparkEntry {
     "q_null_profile" -> (Relational.q_null_profile _),
     "q_null_profile_approx" -> (Relational.q_null_profile_approx _),
     "q_k_anon" -> (Relational.q_k_anon _),
+    "q_l_diversity" -> (Relational.q_l_diversity _),
+    "q_dup_census" -> (Relational.q_dup_census _),
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
     "q_churn" -> (Relational.q_churn _),
@@ -953,6 +955,30 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // word-SET fingerprint census: sorted-distinct-word md5 — both
+    // engines sort ASCII tokens bytewise, so the keys are identical
+    "q_dup_census" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |                        ',')) AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_rows,
+        |  CAST((1000000 * (count(*) - count(DISTINCT h)) + count(*) // 2)
+        |       // count(*) AS BIGINT) AS dup_ppm
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_null_profile" ->
       """WITH a AS (SELECT count(*) AS n,

@@ -2466,6 +2466,50 @@ object Relational {
       .filter(col("n") < 5)
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
+  /** l-diversity release audit — [[q_k_anon]]'s sibling from the same
+    * privacy model: k-anonymity bounds group SIZE, l-diversity bounds
+    * the variety of the SENSITIVE attribute within each
+    * quasi-identifier group (a k-anonymous group whose members all
+    * share one segment still leaks it). QI = (nation, balance band),
+    * sensitive = market segment; groups with fewer than 3 distinct
+    * segments are listed for suppression. One grouped distinct-count
+    * pass — the same plan class as the k-anon audit.
+    */
+  def q_l_diversity(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .filter(col("l_div") < 3)
+      .orderBy("c_nationkey", "bal_band")
+
+  /** Per-source duplication census over the word-SET fingerprint (the
+    * "same vocabulary, different order/counts" near-dup class — the
+    * corpus-health number a source-quality dashboard leads with; the
+    * md5-of-sorted-distinct-words key is the same family as
+    * [[Llm.q_text_normalize]]'s dedup key but order- and
+    * count-insensitive). One scan; per-source distinct counts; the
+    * dup rate ships as round-half-up ppm integers. At 100 TB the
+    * distinct expansion swaps for HLL exactly like q_null_profile's
+    * approx form.
+    */
+  def q_dup_census(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        md5(concat_ws(",", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup_rows"),
+        expr("cast((1000000 * (n_docs - n_unique) + n_docs div 2) div n_docs as bigint)")
+          .as("dup_ppm"))
+      .orderBy("source")
+
   /** Describe-style column profile (the census behind a data catalog
     * entry): per column, row count, null count, and EXACT distinct
     * count — one pass for the scan + the distinct expansions, then a
