@@ -281,6 +281,7 @@ object SparkEntry {
     "q_shard_rendezvous" -> (Llm.q_shard_rendezvous _),
     "q_eval_auc" -> (Llm.q_eval_auc _),
     "q_eval_ndcg" -> (Llm.q_eval_ndcg _),
+    "q_eval_f1" -> (Llm.q_eval_f1 _),
     "q_rank_fusion" -> (Llm.q_rank_fusion _),
     "q_select_cover" -> (Llm.q_select_cover _),
     "q_eval_calibration" -> (Llm.q_eval_calibration _),
@@ -2559,6 +2560,40 @@ object SparkEntry {
 
     // classifier scores as exact micro-unit integers + the C4 cascade
     // keep as gold → tie-aware Mann-Whitney AUC, all integer statistics
+    // per-class P/R/F1 as exact integer micro-units; F1 via its exact
+    // rational 2tp/(2tp+fp+fn) — no float P·R composition
+    "q_eval_f1" ->
+      """WITH base AS (
+        |  SELECT lang AS gold,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+        |  FROM (SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
+        |   FROM documents)),
+        |cells AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS cc
+        |          FROM base GROUP BY 1, 2),
+        |cls AS (SELECT unnest(['de','en','es']) AS cls),
+        |agg AS (
+        |  SELECT cls,
+        |    coalesce(sum(CASE WHEN gold = cls AND pred = cls THEN cc END), 0) AS tp,
+        |    coalesce(sum(CASE WHEN pred = cls AND gold <> cls THEN cc END), 0) AS fp,
+        |    coalesce(sum(CASE WHEN gold = cls AND pred <> cls THEN cc END), 0) AS fn
+        |  FROM cls CROSS JOIN cells GROUP BY cls)
+        |SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN CAST((1000000 * tp + (tp + fp) // 2) // (tp + fp) AS BIGINT) END
+        |    AS precision_ppm,
+        |  CASE WHEN tp + fn > 0
+        |       THEN CAST((1000000 * tp + (tp + fn) // 2) // (tp + fn) AS BIGINT) END
+        |    AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |       THEN CAST((2000000 * tp + (2 * tp + fp + fn) // 2)
+        |                 // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+        |FROM agg ORDER BY cls""".stripMargin,
+
     // greedy max-coverage replayed as a lockstep recursive CTE: exact
     // integer gains + doc_id tie-break make the trajectory engine-exact
     "q_select_cover" ->

@@ -3221,6 +3221,52 @@ object Llm {
       .orderBy("source")
   }
 
+  /** Per-class precision / recall / F1 for the stopword lang-ID
+    * heuristic against the gold label — the standard classifier report
+    * next to [[q_lang_kappa]]'s chance-corrected agreement. Everything
+    * is exact integers off ONE corpus scan's tiny confusion-cell
+    * table: tp/fp/fn per predicted class, and the three ratios as
+    * round-half-up micro-units (F1 uses its exact rational form
+    * 2tp/(2tp+fp+fn) — no float P·R composition). Degenerate classes
+    * (never predicted / never gold) report NULL, like q_eval_auc.
+    */
+  def q_eval_f1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = split(col("text"), " ")
+    val cells = documents(s, d)
+      .select(col("lang").as("gold"),
+        stopHits(words, EnStops).as("s_en"),
+        stopHits(words, EsStops).as("s_es"),
+        stopHits(words, DeStops).as("s_de"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .groupBy("gold", "pred").agg(count(lit(1)).as("cc"))
+      .localCheckpoint() // tiny cell grid feeds all three class sums
+    Seq("de", "en", "es").toDF("cls")
+      .crossJoin(cells)
+      .groupBy("cls")
+      .agg(
+        coalesce(sum(when(col("gold") === col("cls") && col("pred") === col("cls"),
+          col("cc"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("pred") === col("cls") && col("gold") =!= col("cls"),
+          col("cc"))), lit(0L)).as("fp"),
+        coalesce(sum(when(col("gold") === col("cls") && col("pred") =!= col("cls"),
+          col("cc"))), lit(0L)).as("fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("cast((1000000 * tp + (tp + fp) div 2) div (tp + fp) as bigint)"))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("cast((1000000 * tp + (tp + fn) div 2) div (tp + fn) as bigint)"))
+          .as("recall_ppm"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          expr("cast((2000000 * tp + (2 * tp + fp + fn) div 2) div (2 * tp + fp + fn) as bigint)"))
+          .as("f1_ppm"))
+      .orderBy("cls")
+  }
+
   // ---- soft dedup -----------------------------------------------------
 
   /** SOFT dedup: keep every duplicate but down-weight it by its exact

@@ -133,6 +133,27 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_eval_f1: tp/fp/fn replay exactly from a naive confusion matrix") {
+    val out = Llm.q_eval_f1(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val en = Set("the", "and", "of", "to", "in")
+    val es = Set("el", "la", "de", "que", "los")
+    val de = Set("der", "die", "das", "und", "ist")
+    val pairs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val (a, b, c) = (ws.count(en), ws.count(es), ws.count(de))
+        val pred = if (a >= b && a >= c) "en" else if (b >= c) "es" else "de"
+        (r.getString(0), pred)
+      }
+    Seq("de", "en", "es").foreach { cls =>
+      val tp = pairs.count(p => p._1 == cls && p._2 == cls).toLong
+      val fp = pairs.count(p => p._1 != cls && p._2 == cls).toLong
+      val fn = pairs.count(p => p._1 == cls && p._2 != cls).toLong
+      assert(out(cls) == ((tp, fp, fn)), s"class $cls")
+    }
+  }
+
   test("q_rank_fusion: fused list replays exactly from the two legs' collected rankings") {
     val out = Llm.q_rank_fusion(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
