@@ -134,6 +134,7 @@ object SparkEntry {
     "q_k_anon" -> (Relational.q_k_anon _),
     "q_l_diversity" -> (Relational.q_l_diversity _),
     "q_dup_census" -> (Relational.q_dup_census _),
+    "q_drift_psi_numeric" -> (Relational.q_drift_psi_numeric _),
     "q_gini" -> (Relational.q_gini _),
     "q_entropy" -> (Relational.q_entropy _),
     "q_churn" -> (Relational.q_churn _),
@@ -956,6 +957,34 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // numeric PSI: current binned by the REFERENCE deciles; Laplace +1;
+    // ln argument is a ratio of exact integer products
+    "q_drift_psi_numeric" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+        |             WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |e AS (SELECT [quantile_cont(v,0.1),quantile_cont(v,0.2),quantile_cont(v,0.3),
+        |              quantile_cont(v,0.4),quantile_cont(v,0.5),quantile_cont(v,0.6),
+        |              quantile_cont(v,0.7),quantile_cont(v,0.8),quantile_cont(v,0.9)]
+        |        AS edges FROM ref),
+        |rb AS (SELECT len(list_filter(edges, x -> v > x)) AS bin, count(*) AS n_ref
+        |       FROM ref CROSS JOIN e GROUP BY 1),
+        |cb AS (SELECT len(list_filter(edges, x -> v > x)) AS bin, count(*) AS n_cur
+        |       FROM cur CROSS JOIN e GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_ref) FROM rb) AS nr,
+        |               (SELECT sum(n_cur) FROM cb) AS nc),
+        |g AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+        |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur, nr, nc
+        |      FROM rb FULL JOIN cb ON rb.bin = cb.bin CROSS JOIN tot)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(((n_ref + 1.0) / (nr + 10.0) - (n_cur + 1.0) / (nc + 10.0))
+        |      * ln(CAST((n_ref + 1) * (nc + 10) AS DOUBLE)
+        |           / CAST((n_cur + 1) * (nr + 10) AS DOUBLE)) * 1000000 + 1e-9, 3)
+        |    AS psi_micro
+        |FROM g ORDER BY bin""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT c_nationkey,

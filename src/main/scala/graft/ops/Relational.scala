@@ -2466,6 +2466,47 @@ object Relational {
       .filter(col("n") < 5)
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
+  /** Numeric drift PSI over REFERENCE deciles — the numeric-column
+    * sibling of the categorical [[Llm.q_drift_psi]] snapshot profile
+    * (train-vs-serve skew detection's standard form: bin the current
+    * distribution by the reference's own decile edges, then
+    * PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with +1 Laplace smoothing so empty
+    * current bins stay finite). The ln argument is a ratio of EXACT
+    * integer products, and shares are double divisions of exact
+    * integers — engine-identical before the one rounded ln. Bin totals
+    * derive from the 10-row bin tables, not extra scans; the edge
+    * vector broadcasts. At 100 TB swap the exact decile pass for the
+    * mergeable approx_percentile sketch — same report shape.
+    */
+  def q_drift_psi_numeric(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val ref = orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select(col("o_totalprice").as("v"))
+    val cur = orders(s, d).filter(col("o_orderdate") >= cutoff)
+      .select(col("o_totalprice").as("v"))
+    val edges = ref.agg(
+      percentile(col("v"), lit((1 to 9).map(_ / 10.0).toArray)).as("edges"))
+    def binned(df: DataFrame, n: String): DataFrame = df
+      .crossJoin(broadcast(edges))
+      .withColumn("bin", size(filter(col("edges"), x => col("v") > x)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val rb = binned(ref, "n_ref").localCheckpoint() // 10 rows; feeds join + total
+    val cb = binned(cur, "n_cur").localCheckpoint()
+    val tot = rb.agg(sum("n_ref").as("nr"))
+      .crossJoin(cb.agg(sum("n_cur").as("nc")))
+    rb.join(cb, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(
+          ((col("n_ref") + 1).cast("double") / (col("nr") + 10).cast("double")
+            - (col("n_cur") + 1).cast("double") / (col("nc") + 10).cast("double"))
+            * log(((col("n_ref") + 1) * (col("nc") + 10)).cast("double")
+              / ((col("n_cur") + 1) * (col("nr") + 10)).cast("double"))
+            * 1000000 + lit(1e-9), 3).as("psi_micro"))
+      .orderBy("bin")
+  }
+
   /** l-diversity release audit — [[q_k_anon]]'s sibling from the same
     * privacy model: k-anonymity bounds group SIZE, l-diversity bounds
     * the variety of the SENSITIVE attribute within each
