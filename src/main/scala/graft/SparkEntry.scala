@@ -1743,10 +1743,10 @@ object SparkEntry {
         |rs AS (SELECT source, sum(c) AS cs FROM c GROUP BY 1)
         |SELECT c.lang, c.source, c.c,
         |  round(ln(CAST(c.c * n AS DOUBLE) / CAST(cl * cs AS DOUBLE)) + 1e-9, 6)
-        |    AS pmi,
+        |    + 0.0 AS pmi,
         |  round(CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE)
         |        * ln(CAST(c.c * n AS DOUBLE) / CAST(cl * cs AS DOUBLE)) + 1e-9, 6)
-        |    AS mi_term
+        |    + 0.0 AS mi_term
         |FROM c JOIN rl USING (lang) JOIN rs USING (source) CROSS JOIN tot
         |ORDER BY lang, source""".stripMargin,
 

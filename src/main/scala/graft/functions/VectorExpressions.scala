@@ -421,6 +421,142 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Precomputed BPE merge model behind [[BpeApply]] — the greedy
+  * lowest-rank-pair decoder of `graft.ops.Llm.bpeEncode` (Sennrich et
+  * al. 2016 §3; the GPT-2 reference encoder) as a reusable JVM kernel.
+  * `pairs` is the trained merge list in rank order, each entry
+  * `"l r"` (symbols never contain spaces — words come from
+  * `split(text, ' ')`). The lookups intern every merge participant to
+  * a dense int id once per JVM (transient lazy, rebuilt after plan
+  * serialization), so the per-word loop compares ints and probes one
+  * (l,r)-packed long hash — no string equality in the hot path.
+  * Duplicate (l,r) entries keep the LAST rank, replicating the UDF
+  * reference's `toMap` (unreachable from [[graft.ops.Llm.bpeTrain]]
+  * output: a merged pair can never re-form, but user-supplied lists
+  * must behave identically).
+  */
+final class BpeModel(pairs: Array[String]) extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  @transient private lazy val lookups = {
+    val symId = new java.util.HashMap[UTF8String, Integer]()
+    def id(s: String): Int = {
+      val u = UTF8String.fromString(s)
+      var v = symId.get(u)
+      if (v == null) { v = Integer.valueOf(symId.size()); symId.put(u, v) }
+      v.intValue()
+    }
+    val n = pairs.length
+    val mergeL = new Array[Int](n)
+    val mergeR = new Array[Int](n)
+    val outId = new Array[Int](n)
+    val outStr = new Array[UTF8String](n)
+    val pairRank = new java.util.HashMap[java.lang.Long, Integer]()
+    var r = 0
+    while (r < n) {
+      val p = pairs(r)
+      val sp = p.indexOf(' ')
+      val l = p.substring(0, sp)
+      val rt = p.substring(sp + 1)
+      mergeL(r) = id(l); mergeR(r) = id(rt); outId(r) = id(l + rt)
+      outStr(r) = UTF8String.fromString(l + rt)
+      pairRank.put( // unconditional: last rank wins, as in the UDF's toMap
+        java.lang.Long.valueOf((mergeL(r).toLong << 32) | (mergeR(r).toLong & 0xffffffffL)),
+        Integer.valueOf(r))
+      r += 1
+    }
+    (symId, pairRank, mergeL, mergeR, outId, outStr)
+  }
+
+  /** Greedy decode: repeatedly merge the adjacent pair with the LOWEST
+    * merge rank until none applies. Symbols outside the merge
+    * vocabulary (id −1, including null elements) pass through untouched
+    * and never match a pair — exactly the UDF reference's
+    * `getOrElse(MaxValue)`.
+    */
+  def encode(syms: ArrayData): ArrayData = {
+    val (symId, pairRank, mergeL, mergeR, outId, outStr) = lookups
+    var n = syms.numElements()
+    val ids = new Array[Int](n)
+    val strs = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val u = syms.getUTF8String(i)
+      strs(i) = u
+      val v = if (u == null) null else symId.get(u)
+      ids(i) = if (v == null) -1 else v.intValue()
+      i += 1
+    }
+    var done = n < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < n - 1) {
+        if (ids(j) >= 0 && ids(j + 1) >= 0) {
+          val r = pairRank.get(java.lang.Long.valueOf(
+            (ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL)))
+          if (r != null && r.intValue() < best) best = r.intValue()
+        }
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val la = mergeL(best)
+        val ra = mergeR(best)
+        var w = 0
+        var k = 0
+        while (k < n) {
+          if (k + 1 < n && ids(k) == la && ids(k + 1) == ra) {
+            ids(w) = outId(best); strs(w) = outStr(best); w += 1; k += 2
+          } else { ids(w) = ids(k); strs(w) = strs(k); w += 1; k += 1 }
+        }
+        n = w
+        done = n < 2
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(strs, n).asInstanceOf[Array[Any]])
+  }
+}
+
+/** BPE greedy encoding of a symbol array (`array<string>` →
+  * `array<string>`) as a codegen expression: the whole merge loop is one
+  * [[BpeModel.encode]] call emitted into the generated stage, replacing
+  * the JVM UDF closure on the engine's slowest scalar gate (the
+  * `graft_sigmatch` promotion precedent measured −33…−42% on kernel
+  * swaps). The merge list is a plan-time constant (the tokenizer model,
+  * ~30k entries in production) shipped once per plan via the codegen
+  * reference array, not per row. NULL symbol array → NULL.
+  */
+case class BpeApply(child: Expression, merges: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def prettyName: String = "graft_bpe_apply"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  @transient private lazy val model = new BpeModel(merges.toArray)
+
+  override protected def nullSafeEval(a: Any): Any =
+    model.encode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $modelRef.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. Routed through
   * the session FunctionRegistry + `call_function` (the public
   * Expression→Column path in Spark 4; `Column(expr)` construction is
@@ -471,6 +607,14 @@ object Vec {
     ensureRegistered()
     call_function("graft_cdc_chunks", text)
   }
+  def bpeApply(syms: Column, merges: Seq[(String, String)]): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    // "l r" is unambiguous: symbols come from split(text, ' ') and can
+    // never contain a space
+    call_function("graft_bpe_apply", syms,
+      lit(merges.map { case (l, r) => s"$l $r" }.toArray))
+  }
 
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -501,6 +645,9 @@ object Vec {
     (FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
       (es: Seq[Expression]) => CdcChunks(es(0))),
+    (FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe_apply"),
+      (es: Seq[Expression]) => BpeApply(es(0), foldToStringSeq(es(1), "merges"))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated
@@ -515,6 +662,21 @@ object Vec {
     }
     case _ => throw new IllegalArgumentException(
       s"graft_word_ngrams $what must be a literal, got $e")
+  }
+
+  /** The merge list must be a literal ARRAY<STRING> — it is the
+    * tokenizer model, baked into the plan's reference array.
+    */
+  private def foldToStringSeq(e: Expression, what: String): Seq[String] = e match {
+    case other if other.foldable => other.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+      case v => throw new IllegalArgumentException(
+        s"graft_bpe_apply $what must be an ARRAY<STRING> literal, got $v")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"graft_bpe_apply $what must be a literal, got $e")
   }
 
   /** Register `graft_dot` / `graft_l2norm` for SQL use on a live session. */

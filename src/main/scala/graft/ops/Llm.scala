@@ -933,11 +933,14 @@ object Llm {
   // ---- BPE tokenizer training ----------------------------------------
 
   /** Greedy non-overlapping merge of one adjacent symbol pair — the
-    * per-word apply step of a BPE round. UDF kernel by necessity: the
-    * lookahead fold has no codegen HOF form (same precedent as the
-    * winnow/minhash reference kernels).
+    * per-word apply step of a BPE round. UDF reference implementation
+    * for the single-rule `graft_bpe_apply` form used by [[bpeTrain]]
+    * (one greedy pass with one rule ≡ this fold: merging (a,b) → a+b
+    * can never create a new (a,b) adjacency, so the kernel's
+    * repeat-until-done loop terminates after one effective pass) —
+    * TextExpressionsSpec holds the parity.
     */
-  private val bpeMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+  private[graft] val bpeMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -990,7 +993,8 @@ object Llm {
         merges += ((l, r, f))
         val prev = words
         words = words
-          .withColumn("syms", bpeMergeUdf(col("syms"), lit(l), lit(r)))
+          .withColumn("syms",
+            graft.functions.Vec.bpeApply(col("syms"), Seq((l, r))))
           .localCheckpoint() // eager: materialized before prev is released
         // without this, every round's checkpoint blocks stay cached and
         // executor storage grows linearly in numMerges (~30k at real
@@ -1021,9 +1025,43 @@ object Llm {
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
+    // same initial symbolization expression as bpeTrain, so the two
+    // sides of the parity invariant (encode(vocab) == trained word
+    // table) start from identical symbol arrays by construction; the
+    // greedy merge loop is the native codegen graft_bpe_apply kernel
+    // (UDF reference kept below for TextExpressionsSpec parity)
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0).distinct()
+      .withColumn("__toks",
+        graft.functions.Vec.bpeApply(
+          concat(split(col("__w"), ""), array(lit("</w>"))), merges))
+    val tokRows = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__dw")))
+      .filter(length(col("__dw")) > 0)
+      .join(vocab, col("__dw") === col("__w"))
+      .groupBy("__id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__toks")))),
+        s => s.getField("__toks"))).as("tokens"))
+    docs.select(col(idCol)).distinct()
+      .join(tokRows, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
+  }
+
+  /** UDF reference implementation of the BPE greedy decoder — the
+    * independent formulation `graft_bpe_apply` must match
+    * symbol-for-symbol (TextExpressionsSpec parity; same role as
+    * [[bigramsUdf]]/[[winnowUdf]] for their kernels). Not on any hot
+    * path.
+    */
+  private[graft] def bpeEncodeUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case ((l, r), i) => ((l, r), i) }.toMap
-    val encodeUdf = udf { (syms0: Seq[String]) =>
+    udf { (syms0: Seq[String]) =>
       var syms = syms0.toVector
       var done = syms.length < 2
       while (!done) {
@@ -1050,27 +1088,6 @@ object Llm {
       }
       syms
     }
-    // same initial symbolization expression as bpeTrain, so the two
-    // sides of the parity invariant (encode(vocab) == trained word
-    // table) start from identical symbol arrays by construction
-    val vocab = docs
-      .select(explode(split(col(textCol), " ")).as("__w"))
-      .filter(length(col("__w")) > 0).distinct()
-      .withColumn("__toks",
-        encodeUdf(concat(split(col("__w"), ""), array(lit("</w>")))))
-    val tokRows = docs
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__dw")))
-      .filter(length(col("__dw")) > 0)
-      .join(vocab, col("__dw") === col("__w"))
-      .groupBy("__id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__toks")))),
-        s => s.getField("__toks"))).as("tokens"))
-    docs.select(col(idCol)).distinct()
-      .join(tokRows, col(idCol) === col("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
   }
 
   /** Gate query for [[bpeTrain]]+[[bpeEncode]]: train 30 merges on the
@@ -3046,18 +3063,29 @@ object Llm {
     * objective; production corpus assembly uses exactly this loop to
     * pick few-shot/eval exemplars that span a phrase inventory.
     *
-    * Scale shape: the distinct doc-bigram table is built ONCE (one
-    * corpus scan, Heaps-bounded) and DISK_ONLY-cached (evictable — a
-    * pinned localCheckpoint starved the execution pool at sf100; see
-    * the inline note); each of
-    * the k rounds is one anti-join against the covered set (broadcast,
-    * ≤ |vocab| rows) + one doc-keyed agg + a distributed
-    * TakeOrderedAndProject argmax with a limit(1) collect — the
-    * sanctioned bounded-driver-traffic pattern ([[bpeTrain]], MMR).
-    * Driver state is the covered-bigram set, bounded by |vocab| like
-    * BPE's merge table. Gains are exact integers with doc_id
-    * tie-break, so the greedy trajectory is engine-exact; the oracle
-    * replays it as a lockstep recursive CTE.
+    * Scale shape — CELF-style candidate pool + incremental gain
+    * maintenance (Leskovec et al. 2007's lazy-greedy bound, applied
+    * as a pool certificate): submodularity means residual gains only
+    * ever FALL, so a doc whose INITIAL gain is below the last pick's
+    * RESIDUAL gain can never be chosen. The corpus-sized doc-bigram
+    * table (450M rows at sf100, DISK_ONLY-cached — a pinned
+    * localCheckpoint starved the execution pool at the fourth decade)
+    * is therefore touched exactly THREE times regardless of k: once to
+    * build initial per-doc gains, once to extract the top-M candidate
+    * pool's bigram pairs, and never again — the k greedy rounds run
+    * entirely over the M-sized pool relations (argmax + the last
+    * pick's covered-bigram delta decrementing only the pool docs that
+    * share a bigram with it), replacing round 9's k full corpus
+    * rescans (537 s IO-bound at sf100). The bound is CHECKED, not
+    * assumed: every pick's residual gain must strictly exceed the max
+    * initial gain outside the pool (strict, so doc_id tie-breaks can
+    * never involve an excluded doc); if any round fails the
+    * certificate, M doubles and the trajectory restarts (one extra
+    * pool-extraction scan per doubling — still far below a rescan per
+    * round). Driver state stays bounded as before: the covered set (≤
+    * k docs' bigrams) and one argmax row per round. Gains are exact
+    * integers with doc_id tie-break, so the trajectory is
+    * engine-exact; the oracle replays it as a lockstep recursive CTE.
     */
   def q_select_cover(s: SparkSession, d: String): DataFrame = {
     val k = 8
@@ -3068,35 +3096,78 @@ object Llm {
         .as("bg"))
       .distinct()
     val vocab = dt0.groupBy("bg").agg(count(lit(1)).as("df")).filter(col("df") >= 5)
-    // DISK_ONLY, not localCheckpoint: the doc-bigram table is
-    // corpus-sized (450M rows at sf100) and checkpoint blocks pinned
-    // in the unified pool starved execution memory at the fourth
-    // decade (UNABLE_TO_ACQUIRE_MEMORY in the round-gain agg); a
-    // disk-cached evictable copy gives the same scan-once behavior
-    // with zero memory-pool footprint
     val dt = dt0.join(vocab.select("bg"), Seq("bg"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    dt.count() // materialize before the rounds so each reads the cache
+    // corpus touch 1: initial per-doc gains (doc-count-sized, not
+    // corpus-sized — small enough to keep hot for the pool cuts)
+    val gains0 = dt.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = gains0.count()
     var covered = Set.empty[String]
     val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-    for (rank <- 1 to k) {
-      val coveredDf = s.createDataFrame(
-        s.sparkContext.parallelize(covered.toSeq.map(Tuple1(_)), 1)
-          .map(t => org.apache.spark.sql.Row(t._1)),
-        new org.apache.spark.sql.types.StructType()
-          .add("bg", org.apache.spark.sql.types.StringType))
-      val top = dt.join(broadcast(coveredDf), Seq("bg"), "left_anti")
-        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id")).limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val id = top(0).getLong(0)
-        val gain = top(0).getLong(1)
-        covered ++= dt.filter(col("doc_id") === id)
-          .select("bg").collect().map(_.getString(0))
-        out += ((rank, id, gain, covered.size.toLong))
+    var m = 1024L
+    var done = false
+    while (!done) {
+      covered = Set.empty[String]
+      out.clear()
+      // pool cut: the M-th initial gain (boundary ties included), and
+      // the certificate threshold t = max initial gain OUTSIDE the pool
+      val cut = gains0.orderBy(col("gain").desc, col("doc_id")).limit(m.toInt)
+        .agg(min("gain")).collect()(0).getLong(0)
+      val tRow = gains0.filter(col("gain") < cut).agg(max("gain")).collect()(0)
+      val t: Option[Long] = if (tRow.isNullAt(0)) None else Some(tRow.getLong(0))
+      val poolIds = gains0.filter(col("gain") >= cut)
+      // corpus touch 2: the pool docs' bigram pairs (M × avg-doc-bigrams
+      // rows — pool-sized, every subsequent round reads only this)
+      val pool = dt.join(broadcast(poolIds.select("doc_id")), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var poolGains = poolIds.localCheckpoint()
+      var certified = true
+      var exhausted = false
+      var rank = 1
+      while (rank <= k && certified && !exhausted) {
+        val top = poolGains.filter(col("gain") > 0)
+          .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+        if (top.isEmpty) {
+          // pool ran dry: exact iff no excluded doc could still gain
+          if (t.isDefined) certified = false else exhausted = true
+        } else {
+          val id = top(0).getLong(0)
+          val gain = top(0).getLong(1)
+          // strict: at a tie with an excluded doc's initial gain the
+          // doc_id order could prefer the excluded doc — not certifiable
+          if (t.exists(gain <= _)) certified = false
+          else {
+            val newBgs = pool.filter(col("doc_id") === id).select("bg")
+              .collect().map(_.getString(0)).filterNot(covered)
+            covered ++= newBgs
+            out += ((rank, id, gain, covered.size.toLong))
+            // incremental maintenance: only pool docs sharing a newly
+            // covered bigram lose gain; everyone else is untouched
+            val deltaDf = s.createDataFrame(
+              s.sparkContext.parallelize(newBgs.toSeq.map(Tuple1(_)), 1)
+                .map(x => org.apache.spark.sql.Row(x._1)),
+              new org.apache.spark.sql.types.StructType()
+                .add("bg", org.apache.spark.sql.types.StringType))
+            val dec = pool.join(broadcast(deltaDf), Seq("bg"), "left_semi")
+              .groupBy("doc_id").agg(count(lit(1)).as("dec"))
+            poolGains = poolGains.join(dec, Seq("doc_id"), "left_outer")
+              .select(col("doc_id"),
+                (col("gain") - coalesce(col("dec"), lit(0L))).as("gain"))
+              .localCheckpoint() // M rows — pins the round, releases lineage
+            rank += 1
+          }
+        }
       }
+      pool.unpersist(blocking = false)
+      if (certified) done = true
+      else if (m >= nDocs)
+        throw new IllegalStateException(
+          s"select_cover pool certificate failed with the FULL corpus as pool " +
+            s"(m=$m >= nDocs=$nDocs) — unreachable by construction")
+      else m = math.min(m * 8, nDocs) // re-extraction is one corpus scan; jump fast
     }
+    gains0.unpersist(blocking = false)
     dt.unpersist(blocking = false)
     import s.implicits._
     out.toSeq.toDF("rank", "doc_id", "gain", "cum_cover")

@@ -2484,8 +2484,11 @@ object Relational {
       .select(col("o_totalprice").as("v"))
     val cur = orders(s, d).filter(col("o_orderdate") >= cutoff)
       .select(col("o_totalprice").as("v"))
+    // 1 row; feeds BOTH binned() calls — pinned so the exact-percentile
+    // pass over the ref slice runs once, not once per consumer
     val edges = ref.agg(
       percentile(col("v"), lit((1 to 9).map(_ / 10.0).toArray)).as("edges"))
+      .localCheckpoint()
     def binned(df: DataFrame, n: String): DataFrame = df
       .crossJoin(broadcast(edges))
       .withColumn("bin", size(filter(col("edges"), x => col("v") > x)).cast("long"))

@@ -329,10 +329,16 @@ object Streaming {
       var cur: List[(Double, Long)] =
         if (res.exists()) { val (ks, ids) = res.get(); ks.zip(ids).toList } else Nil
       rows.foreach { e =>
-        val kk = Streaming.aresKey(e.event_id, math.max(e.value, 1e-9))
-        // (key desc, id asc) total order; keep the top k
-        cur = ((kk, e.event_id) :: cur)
-          .sortBy { case (x, id) => (-x, id) }.take(k)
+        // at-least-once guard: a re-delivered event_id (same id within or
+        // across micro-batches) must not occupy a second reservoir slot —
+        // its A-Res key is a pure function of (id, w), so skipping the
+        // duplicate leaves the reservoir identical to exactly-once delivery
+        if (!cur.exists(_._2 == e.event_id)) {
+          val kk = Streaming.aresKey(e.event_id, math.max(e.value, 1e-9))
+          // (key desc, id asc) total order; keep the top k
+          cur = ((kk, e.event_id) :: cur)
+            .sortBy { case (x, id) => (-x, id) }.take(k)
+        }
       }
       res.update((cur.map(_._1), cur.map(_._2)))
       cur.iterator.map { case (x, id) => (key, id, x) }

@@ -116,6 +116,56 @@ class TextExpressionsSpec extends AnyFunSuite {
       s"kernel fell out of codegen:\n$plan")
   }
 
+  test("graft_bpe_apply ≡ greedy-decode UDF reference on the fixture vocabulary") {
+    import org.apache.spark.sql.functions.{array, concat, explode, length, lit, not, split}
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val (merges3, _) = graft.ops.Llm.bpeTrain(docs, "text", numMerges = 30)
+    val merges = merges3.map { case (l, r, _) => (l, r) }
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("syms", concat(split(col("w"), ""), array(lit("</w>"))))
+    val diff = vocab.select(
+      Vec.bpeApply(col("syms"), merges).as("nat"),
+      graft.ops.Llm.bpeEncodeUdf(merges)(col("syms")).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(diff == 0)
+    // single-rule form ≡ the one-pair merge UDF used as bpeTrain's
+    // per-round reference (one greedy pass: a merge output can never
+    // re-create its own pair)
+    val (l0, r0) = merges.head
+    val diff1 = vocab.select(
+      Vec.bpeApply(col("syms"), Seq((l0, r0))).as("nat"),
+      graft.ops.Llm.bpeMergeUdf(col("syms"), lit(l0), lit(r0)).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(diff1 == 0)
+    // pathological inputs: empty array, single symbol, unknown symbols,
+    // duplicate-rule lists (last rank wins, matching the UDF's toMap)
+    import spark.implicits._
+    val weird = Seq(Seq.empty[String], Seq("a"), Seq("zz", "yy"),
+      Seq("a", "b", "a", "b", "a"), Seq("a", "a", "b", "b")).toDF("syms")
+    val rules = Seq(("a", "b"), ("ab", "a"), ("a", "b"))
+    val dw = weird.select(
+      Vec.bpeApply(col("syms"), rules).as("nat"),
+      graft.ops.Llm.bpeEncodeUdf(rules)(col("syms")).as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(dw == 0)
+  }
+
+  test("graft_bpe_apply runs inside whole-stage codegen") {
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val df = docs
+      .select(Vec.bpeApply(
+        split(col("text"), " "), Seq(("t", "h"), ("th", "e"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"graft_bpe_apply fell out of codegen:\n$plan")
+    // "*(n)" is the simple-string marker for a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [graft_bpe_apply"),
+      s"no codegen span around graft_bpe_apply:\n$plan")
+  }
+
   test("tokenizer edge semantics pinned at the kernel level") {
     // "a b c" vs "a b c " must hash identically (trailing empties dropped);
     // "a  b c" differs from "a b c" (interior empty token is a real token)

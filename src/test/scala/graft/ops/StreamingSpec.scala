@@ -321,13 +321,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
       q.processAllAvailable()
       in.addData(b2: _*)
       q.processAllAvailable()
+      // batch 3: at-least-once re-delivery — one id currently IN the
+      // reservoir (5) and one long evicted (3); the reservoir must be
+      // identical to exactly-once delivery (A-Res keys are pure
+      // functions of (id, w), and duplicates are dropped on insert)
+      in.addData(Ev(5, 1, "m", 900.0, ts(6)), Ev(3, 1, "m", 2.0, ts(7)))
+      q.processAllAvailable()
       // update-mode memory sink accumulates each batch's emission: the
-      // table is exactly reservoir(b1) ++ reservoir(b1 ++ b2)
+      // table is reservoir(b1) ++ reservoir(b1 ++ b2) ++ the UNCHANGED
+      // reservoir after the duplicate-only batch
       val got = spark.table("wres").as[(String, Long, Double)].collect().toSeq
         .sortBy(t => (t._2, t._3))
-      val expect = (naive(b1) ++ naive(b1 ++ b2)).sortBy(t => (t._2, t._3))
+      val expect = (naive(b1) ++ naive(b1 ++ b2) ++ naive(b1 ++ b2))
+        .sortBy(t => (t._2, t._3))
       assert(got == expect,
-        "reservoir must be the exact deterministic A-Res top-k after each batch")
+        "reservoir must be the exact deterministic A-Res top-k after each batch, " +
+          "unchanged by re-delivered ids")
       // the final reservoir must be reachable from the persisted state,
       // i.e. a batch-2-heavy item must EVICT a batch-1 survivor
       val finalIds = naive(b1 ++ b2).map(_._2).toSet
