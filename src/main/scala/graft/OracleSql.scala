@@ -179,33 +179,55 @@ object OracleSql {
   private val est32 = "list_sum(list_transform(generate_series(1, 32), " +
     "k -> CASE WHEN a.sigs[k] = b.sigs[k] THEN 1 ELSE 0 END)) / 32.0"
 
-  /** `<p>capped → <p>cand → <p>shset → <p>verified`: the 256-cap, the
-    * within-bucket pair join, and the exact shingle-set Jaccard verify.
+  /** `<p>capped → <p>cand → … → <p>verified`: the 256-cap, the
+    * within-bucket pair join, and the exact shingle-set Jaccard verify
+    * in RELATIONAL form — one (doc_id, md5(shingle)) row per distinct
+    * shingle of a CANDIDATE doc, intersections via a digest equi-join
+    * grouped per pair. The earlier per-doc shingle LISTs
+    * (`list_intersect` per pair row) materialized the whole corpus as
+    * VARCHAR lists and OOM'd DuckDB at sf10; digest rows hash-join and
+    * spill instead, and only candidate docs are shingled at all.
+    * Jaccard = ni / (n1 + n2 − ni) divides the same exact integers as
+    * the engine's |A∩B| / |A∪B| (md5 is collision-free at any tested
+    * corpus size).
     */
   private def pairCtes(p: String): String = s"""
-${p}capped AS (
+${p}capped AS MATERIALIZED (
   SELECT * FROM (
     SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM ${p}exploded)
   WHERE bn <= 256
-), ${p}cand AS (
+), ${p}cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $est32 AS est_jaccard
   FROM ${p}capped a JOIN ${p}capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-), ${p}shset AS (
-  SELECT doc_id,
-         CASE WHEN nw < 3 THEN [coalesce(text, '')]
-              ELSE list_distinct(list_transform(generate_series(1, nw - 2),
-                     i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]))
-         END AS shset
-  FROM ${p}docs
-), ${p}verified AS (
+), ${p}cdocs AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id1 AS doc_id FROM ${p}cand UNION ALL SELECT id2 FROM ${p}cand)
+), ${p}shr AS MATERIALIZED (
+  SELECT DISTINCT doc_id, md5(s) AS shd FROM (
+    SELECT d.doc_id,
+           unnest(list_transform(generate_series(1, nw - 2),
+             i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2])) AS s
+    FROM ${p}docs d SEMI JOIN ${p}cdocs USING (doc_id) WHERE nw >= 3
+    UNION ALL
+    SELECT d.doc_id, coalesce(text, '') AS s
+    FROM ${p}docs d SEMI JOIN ${p}cdocs USING (doc_id) WHERE nw < 3)
+), ${p}shn AS MATERIALIZED (
+  SELECT doc_id, count(*) AS nsh FROM ${p}shr GROUP BY doc_id
+), ${p}inter AS MATERIALIZED (
+  SELECT c.id1, c.id2, count(*) AS ni
+  FROM ${p}cand c
+  JOIN ${p}shr a ON a.doc_id = c.id1
+  JOIN ${p}shr b ON b.doc_id = c.id2 AND b.shd = a.shd
+  GROUP BY c.id1, c.id2
+), ${p}verified AS MATERIALIZED (
   SELECT id1, id2, est_jaccard, jaccard FROM (
-    SELECT id1, id2, est_jaccard,
-           len(list_intersect(s1.shset, s2.shset))::DOUBLE
-             / len(list_distinct(list_concat(s1.shset, s2.shset))) AS jaccard
-    FROM ${p}cand
-    JOIN ${p}shset s1 ON s1.doc_id = id1
-    JOIN ${p}shset s2 ON s2.doc_id = id2)
+    SELECT c.id1, c.id2, c.est_jaccard,
+           coalesce(i.ni, 0)::DOUBLE / (n1.nsh + n2.nsh - coalesce(i.ni, 0)) AS jaccard
+    FROM ${p}cand c
+    LEFT JOIN ${p}inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+    JOIN ${p}shn n1 ON n1.doc_id = c.id1
+    JOIN ${p}shn n2 ON n2.doc_id = c.id2)
   WHERE jaccard >= 0.5
 )"""
 
@@ -216,43 +238,78 @@ ${p}capped AS (
     "WITH " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """
 SELECT id1, id2, est_jaccard, jaccard FROM mh_verified ORDER BY id1, id2"""
 
-  /** q_dedup_clusters: transitive closure (min-label connected
-    * components) over the verified pair set, as a recursive CTE.
+  /** Min-label connected components over `mh_verified` as UNROLLED
+    * pointer-jumping rounds (the recursive-CTE reachability form
+    * accumulated (id, label) pairs diameter-by-diameter and walled the
+    * sf10 sweep at 2400 s). Each round folds, per node, its own label,
+    * its neighbors' labels (one hop) and its label's label (pointer
+    * jump), so reach at round k is ≥ 2^k: `rounds` = 12 certifies any
+    * component of diameter ≤ 4096 — far beyond the capped LSH pair
+    * graph. The label table holds only nodes that HAVE edges
+    * (singletons rejoin at the end), keeping every round linear in the
+    * pair count, not the corpus. `ccviol` is the loud non-convergence
+    * sentinel: an edge with differing final labels appends an
+    * impossible extra row, failing the row-count compare instead of
+    * silently shipping wrong clusters.
+    */
+  private def closureCtes(rounds: Int): String = {
+    // every ccl round references its predecessor 3× — DuckDB v1.0
+    // INLINES each reference (no auto-materialization), which makes the
+    // naive form 3^rounds copies of the whole upstream pipeline; the
+    // MATERIALIZED hint pins each round to one evaluation
+    val roundCtes = (1 to rounds).map { k =>
+      s"""ccl$k AS MATERIALIZED (
+  SELECT id, min(lab) AS lab FROM (
+    SELECT id, lab FROM ccl${k - 1}
+    UNION ALL
+    SELECT e.a AS id, l.lab FROM cc_edges e JOIN ccl${k - 1} l ON l.id = e.b
+    UNION ALL
+    SELECT x.id, y.lab FROM ccl${k - 1} x JOIN ccl${k - 1} y ON y.id = x.lab)
+  GROUP BY id)"""
+    }.mkString(",\n")
+    s"""cc_edges AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM mh_verified
+  UNION SELECT id2, id1 FROM mh_verified
+), ccl0 AS MATERIALIZED (
+  SELECT a AS id, least(a, min(b)) AS lab FROM cc_edges GROUP BY a
+),
+$roundCtes,
+cclf AS MATERIALIZED (SELECT id, lab FROM ccl$rounds),
+ccviol AS (
+  SELECT 1 AS v FROM cc_edges e
+  JOIN cclf la ON la.id = e.a JOIN cclf lb ON lb.id = e.b
+  WHERE la.lab <> lb.lab),
+cl AS (
+  SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cclf l ON l.id = d.doc_id)"""
+  }
+
+  /** q_dedup_clusters: min-label connected components over the verified
+    * pair set (unrolled pointer jumping; see [[closureCtes]]).
     */
   val dedupClusters: String =
-    "WITH RECURSIVE " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """,
-cc_edges AS (
-  SELECT id1 AS a, id2 AS b FROM mh_verified
-  UNION SELECT id2, id1 FROM mh_verified
-), cc_reach AS (
-  SELECT doc_id AS id, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS id, r.label FROM cc_reach r JOIN cc_edges e ON e.a = r.id
-)
-SELECT id AS doc_id, min(label) AS cluster, min(label) = id AS keep
-FROM cc_reach GROUP BY id ORDER BY doc_id"""
+    "WITH " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + ",\n" +
+      closureCtes(12) + """
+SELECT doc_id, cluster, cluster = doc_id AS keep FROM cl
+UNION ALL
+SELECT -1::BIGINT, -1::BIGINT, false FROM (SELECT v FROM ccviol LIMIT 1) t
+ORDER BY doc_id"""
 
-  /** q_dedup_keep_best: same transitive closure, but the survivor is
-    * the longest cluster member (ties → smallest doc_id).
+  /** q_dedup_keep_best: same closure, but the survivor is the longest
+    * cluster member (ties → smallest doc_id).
     */
   val dedupKeepBest: String =
-    "WITH RECURSIVE " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + """,
-cc_edges AS (
-  SELECT id1 AS a, id2 AS b FROM mh_verified
-  UNION SELECT id2, id1 FROM mh_verified
-), cc_reach AS (
-  SELECT doc_id AS id, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS id, r.label FROM cc_reach r JOIN cc_edges e ON e.a = r.id
-), cl AS (
-  SELECT id AS doc_id, min(label) AS cluster FROM cc_reach GROUP BY id
-), scored AS (
+    "WITH " + minhashCtes("mh_", allDocs) + "," + pairCtes("mh_") + ",\n" +
+      closureCtes(12) + """,
+scored AS (
   SELECT c.doc_id, c.cluster, strlen(d.text)::BIGINT AS n_bytes,
          row_number() OVER (PARTITION BY c.cluster
            ORDER BY strlen(d.text) DESC, c.doc_id) AS rk
   FROM cl c JOIN documents d USING (doc_id))
-SELECT doc_id, cluster, n_bytes, rk = 1 AS keep
-FROM scored ORDER BY doc_id"""
+SELECT doc_id, cluster, n_bytes, rk = 1 AS keep FROM scored
+UNION ALL
+SELECT -1::BIGINT, -1::BIGINT, -1::BIGINT, false FROM (SELECT v FROM ccviol LIMIT 1) t
+ORDER BY doc_id"""
 
   /** q_dedup_bucket_stats: the LSH bucket-size distribution summary. */
   val dedupBucketStats: String =
@@ -726,26 +783,95 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id1, id2"""
   }
 
-  /** q_pack_sequences: the per-source greedy first-fit fold as a
-    * recursive CTE advancing every source in lockstep (one row per
-    * source per step; DuckDB's UNION ALL recursion carries the
-    * (bin_id, used) state exactly as the mapPartitions fold does).
+  /** q_select_cover: greedy max-coverage replayed as UNROLLED rounds —
+    * each round one hash ANTI join against the covered set + an argmax,
+    * then the pick's bigrams fold into the next covered CTE. The
+    * previous recursive-CTE form ran a per-row `list_contains` against
+    * the growing covered LIST every round (quadratic in DuckDB — 300 s+
+    * wall at sf10 while the engine finished in 46 s); the anti-join
+    * form is k linear hash joins. Exact integer gains + doc_id
+    * tie-break keep the trajectory engine-exact; an exhausted corpus
+    * stops early exactly as the engine does (empty argmax → no row).
+    */
+  val selectCover: String = {
+    val k = 8
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "" else s"ANTI JOIN c${r - 1} USING (bg) "
+      val gain = s"g$r AS (SELECT doc_id, count(*) AS gain FROM dt $prev" +
+        s"GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"
+      val cov =
+        if (r == 1)
+          "c1 AS (SELECT DISTINCT bg FROM dt WHERE doc_id = (SELECT doc_id FROM g1))"
+        else
+          s"c$r AS (SELECT bg FROM c${r - 1} UNION " +
+            s"SELECT bg FROM dt WHERE doc_id = (SELECT doc_id FROM g$r))"
+      s"$gain,\n$cov"
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT $r AS rank, doc_id, gain, (SELECT count(*) FROM c$r) AS cum_cover FROM g$r")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH dt0 AS (SELECT DISTINCT doc_id, bg FROM (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+vocab AS (SELECT bg FROM (SELECT bg, count(*) AS df FROM dt0 GROUP BY 1) WHERE df >= 5),
+dt AS (SELECT doc_id, bg FROM dt0 SEMI JOIN vocab USING (bg)),
+$rounds
+SELECT rank::BIGINT AS rank, doc_id, gain::BIGINT AS gain, cum_cover::BIGINT AS cum_cover
+FROM ($out) ORDER BY rank"""
+  }
+
+  /** q_pack_sequences: the per-source greedy first-fit fold replayed
+    * over CHUNKS of 256 docs — the row-per-step recursion rejoined the
+    * corpus-sized doc table every step (O(n²), 2400 s wall at sf10).
+    * The recursion advances one CHUNK per step, carrying only the
+    * (bin_id, used) boundary state folded through the chunk's list
+    * with `list_reduce` (scalar struct fields only — DuckDB v1.0's
+    * list_reduce silently drops LIST-typed accumulator fields, so the
+    * per-doc assignments canNOT ride the fold); a second non-recursive
+    * pass derives doc j's bin as the boundary fold of the chunk's
+    * PREFIX 1..j (the state after doc j carries exactly doc j's bin).
+    * Steps = max-docs-per-source / 256; prefix replay is O(chunk²) per
+    * chunk = O(128·n) total lambda evaluations — linear in the corpus
+    * with a small constant.
     */
   val packSequences: String = """WITH RECURSIVE t AS (
   SELECT doc_id, source,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
+), ch AS (
+  SELECT source, ((rn - 1) // 256)::BIGINT AS cno,
+         list({'d': doc_id, 'n': n_tokens} ORDER BY rn) AS docs
+  FROM t GROUP BY source, ((rn - 1) // 256)
 ), walk AS (
-  SELECT source, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS used
-  FROM t WHERE rn = 1
+  -- boundary state AFTER chunk cno (base: virtual chunk -1 = fresh fold)
+  SELECT source, -1::BIGINT AS cno, 0::BIGINT AS bin, 0::BIGINT AS used
+  FROM (SELECT DISTINCT source FROM t)
   UNION ALL
-  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
-         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
-              THEN w.bin_id + 1 ELSE w.bin_id END,
-         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
-              THEN t.n_tokens ELSE w.used + t.n_tokens END
-  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+  SELECT source, cno, st.b AS bin, st.u AS used FROM (
+    SELECT c.source, c.cno,
+           list_reduce(
+             list_prepend({'b': w.bin, 'u': w.used, 'n': 0::BIGINT},
+               list_transform(c.docs, x -> {'b': 0::BIGINT, 'u': 0::BIGINT, 'n': x.n})),
+             (acc, x) -> CASE WHEN acc.u + x.n > 256 AND acc.u > 0
+                  THEN {'b': acc.b + 1, 'u': x.n, 'n': 0::BIGINT}
+                  ELSE {'b': acc.b, 'u': acc.u + x.n, 'n': 0::BIGINT} END) AS st
+    FROM walk w JOIN ch c ON c.source = w.source AND c.cno = w.cno + 1)
+), asg AS (
+  SELECT c.source, c.docs,
+         list_transform(range(1, len(c.docs) + 1), j ->
+           list_reduce(
+             list_prepend({'b': w.bin, 'u': w.used, 'n': 0::BIGINT},
+               list_transform(c.docs[1:j], x -> {'b': 0::BIGINT, 'u': 0::BIGINT, 'n': x.n})),
+             (acc, x) -> CASE WHEN acc.u + x.n > 256 AND acc.u > 0
+                  THEN {'b': acc.b + 1, 'u': x.n, 'n': 0::BIGINT}
+                  ELSE {'b': acc.b, 'u': acc.u + x.n, 'n': 0::BIGINT} END).b) AS bins
+  FROM ch c JOIN walk w ON w.source = c.source AND w.cno = c.cno - 1
 )
-SELECT doc_id, source, n_tokens, bin_id FROM walk ORDER BY doc_id"""
+SELECT u.e.d AS doc_id, source, u.e.n AS n_tokens, bins[u.i] AS bin_id
+FROM (SELECT source, bins,
+        unnest(list_transform(docs, (e, i) -> {'e': e, 'i': i})) AS u
+      FROM asg)
+ORDER BY doc_id"""
 }

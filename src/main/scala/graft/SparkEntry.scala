@@ -2623,32 +2623,9 @@ object SparkEntry {
         |                 // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
         |FROM agg ORDER BY cls""".stripMargin,
 
-    // greedy max-coverage replayed as a lockstep recursive CTE: exact
-    // integer gains + doc_id tie-break make the trajectory engine-exact
-    "q_select_cover" ->
-      """WITH RECURSIVE
-        |dt0 AS (SELECT DISTINCT doc_id, bg FROM (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ws)),
-        |                          i -> ws[i] || ' ' || ws[i+1])) AS bg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
-        |vocab AS (SELECT bg FROM (SELECT bg, count(*) AS df FROM dt0 GROUP BY 1)
-        |          WHERE df >= 5),
-        |dt AS (SELECT doc_id, bg FROM dt0 WHERE bg IN (SELECT bg FROM vocab)),
-        |sel AS (
-        |  SELECT 1 AS rank, p.doc_id, p.gain, p.terms AS covered
-        |  FROM (SELECT doc_id, count(*) AS gain, list(bg ORDER BY bg) AS terms
-        |        FROM dt GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1) p
-        |  UNION ALL
-        |  SELECT s.rank + 1, p.doc_id, p.gain, list_distinct(s.covered || p.terms)
-        |  FROM sel s, LATERAL (
-        |    SELECT doc_id, count(*) AS gain, list(bg ORDER BY bg) AS terms
-        |    FROM dt WHERE NOT list_contains(s.covered, bg)
-        |    GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1) p
-        |  WHERE s.rank < 8)
-        |SELECT rank, doc_id, CAST(gain AS BIGINT) AS gain,
-        |       CAST(len(covered) AS BIGINT) AS cum_cover
-        |FROM sel ORDER BY rank""".stripMargin,
+    // greedy max-coverage replayed as unrolled anti-join rounds (the
+    // recursive list_contains form was quadratic in DuckDB at sf10)
+    "q_select_cover" -> OracleSql.selectCover,
 
     // RRF: both rankings rounded before ranking (6/9 dp) so the orders
     // are engine-exact; rank sentinel 0 = absent from that top-50 list;

@@ -810,7 +810,23 @@ object Llm {
     */
   def q_sim_ivf(s: SparkSession, d: String): DataFrame = q_sim_ivf(s, d, 100.0)
 
-  def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double): DataFrame = {
+  def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double): DataFrame =
+    q_sim_ivf(s, d, trainFraction, NProbe)
+
+  /** `nProbe` override for the recall/latency trade. The committed
+    * sf0.01/0.1/1 ladder (IVF_RECALL_r10.json) shows recall@5 rising
+    * near-linearly with the probed fraction on the uniform synthetic
+    * embeddings — 0.21/0.35/0.53/0.79 (sf0.01) and 0.23/0.38/0.66/0.85
+    * (sf0.1) at nProbe 1/2/4/8 of 16 cells — i.e. there is no sharp
+    * knee below half the corpus when neighbors are near-uniform; the
+    * default nProbe=4 is the half-way recall at a quarter of the scan.
+    * At sf1 the ladder saturates (1.0 from nProbe=1): the replicated
+    * corpus' true top-5 are exact replicas, which quantize into the
+    * SAME cell — the regime real near-dup-heavy corpora live in, where
+    * IVF shines.
+    */
+  def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double,
+                nProbe: Int): DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
@@ -863,7 +879,7 @@ object Llm {
       .select(col("vec_id").as("cid_v"), col("e").as("ce"), l2norm(col("e")).as("cn"), col("cell"))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("e").as("qe"), l2norm(col("e")).as("qn"),
-        explode(cellFn(centroids, NProbe)(col("e"))).as("cell"))
+        explode(cellFn(centroids, nProbe)(col("e"))).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid_v"))
     queries.join(corpus, "cell") // equi-join on cell: candidates only
       .filter(col("cid_v") =!= col("qid"))

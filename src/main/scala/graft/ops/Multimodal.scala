@@ -57,12 +57,65 @@ object Multimodal {
         (col("frame_idx") % 4 === 0).as("sampled"))
       .orderBy("doc_id", "frame_idx")
 
-  /** ====== STUBBED DECODER ======
-    * A real pipeline would decode image/audio bytes here (e.g. JPEG →
-    * pixel tensor → resize → embed). The codec libraries are not in this
-    * container, so `fakeDecode` stands in: a deterministic 16-bin byte
-    * histogram, normalized — same signature, same batch shape, same
-    * partition-parallel execution as a real decoder.
+  /** ====== REAL DECODER (JVM-stdlib javax.imageio) ======
+    * PNG/JPEG payloads decode to ACTUAL pixels — no external codec
+    * dependency. Non-media payloads (the documents corpus is text
+    * bytes, never a valid image) skip decode via a magic-byte sniff and
+    * fall back to the deterministic stub below, which keeps the gate
+    * oracles valid: a gate row real-decodes only if its payload really
+    * is an image, which the fixture corpus guarantees never happens.
+    * Corrupt/truncated media also fall back rather than killing the
+    * job (the corrupt-file-tolerance posture of the sinks).
+    */
+  private lazy val imageioInit: Unit =
+    // no per-decode temp files on executors; BufferedImage work is
+    // display-free, so headless JVMs are fine
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    val isPng = (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+    if (!isPng && !isJpg) None
+    else {
+      imageioInit
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** ITU-R BT.601 luma of a packed ARGB pixel. */
+  @inline private def luma(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
+  /** Real feature extraction: 16-bin LUMINANCE histogram over the
+    * decoded pixels, normalized by pixel count — the same 16-dim
+    * contract as the stub, so downstream consumers are
+    * decoder-agnostic.
+    */
+  private[ops] def imageHistogram(img: java.awt.image.BufferedImage): Array[Double] = {
+    val hist = new Array[Double](16)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        hist(math.min(15, (luma(img.getRGB(x, y)) / 16.0).toInt)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1, w * h).toDouble
+    hist.map(_ / n)
+  }
+
+  /** ====== STUB FALLBACK ======
+    * Non-decodable payloads get a deterministic 16-bin byte histogram,
+    * normalized — same signature, same batch shape, same
+    * partition-parallel execution as the real decoder.
     */
   private[ops] def fakeDecode(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -86,6 +139,22 @@ object Multimodal {
     * per-partition setup cost amortized, no driver involvement, no
     * shuffle). Rows-only check (the fake codec is engine-internal).
     */
+  /** The per-row decode seam shared by [[features]] and the spec's
+    * planted-image fixture: real PNG/JPEG pixels when the payload
+    * decodes, stub histogram otherwise; the decoder tag says which path
+    * ran.
+    */
+  private[ops] def decodeFeatures(payload: Array[Byte])
+      : (Array[Double], Array[Double], String) =
+    decodeImage(payload) match {
+      case Some(img) =>
+        val feats = imageHistogram(img)
+        (feats, fakeResize(feats), "imageio-v1")
+      case None =>
+        val feats = fakeDecode(payload)
+        (feats, fakeResize(feats), "fake-decoder-v1")
+    }
+
   def features(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -93,10 +162,10 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec init" would go here
+        // per-partition codec init (ImageIO cache off) is lazy in the seam
         it.map { case (id, payload) =>
-          val feats = fakeDecode(payload)
-          (id, feats, fakeResize(feats), payload.length.toLong, "fake-decoder-v1")
+          val (feats, resized, dec) = decodeFeatures(payload)
+          (id, feats, resized, payload.length.toLong, dec)
         }
       }
       .toDF("doc_id", "features", "features_resized", "n_bytes", "decoder")
@@ -115,6 +184,11 @@ object Multimodal {
     * sf10 sweep caught both failure modes of the double path: engines
     * disagree on .5 ties (41/640 at 6 dp) and on scientific-notation
     * thresholds (Spark `8.94E-4` vs fixed `0.000894`).
+    *
+    * The byte-count denominator assumes the STUB path — valid for the
+    * gate corpus, whose text payloads can never carry PNG/JPEG magic
+    * bytes (real-decoded rows are pixel-count rationals; consumers of
+    * decoded media use [[features]]' typed arrays directly).
     */
   def q_mm_features(s: SparkSession, d: String): DataFrame = {
     // mult = 1: features (denominator n); 2: resized (denominator 2n)
@@ -157,13 +231,42 @@ object Multimodal {
     out
   }
 
+  /** Real pooling for decodable media: mean LUMINANCE over 65 vertical
+    * strips of the decoded image — the classic dHash downsample (the
+    * stub pools raw bytes into the same 65-segment strip, so both paths
+    * feed the identical bit rule below).
+    */
+  private[ops] def imagePool(img: java.awt.image.BufferedImage): Array[Double] = {
+    val out = new Array[Double](PoolSegs)
+    val w = img.getWidth
+    val h = img.getHeight
+    var i = 0
+    while (i < PoolSegs) {
+      val lo = (i.toLong * w / PoolSegs).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * w / PoolSegs).toInt)
+      var s = 0.0
+      var n = 0
+      var x = lo
+      while (x < hi && x < w) {
+        var y = 0
+        while (y < h) { s += luma(img.getRGB(x, y)); n += 1; y += 1 }
+        x += 1
+      }
+      out(i) = if (n == 0) 0.0 else s / n
+      i += 1
+    }
+    out
+  }
+
   /** 64-bit dHash over the pooled strip: bit i = segment i brighter
     * than segment i+1. A localized payload edit perturbs one segment →
     * ≤ 2 signature bits, so near-identical media land within a small
     * hamming radius — the property [[q_mm_phash]]'s banding exploits.
+    * Decodable media pool real pixels ([[imagePool]]); everything else
+    * pools raw bytes ([[fakePool]]).
     */
   private[ops] def phash64(bytes: Array[Byte]): Long = {
-    val p = fakePool(bytes)
+    val p = decodeImage(bytes).map(imagePool).getOrElse(fakePool(bytes))
     var h = 0L
     var i = 0
     while (i < 64) { if (p(i) > p(i + 1)) h |= 1L << i; i += 1 }

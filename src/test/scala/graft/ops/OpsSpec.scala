@@ -267,6 +267,63 @@ class OpsSpec extends AnyFunSuite {
     assert(h.forall(_ >= 0.0))
   }
 
+  /** Deterministic in-memory PNG fixture: a horizontal gray ramp
+    * (column x → gray level x) written through the JVM's own encoder.
+    * No on-disk fixture needed — `javax.imageio` round-trips losslessly
+    * for PNG.
+    */
+  private def rampPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 255) / math.max(1, w - 1)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal REAL decode: planted PNG goes through javax.imageio, text and corrupt media fall back") {
+    // 256-wide gray ramp: every gray level 0..255 appears once per row,
+    // so the 16-bin luminance histogram is uniform up to the double
+    // rounding of 0.299g+0.587g+0.114g at bin boundaries (±2/256 a bin)
+    val png = rampPng(256, 4)
+    val (feats, resized, dec) = Multimodal.decodeFeatures(png)
+    assert(dec == "imageio-v1", "a real PNG must take the imageio path")
+    assert(feats.length == 16 && resized.length == 8)
+    assert(math.abs(feats.sum - 1.0) < 1e-9)
+    feats.foreach(v => assert(math.abs(v - 1.0 / 16) <= 2.0 / 256 + 1e-9,
+      s"gray-ramp luminance histogram must be near-uniform, got ${feats.toSeq}"))
+    // text payloads never sniff as media → stub path (keeps the
+    // q_mm_features oracle valid on the documents corpus)
+    assert(Multimodal.decodeFeatures("plain text".getBytes("UTF-8"))._3 == "fake-decoder-v1")
+    // corrupt media (magic bytes, truncated body) falls back loudly-not-fatally
+    assert(Multimodal.decodeFeatures(png.take(12))._3 == "fake-decoder-v1")
+    // phash on real pixels: identical images agree; a ramp vs its
+    // reverse differ in EVERY dHash comparison → maximal distance
+    def rev(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((w - 1 - x) * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.phash64(png) == Multimodal.phash64(rampPng(256, 4).clone))
+    assert(java.lang.Long.bitCount(
+      Multimodal.phash64(png) ^ Multimodal.phash64(rev(256, 4))) == 64)
+    // the partition-parallel seam: the same function distributed
+    import spark.implicits._
+    val ds = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDS()
+    val out = ds.mapPartitions(_.map { case (id, p) =>
+      (id, Multimodal.decodeFeatures(p)._3) }).collect().toMap
+    assert(out == Map(1L -> "imageio-v1", 2L -> "fake-decoder-v1"))
+  }
+
   test("q_mm_features: schema, feature shape, and pooled resize") {
     val gate = Multimodal.q_mm_features(spark, sf)
     assert(gate.columns.toSeq == Seq("doc_id", "features_csv", "resized_csv", "n_bytes", "decoder"))
