@@ -61,6 +61,45 @@ object Sinks {
     * 16-bit ranks with one tiny pre-pass aggregate (two scalars
     * broadcast back; no global sort of raw keys).
     */
+  /** Small-file compaction — the maintenance op every long-lived table
+    * needs at 100 TB (streaming sinks and fine-grained partition writes
+    * accumulate thousands of KB-scale files; scan cost then goes to
+    * file-open/footer overhead and the listing, not bytes). Bin-packs
+    * the directory's parquet files into ceil(totalBytes/targetBytes)
+    * outputs via `coalesce` (partition MERGE — no shuffle, no
+    * re-encoding of the data's order beyond file concatenation), writes
+    * to a temp directory, then swaps via two renames — a crashed
+    * compaction leaves the ORIGINAL or the NEW directory intact, never
+    * a mix, and readers holding the old file handles finish their scan
+    * (POSIX/HDFS rename semantics). No-ops (and does NOT rewrite) when
+    * the directory is already at or below the target file count.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (nOut >= files.length) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"compact: cannot stage $path aside")
+    if (!fs.rename(tmp, p)) { // roll back: the original directory wins
+      fs.rename(bak, p)
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    val after = fs.listStatus(p)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   def zOrderedParquet(df: DataFrame, path: String, c1: String, c2: String, files: Int): Unit = {
     import org.apache.spark.sql.functions._
     val b = df.agg(

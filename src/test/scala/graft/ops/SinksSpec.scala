@@ -164,6 +164,33 @@ class SinksSpec extends AnyFunSuite {
       "z-order must keep useful dim-1 skipping too")
   }
 
+  test("compact: bin-packs a small-file directory, preserves content exactly, no-ops when already compact") {
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    val li = graft.ops.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // simulate a fragmented table: one file per shuffle partition × 64
+    li.repartition(64).write.mode("overwrite").parquet(dir)
+    // (l_orderkey, l_linenumber) is NOT unique — compare as multisets
+    val before = li.collect().map(_.toString).sorted
+    val (nBefore, nAfter) = Sinks.compact(spark, dir, targetBytes = 512L << 20)
+    assert(nBefore == 64 && nAfter < nBefore,
+      s"expected a real compaction, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction must preserve content exactly")
+    // no temp/backup residue from the swap
+    val residue = new java.io.File(dir + "__compact_tmp").exists() ||
+      new java.io.File(dir + "__compact_old").exists()
+    assert(!residue, "swap must clean its staging directories")
+    // second pass: already at/below target file count → no rewrite
+    val firstFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val (b2, a2) = Sinks.compact(spark, dir, targetBytes = 512L << 20)
+    assert(b2 == a2 && b2 == nAfter)
+    val secondFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(secondFiles == firstFiles, "a no-op compaction must not rewrite files")
+  }
+
   test("corrupt-file tolerance: ignoreCorruptFiles reads around a damaged input") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
