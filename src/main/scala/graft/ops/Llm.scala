@@ -3103,9 +3103,16 @@ object Llm {
     * integers with doc_id tie-break, so the trajectory is
     * engine-exact; the oracle replays it as a lockstep recursive CTE.
     */
-  def q_select_cover(s: SparkSession, d: String): DataFrame = {
-    val k = 8
-    val dt0 = documents(s, d)
+  def q_select_cover(s: SparkSession, d: String): DataFrame =
+    selectCover(documents(s, d), k = 8, m0 = 1024L)
+
+  /** The CELF-pool greedy behind [[q_select_cover]]; `m0` = starting
+    * pool size (exposed so SelectionSpec can force the
+    * certificate-failure → pool-growth → restart path with m0 = 1).
+    */
+  private[ops] def selectCover(docs: DataFrame, k: Int, m0: Long): DataFrame = {
+    val s = docs.sparkSession
+    val dt0 = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
@@ -3121,7 +3128,7 @@ object Llm {
     val nDocs = gains0.count()
     var covered = Set.empty[String]
     val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-    var m = 1024L
+    var m = m0
     var done = false
     while (!done) {
       covered = Set.empty[String]

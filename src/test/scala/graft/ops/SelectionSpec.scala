@@ -65,6 +65,47 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == out.last._4, "cum_cover telescopes the gains")
   }
 
+  test("select_cover pool certificate: m0=1 forces growth+restart and still lands the exact greedy trajectory") {
+    import spark.implicits._
+    // 12 docs over a tiny shared vocabulary (every bigram df >= 5 by
+    // repetition across docs); doc 0 has the largest INITIAL gain but
+    // later rounds must pick docs OUTSIDE a top-1 pool — with m0 = 1
+    // the certificate fails after round 1 and the pool must grow
+    val ws = (1 to 8).map(i => s"w$i")
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val docs = Seq(
+      (0L, doc(ws)), // all 7 bigrams
+      (1L, doc(ws.take(5))), (2L, doc(ws.take(5))),
+      (3L, doc(ws.drop(3))), (4L, doc(ws.drop(3))),
+      (5L, doc(ws.take(3))), (6L, doc(ws.take(3))),
+      (7L, doc(ws.drop(5))), (8L, doc(ws.drop(5))),
+      (9L, doc(ws.take(2))), (10L, doc(ws.take(2))), (11L, doc(ws.take(2)))
+    ).toDF("doc_id", "text")
+    // naive exact greedy on the same df>=5 vocabulary
+    val arr = docs.collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val bgs = arr.map { case (id, w) =>
+      id -> w.sliding(2).filter(_.length == 2).map(a => a(0) + " " + a(1)).toSet }.toMap
+    val vocab = bgs.values.flatten.groupBy(identity)
+      .filter(_._2.size >= 5).keySet
+    val dt = bgs.map { case (id, b) => id -> b.intersect(vocab) }
+    var covered = Set.empty[String]
+    val expect = (1 to 8).flatMap { rank =>
+      val cand = dt.map { case (id, b) => (id, (b -- covered).size.toLong) }
+        .filter(_._2 > 0)
+      if (cand.isEmpty) None
+      else {
+        val (id, gain) = cand.minBy { case (i, g) => (-g, i) }
+        covered ++= dt(id)
+        Some((rank, id, gain, covered.size.toLong))
+      }
+    }
+    for (m0 <- Seq(1L, 2L, 1024L)) {
+      val got = Llm.selectCover(docs, k = 8, m0 = m0).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"m0=$m0 trajectory diverged: $got vs $expect")
+    }
+  }
+
   test("q_sample_weighted: exact A-Res replay (md5-derived u, ln(u)/w key) and retry stability") {
     val out = Llm.q_sample_weighted(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
