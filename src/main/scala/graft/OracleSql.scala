@@ -821,21 +821,51 @@ SELECT rank::BIGINT AS rank, doc_id, gain::BIGINT AS gain, cum_cover::BIGINT AS 
 FROM ($out) ORDER BY rank"""
   }
 
-  /** q_pack_sequences: the per-source greedy first-fit fold replayed
-    * over CHUNKS of 256 docs — the row-per-step recursion rejoined the
-    * corpus-sized doc table every step (O(n²), 2400 s wall at sf10).
-    * The recursion advances one CHUNK per step, carrying only the
-    * (bin_id, used) boundary state folded through the chunk's list
-    * with `list_reduce` (scalar struct fields only — DuckDB v1.0's
-    * list_reduce silently drops LIST-typed accumulator fields, so the
-    * per-doc assignments canNOT ride the fold); a second non-recursive
-    * pass derives doc j's bin as the boundary fold of the chunk's
-    * PREFIX 1..j (the state after doc j carries exactly doc j's bin).
-    * Steps = max-docs-per-source / 256; prefix replay is O(chunk²) per
-    * chunk = O(128·n) total lambda evaluations — linear in the corpus
-    * with a small constant.
+  /** q_pack_sequences — DRIVER-GATE form: the per-source greedy
+    * first-fit fold as a row-per-step recursive CTE (one row per source
+    * per step). Quadratic in DuckDB at sf10 (each step rejoins the doc
+    * table), but LAMBDA-FREE and therefore immune to the DuckDB v1.0
+    * parallel-lambda wrongness this round uncovered (see
+    * [[packSequencesChunked]]); the driver's sf0.01 correctness gate
+    * must never depend on duckdb thread count, so the committed oracle
+    * stays this form and the decade sweep replays the chunked form
+    * single-threaded.
     */
   val packSequences: String = """WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.used + t.n_tokens > 256 AND w.used > 0
+              THEN t.n_tokens ELSE w.used + t.n_tokens END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id FROM walk ORDER BY doc_id"""
+
+  /** q_pack_sequences — DECADE-SWEEP form (linear): the recursion
+    * advances one 256-doc CHUNK per step carrying only the (bin, used)
+    * boundary state (list_reduce over the chunk); per-doc bins replay
+    * each doc's chunk PREFIX from its boundary state as ONE flat
+    * single-level list_reduce per doc row. sf1: 3.5 s vs the driver
+    * form's 54 s; hash-exact vs both the driver form and the engine.
+    *
+    * MUST run with `SET threads=1`: DuckDB v1.0's PARALLEL lambda
+    * evaluation is wrong — a single-level list_reduce over
+    * join-correlated rows returns run-to-run different results at
+    * threads=32 (16k/50k self-diffs at sf1, zero at threads=1), and
+    * nested lambdas additionally misalign captured columns across the
+    * vector even single-threaded (the flat per-doc form avoids
+    * nesting). Exactness at threads=1 verified against the driver form
+    * at sf1 (0/50k diffs, deterministic across runs).
+    */
+  val packSequencesChunked: String = """WITH RECURSIVE t AS (
   SELECT doc_id, source,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
@@ -845,7 +875,6 @@ FROM ($out) ORDER BY rank"""
          list({'d': doc_id, 'n': n_tokens} ORDER BY rn) AS docs
   FROM t GROUP BY source, ((rn - 1) // 256)
 ), walk AS (
-  -- boundary state AFTER chunk cno (base: virtual chunk -1 = fresh fold)
   SELECT source, -1::BIGINT AS cno, 0::BIGINT AS bin, 0::BIGINT AS used
   FROM (SELECT DISTINCT source FROM t)
   UNION ALL
@@ -858,20 +887,19 @@ FROM ($out) ORDER BY rank"""
                   THEN {'b': acc.b + 1, 'u': x.n, 'n': 0::BIGINT}
                   ELSE {'b': acc.b, 'u': acc.u + x.n, 'n': 0::BIGINT} END) AS st
     FROM walk w JOIN ch c ON c.source = w.source AND c.cno = w.cno + 1)
+), perdoc AS (
+  SELECT c.source, u.e.d AS doc_id, u.e.n AS n_tokens, u.i AS j, c.docs,
+         w.bin AS b0, w.used AS u0
+  FROM ch c JOIN walk w ON w.source = c.source AND w.cno = c.cno - 1,
+       LATERAL (SELECT unnest(list_transform(c.docs, (e, i) -> {'e': e, 'i': i})) AS u) lx
 ), asg AS (
-  SELECT c.source, c.docs,
-         list_transform(range(1, len(c.docs) + 1), j ->
-           list_reduce(
-             list_prepend({'b': w.bin, 'u': w.used, 'n': 0::BIGINT},
-               list_transform(c.docs[1:j], x -> {'b': 0::BIGINT, 'u': 0::BIGINT, 'n': x.n})),
-             (acc, x) -> CASE WHEN acc.u + x.n > 256 AND acc.u > 0
-                  THEN {'b': acc.b + 1, 'u': x.n, 'n': 0::BIGINT}
-                  ELSE {'b': acc.b, 'u': acc.u + x.n, 'n': 0::BIGINT} END).b) AS bins
-  FROM ch c JOIN walk w ON w.source = c.source AND w.cno = c.cno - 1
-)
-SELECT u.e.d AS doc_id, source, u.e.n AS n_tokens, bins[u.i] AS bin_id
-FROM (SELECT source, bins,
-        unnest(list_transform(docs, (e, i) -> {'e': e, 'i': i})) AS u
-      FROM asg)
-ORDER BY doc_id"""
+  SELECT source, doc_id, n_tokens,
+         list_reduce(
+           list_prepend({'b': b0, 'u': u0, 'n': 0::BIGINT},
+             list_transform(docs[1:j], x -> {'b': 0::BIGINT, 'u': 0::BIGINT, 'n': x.n})),
+           (acc, x) -> CASE WHEN acc.u + x.n > 256 AND acc.u > 0
+                THEN {'b': acc.b + 1, 'u': x.n, 'n': 0::BIGINT}
+                ELSE {'b': acc.b, 'u': acc.u + x.n, 'n': 0::BIGINT} END).b AS bin_id
+  FROM perdoc)
+SELECT doc_id, source, n_tokens, bin_id FROM asg ORDER BY doc_id"""
 }
