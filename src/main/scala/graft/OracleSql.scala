@@ -797,25 +797,29 @@ ORDER BY id1, id2"""
     val k = 8
     val rounds = (1 to k).map { r =>
       val prev = if (r == 1) "" else s"ANTI JOIN c${r - 1} USING (bg) "
-      val gain = s"g$r AS (SELECT doc_id, count(*) AS gain FROM dt $prev" +
+      val gain = s"g$r AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM dt $prev" +
         s"GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)"
       val cov =
         if (r == 1)
-          "c1 AS (SELECT DISTINCT bg FROM dt WHERE doc_id = (SELECT doc_id FROM g1))"
+          "c1 AS MATERIALIZED (SELECT DISTINCT bg FROM dt WHERE doc_id = (SELECT doc_id FROM g1))"
         else
-          s"c$r AS (SELECT bg FROM c${r - 1} UNION " +
+          s"c$r AS MATERIALIZED (SELECT bg FROM c${r - 1} UNION " +
             s"SELECT bg FROM dt WHERE doc_id = (SELECT doc_id FROM g$r))"
       s"$gain,\n$cov"
     }.mkString(",\n")
     val out = (1 to k).map(r =>
       s"SELECT $r AS rank, doc_id, gain, (SELECT count(*) FROM c$r) AS cum_cover FROM g$r")
       .mkString("\n  UNION ALL\n")
-    s"""WITH dt0 AS (SELECT DISTINCT doc_id, bg FROM (
+    // MATERIALIZED throughout: DuckDB v1.0 inlines every CTE
+    // reference, and dt is referenced 2k+1 times — the naive form
+    // re-ran the 450M-row distinct per reference and filled the disk
+    // with concurrent spills at sf10
+    s"""WITH dt0 AS MATERIALIZED (SELECT DISTINCT doc_id, bg FROM (
   SELECT doc_id,
     unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
-vocab AS (SELECT bg FROM (SELECT bg, count(*) AS df FROM dt0 GROUP BY 1) WHERE df >= 5),
-dt AS (SELECT doc_id, bg FROM dt0 SEMI JOIN vocab USING (bg)),
+vocab AS MATERIALIZED (SELECT bg FROM (SELECT bg, count(*) AS df FROM dt0 GROUP BY 1) WHERE df >= 5),
+dt AS MATERIALIZED (SELECT doc_id, bg FROM dt0 SEMI JOIN vocab USING (bg)),
 $rounds
 SELECT rank::BIGINT AS rank, doc_id, gain::BIGINT AS gain, cum_cover::BIGINT AS cum_cover
 FROM ($out) ORDER BY rank"""
