@@ -237,6 +237,9 @@ object SparkEntry {
     "q_mine_hardneg" -> (Llm.q_mine_hardneg _),
     "q_dedup_spans" -> (Llm.q_dedup_spans _),
     "q_text_normalize" -> (Llm.q_text_normalize _),
+    "q_text_nfc" -> (Llm.q_text_nfc _),
+    "q_script_detect" -> (Llm.q_script_detect _),
+    "q_quality_compress" -> (Llm.q_quality_compress _),
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
@@ -378,6 +381,15 @@ object SparkEntry {
     * gold label — the SQL mirror of `Llm.classifierScored`. Kept
     * margin-raw (stripMargin is applied by the concatenating entries).
     */
+  /** The Unicode-gate canary rows as a SQL VALUES list, single-sourced
+    * from [[graft.ops.Llm.unicodeCanaries]] (the engine side) so the
+    * two sides can never drift. Single quotes doubled for SQL.
+    */
+  private lazy val unicodeCanaryValues: String =
+    graft.ops.Llm.unicodeCanaries
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+
   private val ClassifierScoredSql: String =
     """WITH sc AS (SELECT doc_id, source,
       |    CAST(round(round(1.0 / (1.0 + exp(-z)) + 1e-9, 6) * 1000000.0) AS BIGINT) AS score_ppm,
@@ -1279,6 +1291,43 @@ object SparkEntry {
         |  CAST(length(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
         |                                        ' +', ' ', 'g')))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both engines implement Unicode NFC (java.text.Normalizer /
+    // utf8proc); the planted canary pair (-1 decomposed, -2 precomposed)
+    // must share nfc_key, which makes the gate non-vacuous on the
+    // all-ASCII fixture corpus. Canary literals are single-sourced from
+    // Llm.unicodeCanaries so the two sides can never drift.
+    "q_text_nfc" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${unicodeCanaryValues}) v(doc_id, text))
+         |SELECT doc_id, text = nfc_normalize(text) AS is_nfc,
+         |  CAST(length(text) AS BIGINT) AS n_cp,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp_nfc,
+         |  md5(nfc_normalize(text)) AS nfc_key
+         |FROM docs ORDER BY doc_id""".stripMargin,
+
+    // RE2 script classes mirror the Java \p{IsScript} classes; counts
+    // are exact integers and the ppm share is integer division
+    "q_script_detect" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES ${unicodeCanaryValues}) v(doc_id, text)),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[\\p{Latin}]')) AS BIGINT) AS n_latin,
+         |  CAST(len(regexp_extract_all(text, '[\\p{Cyrillic}]')) AS BIGINT) AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(text, '[\\p{Han}]')) AS BIGINT) AS n_han,
+         |  CAST(len(regexp_extract_all(text, '[\\p{Hiragana}\\p{Katakana}]')) AS BIGINT) AS n_kana
+         |FROM docs)
+         |SELECT doc_id, n_latin, n_cyrillic, n_han, n_kana,
+         |  CASE WHEN greatest(n_latin, n_cyrillic, n_han, n_kana) = 0 THEN 'none'
+         |       WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_kana) THEN 'latin'
+         |       WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_kana) THEN 'cyrillic'
+         |       WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_kana) THEN 'han'
+         |       ELSE 'kana' END AS dominant,
+         |  CASE WHEN n_latin + n_cyrillic + n_han + n_kana > 0
+         |       THEN CAST(greatest(n_latin, n_cyrillic, n_han, n_kana) * 1000000
+         |                 // (n_latin + n_cyrillic + n_han + n_kana) AS BIGINT)
+         |       ELSE 0 END AS dom_share_ppm
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH n AS (
         |  SELECT doc_id,

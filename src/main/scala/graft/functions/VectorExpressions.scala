@@ -421,6 +421,57 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (`string → string`) as a codegen
+  * expression over the JVM's `java.text.Normalizer` — the first step
+  * of any text-dedup key at corpus scale (visually identical strings
+  * with different codepoint sequences must collapse BEFORE hashing).
+  * An ASCII fast path skips the normalizer entirely: web corpora are
+  * overwhelmingly ASCII per byte, and NFC(ASCII) is the identity.
+  * NULL → NULL.
+  */
+object NfcKernel {
+  /** Static kernel spliced into codegen. */
+  def nfc(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (u == null) return null
+    val n = u.numBytes()
+    val b = u.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if ((b(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_nfc"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    NfcKernel.nfc(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NfcKernel.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Precomputed BPE merge model behind [[BpeApply]] — the greedy
   * lowest-rank-pair decoder of `graft.ops.Llm.bpeEncode` (Sennrich et
   * al. 2016 §3; the GPT-2 reference encoder) as a reusable JVM kernel.
@@ -607,6 +658,10 @@ object Vec {
     ensureRegistered()
     call_function("graft_cdc_chunks", text)
   }
+  def nfc(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_nfc", text)
+  }
   def bpeApply(syms: Column, merges: Seq[(String, String)]): Column = {
     ensureRegistered()
     import org.apache.spark.sql.functions.lit
@@ -648,6 +703,9 @@ object Vec {
     (FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe_apply"),
       (es: Seq[Expression]) => BpeApply(es(0), foldToStringSeq(es(1), "merges"))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated

@@ -1577,6 +1577,120 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Planted non-ASCII canary rows for the Unicode gates — the fixture
+    * corpus is pure ASCII (verified), so without them NFC and script
+    * detection would be vacuously-passing identity checks. Doc −1 and
+    * −2 are the SAME string in decomposed (e + U+0301) vs precomposed
+    * (é) form; −3 is Cyrillic; −4 CJK; −5 mixed-script.
+    */
+  private[graft] val unicodeCanaries: Seq[(Long, String)] = Seq(
+      (-1L, "café modèle français"), // decomposed
+      (-2L, "café modèle français"),    // precomposed NFC
+      (-3L, "привет мир"), // привет мир
+      (-4L, "漢字のテスト"),   // 漢字のテスト
+      (-5L, "mixed мир and 漢字 text"))
+
+  private def withUnicodeCanaries(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select("doc_id", "text")
+      .unionByName(unicodeCanaries.toDF("doc_id", "text"))
+  }
+
+  /** Unicode NFC normalization audit (`graft_nfc` codegen kernel over
+    * `java.text.Normalizer`): per doc, whether the text is already
+    * NFC, the codepoint count before/after, and the md5 of the
+    * normalized form — the canonical-equivalence collapse every
+    * dedup key needs BEFORE hashing (visually identical strings with
+    * different codepoint sequences — e+combining-acute vs é — hash
+    * apart otherwise; the planted canary pair −1/−2 must share
+    * nfc_key). Shuffle-free scan-stage expressions; hash-exact DuckDB
+    * oracle via `nfc_normalize` (both implement Unicode NFC).
+    */
+  def q_text_nfc(s: SparkSession, d: String): DataFrame =
+    withUnicodeCanaries(documents(s, d))
+      .withColumn("nfc", graft.functions.Vec.nfc(col("text")))
+      .select(
+        col("doc_id"),
+        (col("text") === col("nfc")).as("is_nfc"),
+        length(col("text")).cast("long").as("n_cp"),
+        length(col("nfc")).cast("long").as("n_cp_nfc"),
+        md5(col("nfc")).as("nfc_key"))
+      .orderBy("doc_id")
+
+  /** Unicode-script detection (the pre-language-ID routing step of a
+    * multilingual pipeline: a CJK doc must never reach the Latin
+    * stopword heuristic): per-doc codepoint counts for
+    * Latin/Cyrillic/Han/Hiragana+Katakana, the dominant script
+    * (tie-break by fixed order), and its share in ppm of scripted
+    * codepoints. `regexp_count` over script character classes —
+    * codegen'd scan-stage work, no shuffle; exact integers so the
+    * DuckDB RE2 oracle (`\\p{Script}` classes) is hash-exact.
+    */
+  def q_script_detect(s: SparkSession, d: String): DataFrame = {
+    val scripts = Seq(
+      "latin" -> "\\p{IsLatin}",
+      "cyrillic" -> "\\p{IsCyrillic}",
+      "han" -> "\\p{IsHan}",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]")
+    val base = scripts.foldLeft(withUnicodeCanaries(documents(s, d))) {
+      case (df, (name, re)) =>
+        df.withColumn(s"n_$name", regexp_count(col("text"), lit(re)).cast("long"))
+    }
+    val total = scripts.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    // dominant: first script (in declared order) achieving the max count
+    val maxCount = scripts.map(p => col(s"n_${p._1}")).reduce((a, b) => greatest(a, b))
+    val domExpr = scripts.reverse.foldLeft(lit("none")) { case (acc, (name, _)) =>
+      when(col(s"n_$name") === maxCount && maxCount > 0, lit(name)).otherwise(acc)
+    }
+    base.withColumn("__max", maxCount).withColumn("__tot", total)
+      .select(
+        col("doc_id"),
+        col("n_latin"), col("n_cyrillic"), col("n_han"), col("n_kana"),
+        domExpr.as("dominant"),
+        when(col("__tot") > 0, expr("__max * 1000000L div __tot"))
+          .otherwise(lit(0L)).cast("long").as("dom_share_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Compression-ratio quality signal (the MassiveText/Gopher-class
+    * screen: highly repetitive boilerplate deflates far below natural
+    * prose, near-random noise doesn't deflate at all): per doc,
+    * deflate(level 6) the UTF-8 bytes and report
+    * ratio_ppm = compressed·10⁶ / raw (integer division — exact). The
+    * kernel is a per-partition map (one `Deflater` reused per
+    * partition, reset per doc — allocation-free in the loop); at
+    * 100 TB this is embarrassingly parallel scan work. No SQL oracle
+    * (DuckDB has no deflate) → rows-only gate; OpsSpec pins the
+    * invariants: repetitive ≪ prose < shuffled-noise, determinism,
+    * and the empty-doc convention (ratio 0).
+    */
+  def q_quality_compress(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = (if (text == null) "" else text).getBytes("UTF-8")
+          var comp = 0L
+          if (raw.nonEmpty) {
+            defl.reset()
+            defl.setInput(raw)
+            defl.finish()
+            while (!defl.finished()) comp += defl.deflate(buf)
+          }
+          (id, raw.length.toLong,
+            if (raw.isEmpty) 0L else comp * 1000000L / raw.length)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "deflate_ppm")
+      .orderBy("doc_id")
+  }
+
   /** Full distributed k-means clustering over the embedding corpus
     * (`Scale.kMeans` — Lloyd until convergence, map-side assignment,
     * one partial+final agg per iteration). Surfaces the cluster census:

@@ -260,6 +260,66 @@ class OpsSpec extends AnyFunSuite {
       s"expected only the genuine pair, got ${pairs.length} pairs")
   }
 
+  test("q_quality_compress: repetitive << prose < shuffled noise; deterministic; empty/whitespace conventions") {
+    val gate = Llm.q_quality_compress(spark, sf)
+    val ratios = gate.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // corpus prose lands in a sane deflate band
+    // tiny fixture docs can exceed 1.0: the deflate header dominates
+    // below ~60 raw bytes (sf0.01 max observed 1018518)
+    assert(ratios.values.forall(v => v > 0 && v < 1500000),
+      "deflate_ppm must be positive and bounded by small-doc header overhead")
+    // determinism across full re-runs (fresh Deflater per partition)
+    val again = Llm.q_quality_compress(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == ratios, "deflate ratios must be run-deterministic")
+    // the signal's ordering property on crafted docs
+    import spark.implicits._
+    val word = "tok"
+    val repetitive = Seq.fill(400)(word).mkString(" ")
+    // long natural prose (several fixture docs) vs full-printable-range
+    // noise: natural text deflates well below random bytes
+    val prose = graft.ops.Tables.documents(spark, sf).limit(10)
+      .collect().map(_.getString(1)).mkString(" ")
+    val rng = new scala.util.Random(42)
+    val noise = Array.fill(2000)(rng.nextPrintableChar()).mkString
+    val crafted = Seq((1L, repetitive), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    crafted.createOrReplaceTempView("__compress_probe")
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_compress_").toString
+    crafted.write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val probe = Llm.q_quality_compress(spark, probeDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(probe(1L) < probe(2L) && probe(2L) < probe(3L),
+      s"repetitive(${probe(1L)}) < prose(${probe(2L)}) < noise(${probe(3L)}) must hold")
+    assert(probe(4L) == 0L, "empty doc reports ratio 0 by convention")
+  }
+
+  test("graft_nfc: canonical-equivalence collapse; ASCII fast path is identity; codegen plan") {
+    import spark.implicits._
+    // the planted canary pair: decomposed and precomposed forms of the
+    // same string must produce one nfc_key
+    val keys = Llm.q_text_nfc(spark, sf).filter(col("doc_id").isin(-1L, -2L))
+      .select("doc_id", "is_nfc", "nfc_key").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(!keys(-1L)._1, "the decomposed canary is not NFC")
+    assert(keys(-2L)._1, "the precomposed canary is already NFC")
+    assert(keys(-1L)._2 == keys(-2L)._2,
+      "decomposed and precomposed forms must share the NFC dedup key")
+    // kernel level: ASCII identity (same UTF8String instance semantics)
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.functions.NfcKernel.nfc(ascii) eq ascii,
+      "ASCII fast path must return the input without normalizer work")
+    assert(graft.functions.NfcKernel.nfc(null) == null)
+    // plan: no UDF, expression inside the codegen span
+    val df = graft.ops.Tables.documents(spark, sf)
+      .select(graft.functions.Vec.nfc(col("text")).as("n"))
+      .filter(length(col("n")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf") && plan.contains("graft_nfc"),
+      s"graft_nfc fell out of codegen:\n$plan")
+  }
+
   test("multimodal fakeDecode: 16-bin normalized histogram") {
     val h = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
     assert(h.length == 16)
