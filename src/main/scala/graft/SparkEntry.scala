@@ -107,6 +107,7 @@ object SparkEntry {
     "q_mutual_info" -> (Relational.q_mutual_info _),
     "q_winsorize" -> (Relational.q_winsorize _),
     "q_sample_group" -> (Relational.q_sample_group _),
+    "q_sample_neyman" -> (Relational.q_sample_neyman _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
     "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
@@ -1655,6 +1656,40 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Neyman allocation: variance numerators exact in HUGEINT, S_h
+    // enters only as a rounded micro-unit integer, allocation is pure
+    // integer floor + largest-remainder — engine-exact end to end
+    "q_sample_neyman" ->
+      """WITH st AS (
+        |  SELECT source, count(*)::HUGEINT AS n,
+        |    sum(n_chars::HUGEINT) AS s1, sum((n_chars::HUGEINT) * (n_chars::HUGEINT)) AS s2
+        |  FROM documents GROUP BY source),
+        |wv AS (
+        |  SELECT source, n,
+        |    n * (CASE WHEN n > 1
+        |      THEN CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |             / CAST(n * (n - 1) AS DOUBLE)) * 1000000 + 1e-9) AS HUGEINT)
+        |      ELSE 0::HUGEINT END) AS w
+        |  FROM st),
+        |tot AS (SELECT sum(w) AS bigw FROM wv),
+        |base AS (
+        |  SELECT source, n, (200 * w) // bigw AS base, (200 * w) % bigw AS rem
+        |  FROM wv CROSS JOIN tot),
+        |def AS (SELECT 200 - sum(base) AS deficit FROM base),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                           <= deficit THEN 1 ELSE 0 END, n) AS BIGINT) AS n_h
+        |  FROM base CROSS JOIN def),
+        |d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT d.source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars, n_h
+        |FROM d JOIN alloc USING (source)
+        |WHERE rn <= n_h ORDER BY source, rn""".stripMargin,
 
     "q_join_setsim" ->
       """WITH w AS (SELECT doc_id,

@@ -2935,6 +2935,58 @@ object Relational {
       .orderBy("event_type", "rn")
   }
 
+  /** Neyman-allocation stratified sampling (the survey-statistics
+    * optimal allocation: stratum h of size N_h and in-stratum std S_h
+    * gets n_h ∝ N_h·S_h of the budget — minimizing the estimator
+    * variance for a fixed budget; the principled version of
+    * [[q_sample_group]]'s flat quotas for corpus QA sampling). The
+    * float S_h enters the allocation only as a 6-dp micro-unit integer
+    * (variance numerator N·Σy²−(Σy)² is EXACT in DECIMAL/HUGEINT; both
+    * engines cast the identical value to double, sqrt, and round with
+    * the +1e-9 nudge), so the allocation itself — floor shares by
+    * integer division plus a largest-remainder correction to hit the
+    * budget exactly (ties by source) — is pure integer arithmetic,
+    * engine-exact. The draw inside each stratum is the established
+    * md5-rank deterministic sample. One source-key shuffle; the
+    * 20-row strata table broadcasts back.
+    */
+  def q_sample_neyman(s: SparkSession, d: String): DataFrame = {
+    val budget = 200L
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val st = docs.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),
+      sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0))).as("s2"))
+      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("s_micro",
+        when(col("n") > 1,
+          round(sqrt(col("var_num").cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) * 1000000 + lit(1e-9)))
+          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("w", col("n") * col("s_micro"))
+    val tot = st.agg(sum("w").as("bigw"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget * w div bigw"))
+      .withColumn("rem", expr(s"($budget * w) % bigw"))
+      .crossJoin(broadcast(
+        st.crossJoin(tot).agg(
+          (lit(budget) - sum(expr(s"$budget * w div bigw"))).as("deficit"))))
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("n_h",
+        least(col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L),
+          col("n")))
+      .select(col("source"), col("n_h"))
+    val wDraw = Window.partitionBy("source")
+      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(wDraw).cast("long"))
+      .join(broadcast(alloc), "source")
+      .filter(col("rn") <= col("n_h"))
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("n_h"))
+      .orderBy("source", "rn")
+  }
+
   /** Incremental rollup maintenance (materialized-view pattern): the
     * historical batch collapses ONCE into mergeable per-key state
     * (count / DECIMAL sum / min / max); each new delta batch folds in by
