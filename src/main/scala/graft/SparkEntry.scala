@@ -108,6 +108,8 @@ object SparkEntry {
     "q_winsorize" -> (Relational.q_winsorize _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_sample_neyman" -> (Relational.q_sample_neyman _),
+    "q_split_temporal" -> (Llm.q_split_temporal _),
+    "q_corpus_card" -> (Llm.q_corpus_card _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
     "q_join_setsim" -> (Llm.q_join_setsim _),
     "q_snapshot_diff" -> (Relational.q_snapshot_diff _),
@@ -1656,6 +1658,45 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_split_temporal" ->
+      """SELECT split, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_id,
+        |        CASE WHEN ts < TIMESTAMP '2024-01-18' THEN 'train'
+        |             WHEN ts >= TIMESTAMP '2024-01-20' THEN 'test'
+        |             ELSE 'embargo' END AS split
+        |      FROM events)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    // entropy terms rounded to micro-nats then integer-summed (the
+    // q_entropy dsum convention); percentiles via quantile_cont
+    "q_corpus_card" ->
+      """WITH g AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+        |                                  ' +', ' ', 'g')))) AS k
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    round(quantile_cont(n_chars, 0.5) + 1e-9, 1) AS p50_chars,
+        |    round(quantile_cont(n_chars, 0.95) + 1e-9, 1) AS p95_chars
+        |  FROM g GROUP BY source),
+        |dups AS (
+        |  SELECT source, CAST(sum(c) - count(*) AS BIGINT) AS n_dups
+        |  FROM (SELECT source, k, count(*) AS c FROM g GROUP BY source, k)
+        |  GROUP BY source),
+        |ent AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(round(-p * ln(p) * 1000000 + 1e-9, 0) AS BIGINT)) AS BIGINT)
+        |      AS lang_entropy_micro
+        |  FROM (SELECT source,
+        |          CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source) AS p
+        |        FROM (SELECT source, lang, count(*) AS c FROM g GROUP BY source, lang))
+        |  GROUP BY source)
+        |SELECT source, n_docs, n_tokens, p50_chars, p95_chars, n_dups, lang_entropy_micro
+        |FROM base JOIN dups USING (source) JOIN ent USING (source)
+        |ORDER BY source""".stripMargin,
 
     // Neyman allocation: variance numerators exact in HUGEINT, S_h
     // enters only as a rounded micro-unit integer, allocation is pure

@@ -2854,6 +2854,71 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe TEMPORAL split with an embargo gap ([[q_split_grouped]]'s
+    * time-axis sibling — the split financial/forecasting/behavioral ML
+    * actually needs): train = strictly before the cutoff minus the
+    * embargo, test = at/after the cutoff, and the embargo window in
+    * between is DROPPED (events there leak label-horizon information
+    * into training features; an adjacent train/test boundary is the
+    * classic silent-leak bug). The cutoff is a fixed calendar date, the
+    * embargo 2 days; each event maps by one scan-stage comparison — no
+    * shuffle beyond the audit rollup.
+    */
+  def q_split_temporal(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val embargoFrom = lit("2024-01-18").cast("timestamp") // cutoff − 2d embargo
+    events(s, d)
+      .select(col("event_id"), col("ts"),
+        when(col("ts") < embargoFrom, "train")
+          .when(col("ts") >= cutoff, "test")
+          .otherwise("embargo").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("split")
+  }
+
+  /** One-pass corpus card (the dataset-release summary every corpus
+    * ships with): per source — docs, exact token totals, length
+    * percentiles (p50/p95 over n_chars, exact interpolated), language
+    * mix entropy in micro-nats (exact integer counts → one rounded ln
+    * per term), and the exact-duplicate rate by normalized-text md5.
+    * ONE scan feeds every statistic (the doc-grain projection is
+    * pinned); everything downstream is per-source-keyed aggregation.
+    */
+  def q_corpus_card(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val g = documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(norm).as("k"))
+      .localCheckpoint() // doc-grain projection: 4 consumers, 1 corpus scan
+    val base = g.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+      percentile(col("n_chars"), lit(0.95)).as("p95_chars"))
+    val dups = g.groupBy("source", "k").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg((sum("c") - count(lit(1))).as("n_dups"))
+    // each −p·ln p term rounded then DECIMAL-summed (the q_entropy /
+    // dsum contract: partial-agg order can't change the sum)
+    val langEnt = g.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        round(-col("p") * log(col("p")) * 1000000 + lit(1e-9), 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+      .groupBy("source")
+      .agg(sum(col("term")).cast("long").as("lang_entropy_micro"))
+    base.join(dups, "source").join(langEnt, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p50_chars") + lit(1e-9), 1).as("p50_chars"),
+        round(col("p95_chars") + lit(1e-9), 1).as("p95_chars"),
+        col("n_dups"), col("lang_entropy_micro"))
+      .orderBy("source")
+  }
+
   /** Per-source token-budget trim (corpus quota enforcement): cap each
     * source's contribution at TrimBudget tokens, keeping a
     * deterministic hash-ordered prefix — the mixture-weight enforcement
