@@ -860,6 +860,10 @@ SELECT doc_id, source, n_tokens, bin_id FROM walk ORDER BY doc_id"""
     * single-level list_reduce per doc row. sf1: 3.5 s vs the driver
     * form's 54 s; hash-exact vs both the driver form and the engine.
     *
+    * Reaches DuckDB through `oracle_sql_sweep_overrides.json` (written
+    * by graft.Verify, overlaid by tools/sweep_oracle.py), carrying the
+    * `-- SWEEP_THREADS=1` header the sweep child ENFORCES.
+    *
     * MUST run with `SET threads=1`: DuckDB v1.0's PARALLEL lambda
     * evaluation is wrong — a single-level list_reduce over
     * join-correlated rows returns run-to-run different results at
@@ -869,7 +873,8 @@ SELECT doc_id, source, n_tokens, bin_id FROM walk ORDER BY doc_id"""
     * nesting). Exactness at threads=1 verified against the driver form
     * at sf1 (0/50k diffs, deterministic across runs).
     */
-  val packSequencesChunked: String = """WITH RECURSIVE t AS (
+  val packSequencesChunked: String = """-- SWEEP_THREADS=1
+WITH RECURSIVE t AS (
   SELECT doc_id, source,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn

@@ -50,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // decade-sweep oracle overrides: forms that are too slow for the
+    // sf0.01 driver gate's bulletproof-but-quadratic originals, with
+    // execution pragmas (-- SWEEP_THREADS=k) the sweep child enforces
+    val overrides = Map("q_pack_sequences" -> OracleSql.packSequencesChunked)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_sweep_overrides.json"),
+      overrides.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

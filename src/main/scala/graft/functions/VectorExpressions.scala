@@ -434,11 +434,13 @@ object NfcKernel {
   def nfc(u: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
     if (u == null) return null
+    // getByte addresses the backing memory directly — getBytes would
+    // COPY the full string per row for UnsafeRow-backed inputs, which
+    // defeats the point of a fast path on a 100 TB scan
     val n = u.numBytes()
-    val b = u.getBytes
     var i = 0
     var ascii = true
-    while (ascii && i < n) { if ((b(i) & 0x80) != 0) ascii = false; i += 1 }
+    while (ascii && i < n) { if ((u.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
     if (ascii) u
     else {
       val s = u.toString

@@ -1674,7 +1674,7 @@ object Llm {
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val out = it.map { case (id, text) =>
           val raw = (if (text == null) "" else text).getBytes("UTF-8")
           var comp = 0L
           if (raw.nonEmpty) {
@@ -1685,6 +1685,17 @@ object Llm {
           }
           (id, raw.length.toLong,
             if (raw.isEmpty) 0L else comp * 1000000L / raw.length)
+        }
+        // release the native zlib state when the partition drains —
+        // finalizer-driven cleanup accumulates off-heap memory on
+        // long-lived executors
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) defl.end()
+            h
+          }
+          def next(): (Long, Long, Long) = out.next()
         }
       }
       .toDF("doc_id", "n_bytes", "deflate_ppm")
@@ -3353,10 +3364,15 @@ object Llm {
                 .add("bg", org.apache.spark.sql.types.StringType))
             val dec = pool.join(broadcast(deltaDf), Seq("bg"), "left_semi")
               .groupBy("doc_id").agg(count(lit(1)).as("dec"))
+            val prevGains = poolGains
             poolGains = poolGains.join(dec, Seq("doc_id"), "left_outer")
               .select(col("doc_id"),
                 (col("gain") - coalesce(col("dec"), lit(0L))).as("gain"))
-              .localCheckpoint() // M rows — pins the round, releases lineage
+              .localCheckpoint() // eager: materialized before prev is released
+            // without this, every round's checkpoint blocks stay pinned
+            // (k per pool attempt, pool-sized each) — same discipline as
+            // bpeTrain's round loop
+            if (rank > 1) unpersistCheckpoint(prevGains)
             rank += 1
           }
         }

@@ -2963,19 +2963,24 @@ object Relational {
           round(sqrt(col("var_num").cast("double")
             / (col("n") * (col("n") - 1)).cast("double")) * 1000000 + lit(1e-9)))
           .otherwise(lit(0.0)).cast("long"))
-      .withColumn("w", col("n") * col("s_micro"))
-    val tot = st.agg(sum("w").as("bigw"))
+      // DECIMAL(38,0) from here: 200·n·s_micro crosses Long at
+      // n ≈ 2.3e7 docs per stratum (s_micro ~ 2e9) — the oracle runs
+      // HUGEINT, the engine must not wrap/throw first
+      .withColumn("w", (col("n") * col("s_micro")).cast(DecimalType(38, 0)))
+    val tot = st.agg(sum("w").cast(DecimalType(38, 0)).as("bigw"))
     val wRem = Window.orderBy(col("rem").desc, col("source"))
     val alloc = st.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"$budget * w div bigw"))
-      .withColumn("rem", expr(s"($budget * w) % bigw"))
+      .withColumn("base", expr(s"cast($budget * w div bigw as decimal(38,0))"))
+      .withColumn("rem", (lit(budget) * col("w") - col("base") * col("bigw"))
+        .cast(DecimalType(38, 0)))
       .crossJoin(broadcast(
         st.crossJoin(tot).agg(
-          (lit(budget) - sum(expr(s"$budget * w div bigw"))).as("deficit"))))
+          (lit(budget) - sum(expr(s"$budget * w div bigw")))
+            .cast("long").as("deficit"))))
       .withColumn("rk", row_number().over(wRem).cast("long"))
       .withColumn("n_h",
-        least(col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L),
-          col("n")))
+        least(col("base").cast("long")
+          + when(col("rk") <= col("deficit"), 1L).otherwise(0L), col("n")))
       .select(col("source"), col("n_h"))
     val wDraw = Window.partitionBy("source")
       .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))

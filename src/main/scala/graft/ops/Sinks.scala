@@ -49,18 +49,6 @@ object Sinks {
       .sortWithinPartitions(byCol)
       .write.mode("overwrite").parquet(path)
 
-  /** Z-order (Morton-curve) clustered write: interleave the bits of TWO
-    * normalized sort keys and range-partition + sort on the combined
-    * z-value. Each output file then covers a small RECTANGLE in
-    * (c1, c2) space — its parquet footer min/max are tight on BOTH
-    * dimensions, so filtered reads on EITHER key (or both) skip files.
-    * A plain sort on c1 gives perfect c1-skipping but every file spans
-    * the full c2 range; z-ordering trades a little of each for
-    * two-dimensional skipping — the standard lakehouse layout for
-    * two-key scan patterns at 100 TB. Keys are min/max normalized to
-    * 16-bit ranks with one tiny pre-pass aggregate (two scalars
-    * broadcast back; no global sort of raw keys).
-    */
   /** Small-file compaction — the maintenance op every long-lived table
     * needs at 100 TB (streaming sinks and fine-grained partition writes
     * accumulate thousands of KB-scale files; scan cost then goes to
@@ -79,15 +67,29 @@ object Sinks {
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp0 = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val bak0 = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // crash recovery BEFORE anything else: a run that died between the
+    // two renames left the data staged at __compact_old and no table
+    // path — finish the rollback; stale staging from any other crash
+    // point is residue over a complete table and is simply cleared
+    // (without this, the stale bak path blocks every later rename)
+    if (!fs.exists(p) && fs.exists(bak0)) {
+      if (!fs.rename(bak0, p))
+        throw new java.io.IOException(
+          s"compact: found crash residue $bak0 but cannot restore it to $path")
+    }
+    if (fs.exists(tmp0)) fs.delete(tmp0, true)
+    if (fs.exists(bak0)) fs.delete(bak0, true)
     val files = fs.listStatus(p)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= files.length) return (files.length, files.length)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val tmp = tmp0
     spark.read.parquet(path).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val bak = bak0
     if (!fs.rename(p, bak))
       throw new java.io.IOException(s"compact: cannot stage $path aside")
     if (!fs.rename(tmp, p)) { // roll back: the original directory wins
@@ -100,6 +102,18 @@ object Sinks {
     (files.length, after)
   }
 
+  /** Z-order (Morton-curve) clustered write: interleave the bits of TWO
+    * normalized sort keys and range-partition + sort on the combined
+    * z-value. Each output file then covers a small RECTANGLE in
+    * (c1, c2) space — its parquet footer min/max are tight on BOTH
+    * dimensions, so filtered reads on EITHER key (or both) skip files.
+    * A plain sort on c1 gives perfect c1-skipping but every file spans
+    * the full c2 range; z-ordering trades a little of each for
+    * two-dimensional skipping — the standard lakehouse layout for
+    * two-key scan patterns at 100 TB. Keys are min/max normalized to
+    * 16-bit ranks with one tiny pre-pass aggregate (two scalars
+    * broadcast back; no global sort of raw keys).
+    */
   def zOrderedParquet(df: DataFrame, path: String, c1: String, c2: String, files: Int): Unit = {
     import org.apache.spark.sql.functions._
     val b = df.agg(

@@ -332,7 +332,12 @@ object Streaming {
         // at-least-once guard: a re-delivered event_id (same id within or
         // across micro-batches) must not occupy a second reservoir slot —
         // its A-Res key is a pure function of (id, w), so skipping the
-        // duplicate leaves the reservoir identical to exactly-once delivery
+        // duplicate leaves the reservoir identical to exactly-once delivery.
+        // ASSUMPTION (the standard at-least-once contract): ids are
+        // idempotent — a redelivery carries the same weight. An id
+        // re-used with a DIFFERENT value is an upstream bug this guard
+        // cannot adjudicate (an evicted id re-arriving mutated would
+        // re-enter on its new key)
         if (!cur.exists(_._2 == e.event_id)) {
           val kk = Streaming.aresKey(e.event_id, math.max(e.value, 1e-9))
           // (key desc, id asc) total order; keep the top k

@@ -284,7 +284,6 @@ class OpsSpec extends AnyFunSuite {
     val noise = Array.fill(2000)(rng.nextPrintableChar()).mkString
     val crafted = Seq((1L, repetitive), (2L, prose), (3L, noise), (4L, ""))
       .toDF("doc_id", "text")
-    crafted.createOrReplaceTempView("__compress_probe")
     val probeDir = java.nio.file.Files.createTempDirectory("graft_compress_").toString
     crafted.write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
     val probe = Llm.q_quality_compress(spark, probeDir).collect()

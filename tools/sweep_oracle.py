@@ -41,11 +41,23 @@ def frame(sql):
     h = pd.util.hash_pandas_object(df, index=False)
     return df, int(h.sum()) & (2**64 - 1)
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+# decade-sweep overrides: oracle forms too slow for the driver gate's
+# bulletproof originals, carrying execution pragmas
+ov_path = f"{out_dir}/oracle_sql_sweep_overrides.json"
+if os.path.exists(ov_path):
+    oracles.update(json.load(open(ov_path)))
 sdf, shash = frame(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
 if name not in oracles:
     print(json.dumps({"status": "rows_only", "rows": len(sdf)}))
     sys.exit(0)
-odf, ohash = frame(oracles[name])
+sql = oracles[name]
+# enforce per-oracle pragmas: "-- SWEEP_THREADS=k" pins the thread count
+# (DuckDB v1.0 parallel-lambda wrongness; see PERF.md round 10)
+import re as _re
+m = _re.match(r"\s*--\s*SWEEP_THREADS=(\d+)", sql)
+if m:
+    con.execute(f"SET threads={int(m.group(1))}")
+odf, ohash = frame(sql)
 if list(odf.columns) != list(sdf.columns):
     print(json.dumps({"status": "mismatch", "why": "columns",
                       "oracle": list(odf.columns), "spark": list(sdf.columns)}))
