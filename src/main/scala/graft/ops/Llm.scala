@@ -2904,7 +2904,12 @@ object Llm {
       .select(col("source"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(norm).as("k"))
-      .localCheckpoint() // doc-grain projection: 4 consumers, 1 corpus scan
+      // DISK_ONLY, not localCheckpoint: the projection is doc-grain
+      // (corpus-sized) — pinned checkpoint blocks starved the execution
+      // pool at the fourth decade in the select_cover precedent; an
+      // evictable disk cache gives the same scan-once behavior. All
+      // consumers run inside ONE action, so the cache dedups their scans
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val base = g.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tokens").as("n_tokens"),
