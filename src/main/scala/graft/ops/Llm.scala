@@ -2927,12 +2927,35 @@ object Llm {
           .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
       .groupBy("source")
       .agg(sum(col("term")).cast("long").as("lang_entropy_micro"))
-    base.join(dups, "source").join(langEnt, "source")
+    // the card is a human-readable release report — one row per source,
+    // bounded by the stratification key's cardinality BY DESIGN — so it
+    // computes eagerly (one action over the shared cache) and the
+    // corpus-sized cache is RELEASED before returning (a lazily-returned
+    // cache either leaks across callers or silently serves warm re-runs)
+    val rows = base.join(dups, "source").join(langEnt, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("p50_chars") + lit(1e-9), 1).as("p50_chars"),
         round(col("p95_chars") + lit(1e-9), 1).as("p95_chars"),
         col("n_dups"), col("lang_entropy_micro"))
       .orderBy("source")
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p50_chars",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p95_chars",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_dups",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang_entropy_micro",
+        org.apache.spark.sql.types.LongType)))
+    g.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** Per-source token-budget trim (corpus quota enforcement): cap each
