@@ -85,7 +85,14 @@ object StreamBench {
         Streaming.idleFlush(source(), idleMs = 2000, watermarkDelay = "0 seconds")
           .toDF("user_id", "n_events"), mode = "append"),
       bench("tumbling_median",
-        Streaming.tumblingMedian(source().toDF(), "10 seconds", "10 seconds")))
+        Streaming.tumblingMedian(source().toDF(), "10 seconds", "10 seconds")),
+      bench("sessionize_fmgws",
+        Streaming.sessionize(source().withWatermark("ts", "0 seconds"), gapMs = 5000)
+          .toDF("user_id", "session_start", "session_end", "n_events", "value_sum"),
+        mode = "append"),
+      bench("dedup_watermark",
+        Streaming.dedupWithinWatermark(source().toDF(), "10 seconds"),
+        mode = "append"))
 
     val json =
       s"""{
