@@ -102,6 +102,127 @@ object Sinks {
     (files.length, after)
   }
 
+  /** Manifest-based SNAPSHOT TABLE over immutable parquet — the minimal
+    * honest slice of the lakehouse commit protocol (Delta/Iceberg
+    * class) that plain directories can't give: versioned atomic
+    * commits, time-travel reads, and safe vacuum.
+    *
+    * Layout: `path/data/v<NNNNN>-<uuid>/` holds each commit's immutable
+    * parquet; `path/_manifests/v<NNNNN>.json` names the data directory.
+    * The COMMIT is one atomic manifest rename — and because rename onto
+    * an existing path fails, the manifest file doubles as an OPTIMISTIC
+    * CONCURRENCY token: two writers racing to version N+1 cannot both
+    * win; the loser re-reads the latest version and retries against
+    * N+2. Readers resolve a version (or latest) through its manifest
+    * only, so a half-written data directory (crash before commit) is
+    * invisible garbage, never a torn read — the same reader/writer
+    * isolation argument as the compaction swap, but with history.
+    *
+    * What this deliberately does NOT implement (and says so): row-level
+    * MERGE transactions (the engine's [[graft.ops.Scale.upsert]]
+    * composes — write its output as the next snapshot), schema
+    * evolution enforcement, and multi-table transactions.
+    */
+  object Snapshots {
+    private def fs(spark: SparkSession, path: String) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    private def manifestDir(path: String) =
+      new org.apache.hadoop.fs.Path(path + "/_manifests")
+
+    private def versionOf(name: String): Option[Int] =
+      if (name.matches("v\\d{5}\\.json")) Some(name.substring(1, 6).toInt) else None
+
+    /** All committed versions, ascending. */
+    def versions(spark: SparkSession, path: String): Seq[Int] = {
+      val (f, _) = fs(spark, path)
+      val md = manifestDir(path)
+      if (!f.exists(md)) Seq.empty
+      else f.listStatus(md).toSeq
+        .flatMap(s => versionOf(s.getPath.getName)).sorted
+    }
+
+    /** Write `df` as the table's next snapshot; returns the committed
+      * version. Retries on commit-token conflict (another writer won
+      * the version) up to `maxAttempts`, re-reading the tip each time —
+      * the data directory is per-attempt immutable garbage on loss,
+      * reclaimed by [[vacuum]].
+      */
+    def commit(spark: SparkSession, df: DataFrame, path: String,
+               maxAttempts: Int = 5): Int = {
+      val (f, _) = fs(spark, path)
+      val md = manifestDir(path)
+      f.mkdirs(md)
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        val next = versions(spark, path).lastOption.getOrElse(0) + 1
+        val dataDir = f"data/v$next%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("errorifexists").parquet(s"$path/$dataDir")
+        val tmp = new org.apache.hadoop.fs.Path(md, f".v$next%05d.json.tmp")
+        val fin = new org.apache.hadoop.fs.Path(md, f"v$next%05d.json")
+        val body = s"""{"version": $next, "data_dir": "$dataDir", """ +
+          s""""committed_at_ms": ${System.currentTimeMillis()}}"""
+        val out = f.create(tmp, true)
+        out.write(body.getBytes("UTF-8")); out.close()
+        // THE commit: atomic rename; an existing target means another
+        // writer took this version — clean up and retry against the tip
+        if (f.rename(tmp, fin)) return next
+        f.delete(tmp, false)
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/$dataDir"), true)
+      }
+      throw new java.io.IOException(
+        s"snapshot commit lost the version race $maxAttempts times at $path")
+    }
+
+    private def dataDirOf(spark: SparkSession, path: String, version: Int): String = {
+      val (f, _) = fs(spark, path)
+      val mf = new org.apache.hadoop.fs.Path(manifestDir(path), f"v$version%05d.json")
+      if (!f.exists(mf))
+        throw new java.util.NoSuchElementException(s"no snapshot v$version at $path")
+      val in = f.open(mf)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      val body = new String(bos.toByteArray, "UTF-8")
+      val m = """"data_dir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .getOrElse(throw new java.io.IOException(s"corrupt manifest $mf"))
+      m.group(1)
+    }
+
+    /** Time-travel read: `version = None` reads the latest snapshot. */
+    def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+      val v = version.orElse(versions(spark, path).lastOption)
+        .getOrElse(throw new java.util.NoSuchElementException(s"no snapshots at $path"))
+      spark.read.parquet(s"$path/${dataDirOf(spark, path, v)}")
+    }
+
+    /** Drop all but the newest `keepLast` snapshots: their manifests go
+      * first (readers can no longer resolve them), then any data
+      * directory not referenced by a surviving manifest — which also
+      * reclaims loser-writer and crashed-commit garbage.
+      */
+    def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+      require(keepLast >= 1, "vacuum must keep at least the current snapshot")
+      val (f, _) = fs(spark, path)
+      val all = versions(spark, path)
+      val drop = all.dropRight(keepLast)
+      drop.foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(manifestDir(path), f"v$v%05d.json"), false)
+      }
+      val live = versions(spark, path).map(dataDirOf(spark, path, _)).toSet
+      val dataRoot = new org.apache.hadoop.fs.Path(path + "/data")
+      if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+        if (!live.contains("data/" + st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Z-order (Morton-curve) clustered write: interleave the bits of TWO
     * normalized sort keys and range-partition + sort on the combined
     * z-value. Each output file then covers a small RECTANGLE in

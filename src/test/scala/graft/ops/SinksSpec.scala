@@ -191,6 +191,47 @@ class SinksSpec extends AnyFunSuite {
     assert(secondFiles == firstFiles, "a no-op compaction must not rewrite files")
   }
 
+  test("snapshot table: atomic versioned commits, time travel, conflict retry, vacuum reclaims losers") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_").toString + "/t"
+    val v1rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v2rows = Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Sinks.Snapshots.commit(spark, v1rows, path) == 1)
+    assert(Sinks.Snapshots.commit(spark, v2rows, path) == 2)
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(1, 2))
+    // latest reads v2; time travel reads v1 unchanged AFTER v2 committed
+    assert(Sinks.Snapshots.read(spark, path).count() == 3)
+    val old = Sinks.Snapshots.read(spark, path, Some(1))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq((1L, "a"), (2L, "b")),
+      "a committed snapshot must be immutable under later commits")
+    // optimistic concurrency: steal version 3's commit token, then
+    // commit — the writer must detect the conflict and land on v4
+    val md = new java.io.File(s"$path/_manifests")
+    val stolen = new java.io.File(md, "v00003.json")
+    val fw = new java.io.FileWriter(stolen)
+    fw.write("""{"version": 3, "data_dir": "data/v00003-stolen"}"""); fw.close()
+    new java.io.File(s"$path/data/v00003-stolen").mkdirs()
+    val v = Sinks.Snapshots.commit(spark, v1rows, path)
+    assert(v == 4, s"conflicting writer must retry past the stolen token, got v$v")
+    // a crashed commit = data dir with no manifest: invisible to reads
+    new java.io.File(s"$path/data/v00099-orphan").mkdirs()
+    assert(Sinks.Snapshots.read(spark, path).count() == 2) // v4 = v1rows
+    // vacuum keeps the last 2 (v3 stolen + v4), reclaims v1/v2 data AND
+    // the orphan garbage
+    Sinks.Snapshots.vacuum(spark, path, keepLast = 2)
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(3, 4))
+    val dataDirs = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    assert(!dataDirs.exists(_.startsWith("v00001")) &&
+      !dataDirs.exists(_.startsWith("v00002")) &&
+      !dataDirs.contains("v00099-orphan"),
+      s"vacuum must reclaim dropped and orphaned data dirs, left: $dataDirs")
+    assert(Sinks.Snapshots.read(spark, path, Some(4)).count() == 2)
+    intercept[java.util.NoSuchElementException] {
+      Sinks.Snapshots.read(spark, path, Some(1))
+    }
+  }
+
   test("corrupt-file tolerance: ignoreCorruptFiles reads around a damaged input") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
