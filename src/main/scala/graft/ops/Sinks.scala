@@ -151,7 +151,11 @@ object Sinks {
       * reclaimed by [[vacuum]].
       */
     def commit(spark: SparkSession, df: DataFrame, path: String,
-               maxAttempts: Int = 5): Int = {
+               maxAttempts: Int = 5): Int =
+      commit(spark, df, path, maxAttempts, batchId = None)
+
+    private def commit(spark: SparkSession, df: DataFrame, path: String,
+                       maxAttempts: Int, batchId: Option[Long]): Int = {
       val (f, _) = fs(spark, path)
       val md = manifestDir(path)
       f.mkdirs(md)
@@ -163,7 +167,8 @@ object Sinks {
         df.write.mode("errorifexists").parquet(s"$path/$dataDir")
         val tmp = new org.apache.hadoop.fs.Path(md, f".v$next%05d.json.tmp")
         val fin = new org.apache.hadoop.fs.Path(md, f"v$next%05d.json")
-        val body = s"""{"version": $next, "data_dir": "$dataDir", """ +
+        val batchField = batchId.map(b => s""""batch_id": $b, """).getOrElse("")
+        val body = s"""{"version": $next, "data_dir": "$dataDir", $batchField""" +
           s""""committed_at_ms": ${System.currentTimeMillis()}}"""
         val out = f.create(tmp, true)
         out.write(body.getBytes("UTF-8")); out.close()
@@ -192,6 +197,52 @@ object Sinks {
       val m = """"data_dir":\s*"([^"]+)"""".r.findFirstMatchIn(body)
         .getOrElse(throw new java.io.IOException(s"corrupt manifest $mf"))
       m.group(1)
+    }
+
+    private def manifestBody(spark: SparkSession, path: String, version: Int): String = {
+      val (f, _) = fs(spark, path)
+      val mf = new org.apache.hadoop.fs.Path(manifestDir(path), f"v$version%05d.json")
+      val in = f.open(mf)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      new String(bos.toByteArray, "UTF-8")
+    }
+
+    /** The batch id recorded by the TIP commit, if it was a streaming
+      * commit.
+      */
+    def latestBatchId(spark: SparkSession, path: String): Option[Long] =
+      versions(spark, path).lastOption.flatMap { v =>
+        """"batch_id":\s*(\d+)""".r
+          .findFirstMatchIn(manifestBody(spark, path, v)).map(_.group(1).toLong)
+      }
+
+    /** EXACTLY-ONCE streaming sink body for `foreachBatch`: commit the
+      * micro-batch as the table's next snapshot, stamped with its
+      * batchId — a REPLAYED batch (failure recovery re-delivers the
+      * same id) is detected against the tip's recorded batch_id and
+      * skipped, so the at-least-once delivery of foreachBatch becomes
+      * an exactly-once table. Returns the committed version, or None on
+      * an idempotent skip. Streaming commits are APPEND-LOG usage: each
+      * version holds one micro-batch; [[readLog]] unions the live
+      * versions into the table.
+      */
+    def commitBatch(spark: SparkSession, df: DataFrame, path: String,
+                    batchId: Long): Option[Int] =
+      if (latestBatchId(spark, path).exists(_ >= batchId)) None
+      else Some(commit(spark, df, path, maxAttempts = 5, batchId = Some(batchId)))
+
+    /** Append-log read: the UNION of all live snapshots (the streaming
+      * [[commitBatch]] pattern, where each version is one micro-batch).
+      */
+    def readLog(spark: SparkSession, path: String): DataFrame = {
+      val vs = versions(spark, path)
+      if (vs.isEmpty)
+        throw new java.util.NoSuchElementException(s"no snapshots at $path")
+      spark.read.parquet(vs.map(v => s"$path/${dataDirOf(spark, path, v)}"): _*)
     }
 
     /** Time-travel read: `version = None` reads the latest snapshot. */

@@ -487,6 +487,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(seen.values().stream().mapToLong(identity(_)).sum() == 3)
   }
 
+  test("foreachBatch -> snapshot table: batchId commits are exactly-once; replays skip; readLog unions the log") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_snapstream_").toString + "/t"
+    val in = MemoryStream[Ev]
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Sinks.Snapshots.commitBatch(batch.sparkSession, batch.toDF(), path, id)
+        ()
+      }
+      .start()
+    queries = q :: queries
+    in.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 2.0, ts(2)))
+    q.processAllAvailable()
+    in.addData(Ev(3, 2, "view", 3.0, ts(3)))
+    q.processAllAvailable()
+    val vs = Sinks.Snapshots.versions(spark, path)
+    assert(vs.size == 2, s"two micro-batches -> two snapshot commits, got $vs")
+    // failure-recovery replay: re-deliver batch 0 — the tip's batch_id
+    // makes it an idempotent no-op
+    val replay = Seq(Ev(1, 1, "click", 1.0, ts(1))).toDF()
+    assert(Sinks.Snapshots.commitBatch(spark, replay, path, batchId = 0L).isEmpty,
+      "a replayed batchId must not commit a new version")
+    assert(Sinks.Snapshots.versions(spark, path) == vs)
+    // a genuinely new batch id commits
+    assert(Sinks.Snapshots.commitBatch(spark,
+      Seq(Ev(4, 3, "view", 4.0, ts(4))).toDF(), path, batchId = 2L).nonEmpty)
+    // the append-log view is the exactly-once union
+    val ids = Sinks.Snapshots.readLog(spark, path)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"readLog must union each batch exactly once, got ${ids.toSeq}")
+  }
+
   test("streaming top-k per window: update-mode counts merge into a store the finisher re-ranks") {
     val s = spark
     import s.implicits._
