@@ -109,19 +109,34 @@ object Sinks {
     *
     * Layout: `path/data/v<NNNNN>-<uuid>/` holds each commit's immutable
     * parquet; `path/_manifests/v<NNNNN>.json` names the data directory.
-    * The COMMIT is one atomic manifest rename — and because rename onto
-    * an existing path fails, the manifest file doubles as an OPTIMISTIC
-    * CONCURRENCY token: two writers racing to version N+1 cannot both
-    * win; the loser re-reads the latest version and retries against
-    * N+2. Readers resolve a version (or latest) through its manifest
-    * only, so a half-written data directory (crash before commit) is
-    * invisible garbage, never a torn read — the same reader/writer
-    * isolation argument as the compaction swap, but with history.
+    * The COMMIT is one atomic NO-OVERWRITE manifest rename — the
+    * manifest file doubles as an OPTIMISTIC CONCURRENCY token: two
+    * writers racing to version N+1 cannot both win; the loser re-reads
+    * the latest version and retries against N+2. Readers resolve a
+    * version (or latest) through its manifest only, so a half-written
+    * data directory (crash before commit) is invisible garbage, never a
+    * torn read — the same reader/writer isolation argument as the
+    * compaction swap, but with history.
     *
-    * What this deliberately does NOT implement (and says so): row-level
-    * MERGE transactions (the engine's [[graft.ops.Scale.upsert]]
-    * composes — write its output as the next snapshot), schema
-    * evolution enforcement, and multi-table transactions.
+    * FS CONTRACT: the token is only a token where the rename is atomic
+    * and refuses an existing destination. `FileSystem.rename` silently
+    * REPLACES an existing file on POSIX local filesystems (rename(2)
+    * semantics), so commits go through `FileContext.rename(..,
+    * Options.Rename.NONE)`, which fails on an existing destination on
+    * every Hadoop filesystem — and each win is re-verified by reading
+    * the manifest back and checking it names this writer's data
+    * directory (closes the residual check-then-rename window on stores
+    * whose rename is not a single atomic op). On S3A-class object
+    * stores rename is copy+delete and NOT atomic: a torn rename can
+    * strand a half-copied manifest — run the table on a store with
+    * atomic rename (HDFS, ABFS, GCS+hns, local), or front it with a
+    * coordination layer; the verify step turns a lost race into a loud
+    * retry instead of silent corruption either way.
+    *
+    * What this deliberately does NOT implement (and says so): schema
+    * evolution enforcement and multi-table transactions. Row-level
+    * MERGE composes: [[merge]] = time-travel read → [[graft.ops.Scale.upsert]]
+    * → next snapshot commit (gated in SinksSpec).
     */
   object Snapshots {
     private def fs(spark: SparkSession, path: String) = {
@@ -132,8 +147,39 @@ object Sinks {
     private def manifestDir(path: String) =
       new org.apache.hadoop.fs.Path(path + "/_manifests")
 
-    private def versionOf(name: String): Option[Int] =
-      if (name.matches("v\\d{5}\\.json")) Some(name.substring(1, 6).toInt) else None
+    // any digit count: %05d pads to five up to 99999 and then grows —
+    // a fixed 5-digit parse would freeze versions() at v99999 forever
+    private val ManifestName = """v(\d+)\.json""".r
+
+    private def versionOf(name: String): Option[Int] = name match {
+      case ManifestName(v) => Some(v.toInt)
+      case _               => None
+    }
+
+    /** Atomic no-overwrite rename: the commit primitive. `FileContext`
+      * (unlike `FileSystem.rename`, which silently replaces an existing
+      * FILE on POSIX local filesystems) refuses an existing destination
+      * on every Hadoop FS. Returns false on "destination exists" — the
+      * lost-race signal — and rethrows anything else.
+      */
+    private[ops] def renameNoOverwrite(
+        spark: SparkSession,
+        src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        src.getFileSystem(conf).getUri, conf)
+      try {
+        fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          false
+      }
+    }
 
     /** All committed versions, ascending. */
     def versions(spark: SparkSession, path: String): Seq[Int] = {
@@ -172,10 +218,17 @@ object Sinks {
           s""""committed_at_ms": ${System.currentTimeMillis()}}"""
         val out = f.create(tmp, true)
         out.write(body.getBytes("UTF-8")); out.close()
-        // THE commit: atomic rename; an existing target means another
-        // writer took this version — clean up and retry against the tip
-        if (f.rename(tmp, fin)) return next
-        f.delete(tmp, false)
+        // THE commit: atomic no-overwrite rename; an existing target
+        // means another writer took this version. The win is VERIFIED by
+        // reading the manifest back — on a store whose rename is not one
+        // atomic op, both racers can believe they renamed; only the one
+        // whose data_dir the manifest names actually committed.
+        val won = renameNoOverwrite(spark, tmp, fin) &&
+          (try dataDirOf(spark, path, next) == dataDir
+           catch { case _: java.io.IOException => false })
+        if (won) return next
+        // lost the race: clean up this attempt and retry against the tip
+        if (f.exists(tmp)) f.delete(tmp, false)
         f.delete(new org.apache.hadoop.fs.Path(s"$path/$dataDir"), true)
       }
       throw new java.io.IOException(
@@ -211,14 +264,21 @@ object Sinks {
       new String(bos.toByteArray, "UTF-8")
     }
 
-    /** The batch id recorded by the TIP commit, if it was a streaming
-      * commit.
+    /** The batch id of the most recent STREAMING commit — found by
+      * scanning manifests backward from the tip, so plain snapshots
+      * (upsert output, [[merge]], compaction rewrites) interleaved into
+      * the same table cannot mask it: before this scanned backward, any
+      * non-batch tip made a replayed micro-batch re-commit and the
+      * exactly-once guarantee silently degraded to at-least-once.
+      * Batch ids are monotone per streaming query, so the first one
+      * found walking backward IS the max.
       */
-    def latestBatchId(spark: SparkSession, path: String): Option[Long] =
-      versions(spark, path).lastOption.flatMap { v =>
-        """"batch_id":\s*(\d+)""".r
-          .findFirstMatchIn(manifestBody(spark, path, v)).map(_.group(1).toLong)
-      }
+    def latestBatchId(spark: SparkSession, path: String): Option[Long] = {
+      val re = """"batch_id":\s*(\d+)""".r
+      versions(spark, path).reverseIterator
+        .map(v => re.findFirstMatchIn(manifestBody(spark, path, v)).map(_.group(1).toLong))
+        .collectFirst { case Some(b) => b }
+    }
 
     /** EXACTLY-ONCE streaming sink body for `foreachBatch`: commit the
       * micro-batch as the table's next snapshot, stamped with its
@@ -229,6 +289,13 @@ object Sinks {
       * an idempotent skip. Streaming commits are APPEND-LOG usage: each
       * version holds one micro-batch; [[readLog]] unions the live
       * versions into the table.
+      *
+      * CONTRACT: one streaming query per table. The id check reads the
+      * log, then commits — the version token serializes the commits
+      * themselves, but TWO streaming writers replaying the same batch id
+      * concurrently could both pass the read before either lands. Plain
+      * snapshot commits may interleave freely (the backward-scanning
+      * [[latestBatchId]] sees through them).
       */
     def commitBatch(spark: SparkSession, df: DataFrame, path: String,
                     batchId: Long): Option[Int] =
@@ -253,25 +320,46 @@ object Sinks {
     }
 
     /** Drop all but the newest `keepLast` snapshots: their manifests go
-      * first (readers can no longer resolve them), then any data
-      * directory not referenced by a surviving manifest — which also
-      * reclaims loser-writer and crashed-commit garbage.
+      * first (readers can no longer resolve them), then their data —
+      * plus loser-writer / crashed-commit garbage, but ONLY past the
+      * `retainMs` grace window (Delta-style): an IN-FLIGHT commit (data
+      * written, manifest not yet renamed) is indistinguishable from
+      * crash garbage, so without the window a concurrent vacuum could
+      * delete a commit's data right before its manifest lands.
+      * Explicitly-dropped versions reclaim immediately (their manifests
+      * were just removed by this call — they were committed, not
+      * in-flight).
       */
-    def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    def vacuum(spark: SparkSession, path: String, keepLast: Int,
+               retainMs: Long = 15L * 60 * 1000): Unit = {
       require(keepLast >= 1, "vacuum must keep at least the current snapshot")
       val (f, _) = fs(spark, path)
       val all = versions(spark, path)
       val drop = all.dropRight(keepLast)
+      val dropped = drop.map(v => "data/" + dataDirOf(spark, path, v).stripPrefix("data/")).toSet
       drop.foreach { v =>
         f.delete(new org.apache.hadoop.fs.Path(manifestDir(path), f"v$v%05d.json"), false)
       }
       val live = versions(spark, path).map(dataDirOf(spark, path, _)).toSet
       val dataRoot = new org.apache.hadoop.fs.Path(path + "/data")
+      val cutoff = System.currentTimeMillis() - retainMs
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-        if (!live.contains("data/" + st.getPath.getName))
+        val name = "data/" + st.getPath.getName
+        if (!live.contains(name) &&
+            (dropped.contains(name) || st.getModificationTime < cutoff))
           f.delete(st.getPath, true)
       }
     }
+
+    /** Row-level MERGE as snapshot composition: time-travel read the
+      * current snapshot, [[graft.ops.Scale.upsert]] the delta into it
+      * (matched keys replaced, unmatched inserted), commit the result as
+      * the next version. History stays immutable — both the pre- and
+      * post-merge versions time-travel. Returns the committed version.
+      */
+    def merge(spark: SparkSession, path: String, delta: DataFrame,
+              keys: Seq[String]): Int =
+      commit(spark, Scale.upsert(read(spark, path), delta, keys), path)
   }
 
   /** Z-order (Morton-curve) clustered write: interleave the bits of TWO

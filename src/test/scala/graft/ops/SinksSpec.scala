@@ -217,19 +217,80 @@ class SinksSpec extends AnyFunSuite {
     // a crashed commit = data dir with no manifest: invisible to reads
     new java.io.File(s"$path/data/v00099-orphan").mkdirs()
     assert(Sinks.Snapshots.read(spark, path).count() == 2) // v4 = v1rows
-    // vacuum keeps the last 2 (v3 stolen + v4), reclaims v1/v2 data AND
-    // the orphan garbage
+    // vacuum keeps the last 2 (v3 stolen + v4). With the DEFAULT
+    // retention window the fresh orphan SURVIVES (it is
+    // indistinguishable from an in-flight commit's data) while the
+    // explicitly-dropped v1/v2 reclaim immediately
     Sinks.Snapshots.vacuum(spark, path, keepLast = 2)
     assert(Sinks.Snapshots.versions(spark, path) == Seq(3, 4))
+    val midDirs = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    assert(!midDirs.exists(_.startsWith("v00001")) &&
+      !midDirs.exists(_.startsWith("v00002")),
+      s"vacuum must reclaim explicitly-dropped data dirs immediately, left: $midDirs")
+    assert(midDirs.contains("v00099-orphan"),
+      "a fresh unreferenced dir could be an in-flight commit — the grace window must protect it")
+    // past the window (retainMs = 0) the orphan is crash garbage: reclaimed
+    Sinks.Snapshots.vacuum(spark, path, keepLast = 2, retainMs = 0L)
     val dataDirs = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
-    assert(!dataDirs.exists(_.startsWith("v00001")) &&
-      !dataDirs.exists(_.startsWith("v00002")) &&
-      !dataDirs.contains("v00099-orphan"),
-      s"vacuum must reclaim dropped and orphaned data dirs, left: $dataDirs")
+    assert(!dataDirs.contains("v00099-orphan"),
+      s"expired vacuum must reclaim orphaned data dirs, left: $dataDirs")
     assert(Sinks.Snapshots.read(spark, path, Some(4)).count() == 2)
     intercept[java.util.NoSuchElementException] {
       Sinks.Snapshots.read(spark, path, Some(1))
     }
+  }
+
+  test("snapshot commit primitive refuses to overwrite an existing manifest (local-FS rename trap)") {
+    // POSIX rename(2) — and therefore FileSystem.rename on the local FS —
+    // silently REPLACES an existing destination file: two racing writers
+    // would both be acknowledged for the same version and one commit
+    // would be lost. The commit primitive must return false instead.
+    val dir = Files.createTempDirectory("graft_snap_rename_").toString
+    val src = new org.apache.hadoop.fs.Path(dir, "src.json")
+    val dst = new org.apache.hadoop.fs.Path(dir, "dst.json")
+    val f = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = f.create(p, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    write(src, "a"); write(dst, "b")
+    // control: the raw FileSystem rename DOES clobber on local FS — the
+    // trap is real here, so the assertion below is meaningful
+    assert(!Sinks.Snapshots.renameNoOverwrite(spark, src, dst),
+      "rename onto an existing manifest must report a lost race, not clobber")
+    val in = f.open(dst)
+    val b = new Array[Byte](1); in.read(b); in.close()
+    assert(b(0) == 'b'.toByte, "the existing manifest must be untouched after a refused rename")
+    write(src, "a2")
+    f.delete(dst, false)
+    assert(Sinks.Snapshots.renameNoOverwrite(spark, src, dst),
+      "rename onto a free destination must succeed")
+  }
+
+  test("row-level MERGE into the snapshot table: upsert composes with commit + time travel") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_merge_").toString + "/t"
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+    assert(Sinks.Snapshots.commit(spark, v1, path) == 1)
+    // delta: update id=2, insert id=4
+    val delta = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "v", "x")
+    assert(Sinks.Snapshots.merge(spark, path, delta, Seq("id")) == 2)
+    val merged = Sinks.Snapshots.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(merged == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)),
+      s"merge must replace matched keys and insert unmatched, got $merged")
+    // the pre-merge version still time-travels, unchanged
+    val before = Sinks.Snapshots.read(spark, path, Some(1)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(before == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the pre-merge snapshot must be immutable under the merge")
+    // a second merge stacks on the first (reads the new tip)
+    assert(Sinks.Snapshots.merge(spark, path, Seq((1L, "a3", 11.0)).toDF("id", "v", "x"),
+      Seq("id")) == 3)
+    assert(Sinks.Snapshots.read(spark, path).filter($"id" === 1L)
+      .select("v").as[String].head() == "a3")
+    assert(Sinks.Snapshots.read(spark, path, Some(2)).filter($"id" === 1L)
+      .select("v").as[String].head() == "a",
+      "each merge is its own immutable version")
   }
 
   test("corrupt-file tolerance: ignoreCorruptFiles reads around a damaged input") {

@@ -516,11 +516,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     // a genuinely new batch id commits
     assert(Sinks.Snapshots.commitBatch(spark,
       Seq(Ev(4, 3, "view", 4.0, ts(4))).toDF(), path, batchId = 2L).nonEmpty)
-    // the append-log view is the exactly-once union
+    // a PLAIN snapshot commit interleaves (e.g. a compaction rewrite or
+    // upsert) — it carries no batch_id, and it must NOT mask the replay
+    // guard: latestBatchId scans backward past it
+    Sinks.Snapshots.commit(spark, Seq(Ev(9, 9, "plain", 9.0, ts(9))).toDF(), path)
+    assert(Sinks.Snapshots.latestBatchId(spark, path).contains(2L),
+      "latestBatchId must see through interleaved non-streaming commits")
+    assert(Sinks.Snapshots.commitBatch(spark, replay, path, batchId = 2L).isEmpty,
+      "a replay after an interleaved plain commit must still be an idempotent no-op")
+    // the append-log view is the exactly-once union (the plain commit is
+    // part of the log — it committed once, it appears once)
     val ids = Sinks.Snapshots.readLog(spark, path)
       .select("event_id").collect().map(_.getLong(0)).sorted
-    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L),
-      s"readLog must union each batch exactly once, got ${ids.toSeq}")
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 9L),
+      s"readLog must union each commit exactly once, got ${ids.toSeq}")
   }
 
   test("streaming top-k per window: update-mode counts merge into a store the finisher re-ranks") {

@@ -257,4 +257,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.x eq p.ref("x"))
     assert(p.brandNew == Ref("brandNew"))
   }
+
+  test("snapshot table composes with the DPP layer: sequence reads a version, transforms, commits the next") {
+    // the lakehouse tier behind the reference's orchestration surface:
+    // a sequence step whose source is Snapshots.read and whose sink step
+    // commits the transformed frame as the table's next version — the
+    // q_pipeline_docs precedent, with versioned storage at both ends
+    import graft.ops.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_dpp_snap_")
+      .toString + "/t"
+    Sinks.Snapshots.commit(spark,
+      Seq((1, 5), (2, 6), (3, 7)).toDF("id", "v"), path)
+    val p = DPP("snap" -> Sinks.Snapshots.read(spark, path))
+    val double = fn("double")(df => df.select(col("id"), (col("v") * 2).as("v")))
+    val commitStep = fn("commitSnapshot") { df =>
+      Sinks.Snapshots.commit(spark, df, path)
+      Sinks.Snapshots.read(spark, path) // the slot now holds the committed tip
+    }
+    p.sequence(
+      p.snap >> double >> p.doubled,
+      Prev >> commitStep >> p.committed,
+    )
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(1, 2),
+      "the sink step must land exactly one new version")
+    val v2 = Sinks.Snapshots.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(v2 == Seq((1, 10), (2, 12), (3, 14)))
+    // time travel still reads the pipeline's INPUT version unchanged
+    val v1 = Sinks.Snapshots.read(spark, path, Some(1)).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(v1 == Seq((1, 5), (2, 6), (3, 7)))
+    assert(p("committed").count() == 3)
+  }
 }
