@@ -609,9 +609,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source,
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
-        |  (cum_tokens - n_tokens < 1000) AS keep
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM t WHERE cum_tokens - n_tokens < 1000 ORDER BY doc_id""".stripMargin,
 
     "q_corpus_shuffle" ->
       """SELECT doc_id,

@@ -2963,28 +2963,87 @@ object Llm {
     * deterministic hash-ordered prefix — the mixture-weight enforcement
     * step after [[q_mix_sample]] decides fractions (budgets are set in
     * TOKENS, the unit training actually consumes, not documents). Each
-    * source is an independent window partition ordered by
-    * md5(doc_id) — reproducible, retry-safe, and unbiased by doc_id
-    * assignment order — with a running token sum; a doc is kept while
-    * the budget is not yet exhausted BEFORE it (so the first
-    * over-budget doc still ships — budgets are soft caps, never an
-    * empty source). At 100 TB the per-source windows shard across
-    * executors on the even source key; a pathologically hot source
-    * range-partitions within the key the same way the skew-salting ops
-    * do.
+    * source is ordered by md5(doc_id) — reproducible, retry-safe, and
+    * unbiased by doc_id assignment order — with a running token sum; a
+    * doc is kept while the budget is not yet exhausted BEFORE it (so
+    * the first over-budget doc still ships — budgets are soft caps,
+    * never an empty source). Emits the KEPT rows — the trimmed corpus,
+    * budget-bounded by construction.
+    *
+    * Scale shape (the [[graft.ops.Scale.quotaSample]] treatment, token
+    * flavor): the running-prefix window would otherwise funnel each
+    * whole source through one task, so a scan-stage md5-threshold
+    * prefilter sized to ~2× the budget IN EXPECTED TOKENS (fraction
+    * 2·budget/total_tokens + a 16-doc small-source cushion, from one
+    * tiny per-source aggregate) cuts each source to a budget-bounded
+    * survivor set first; the survivors are a downward-closed PREFIX of
+    * the hash order, so their running sums are the true running sums,
+    * and the trim is EXACT whenever the budget exhausts inside the
+    * survivor set (or the source kept every doc) — checked per source,
+    * with the whole-source window as the fallback for only the rare
+    * misses.
     */
   private val TrimBudget = 1000L
 
-  def q_budget_trim(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+  def q_budget_trim(s: SparkSession, d: String): DataFrame =
+    budgetTrim(documents(s, d), TrimBudget)
+
+  /** The prefiltered trim behind [[q_budget_trim]]; `oversample` /
+    * `cushionDocs` size the threshold (exposed so OpsSpec can force the
+    * under-cut -> exact-fallback path with oversample = 0).
+    */
+  private[ops] def budgetTrim(docs: DataFrame, budget: Long,
+                              oversample: Double = 2.0,
+                              cushionDocs: Double = 16.0): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("keep", col("cum_tokens") - col("n_tokens") < lit(TrimBudget))
-      .orderBy("doc_id")
+    val h = md5(col("doc_id").cast("string"))
+    val hexSpan = lit(1152921504606846976L) // 16^15 = 2^60
+    val stats = base.groupBy("source")
+      .agg(count(lit(1)).as("__n"), sum("n_tokens").as("__tok"))
+      .withColumn("__thresh",
+        least(lit(1.0),
+          lit(oversample * budget) / col("__tok").cast("double")
+            + lit(cushionDocs) / col("__n").cast("double"))
+          .multiply(hexSpan.cast("double")).cast("long"))
+      .localCheckpoint() // one row per source
+    val hv = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val surv = base.join(broadcast(stats), "source")
+      .filter(hv < col("__thresh"))
+      .localCheckpoint() // ~2× budget tokens per source: budget-bounded
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = surv.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // exact iff the budget exhausts INSIDE the survivors (the first
+    // over-budget survivor proves every later row — survivor or not —
+    // is beyond budget too, because survivors are a hash-order prefix)
+    // or the source kept every doc
+    val miss = stats.join(
+        ranked.groupBy("source").agg(
+          count(lit(1)).as("__got"),
+          max(col("cum_tokens") - col("n_tokens")).as("__before")),
+        Seq("source"), "left")
+      .filter(coalesce(col("__got"), lit(0L)) < col("__n") &&
+        coalesce(col("__before"), lit(0L)) < budget)
+      .select("source").collect().map(_.getString(0))
+    val keepCols = Seq(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    val kept0 = ranked.filter(col("cum_tokens") - col("n_tokens") < lit(budget))
+      .select(keepCols: _*)
+    val kept =
+      if (miss.isEmpty) kept0
+      else {
+        import s.implicits._
+        val missDf = miss.toSeq.toDF("source")
+        val exact = base.join(broadcast(missDf), Seq("source"), "left_semi")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
+          .select(keepCols: _*)
+        kept0.join(broadcast(missDf), Seq("source"), "left_anti")
+          .unionByName(exact)
+      }
+    kept.orderBy("doc_id")
   }
 
   /** Rendezvous (highest-random-weight) shard assignment: each doc

@@ -2916,24 +2916,22 @@ object Relational {
     * per-group window never sees more than a group's rows; there is no
     * global sort anywhere.
     *
-    * Scale caveat: with FEW groups each partition is a large fraction
-    * of the table, so the exact-N rank funnels a group through one
-    * task. The at-scale refinement keeps the same draw: prefilter by an
-    * md5 threshold sized to ~2× the quota (scan-stage, like
-    * `q_mix_sample`), then rank only the survivors — the final N are
-    * below any such threshold with overwhelming probability, and a
-    * count-check can fall back to the exact form on the rare miss.
+    * Scale shape: the draw routes through [[Scale.quotaSample]] — a
+    * scan-stage md5-threshold prefilter sized to ~2× the quota cuts
+    * each stratum to ~40 survivors BEFORE the rank window, so no task
+    * ever sorts a whole stratum (the naive per-group window was the one
+    * empirically-flagged scale-killer left at sf100: skew 2.3); a
+    * per-group count check falls back to the exact whole-group rank on
+    * the rare under-cut, so the result is identical to the naive plan.
     */
-  def q_sample_group(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(md5(concat_ws(":", col("event_type"), col("event_id"))), col("event_id"))
-    events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 20)
+  def q_sample_group(s: SparkSession, d: String): DataFrame =
+    Scale.quotaSample(
+      events(s, d).select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"),
+      md5(concat_ws(":", col("event_type"), col("event_id"))), Seq(col("event_id")),
+      Left(20L))
       .select(col("event_type"), col("rn"), col("event_id"), col("value"))
       .orderBy("event_type", "rn")
-  }
 
   /** Neyman-allocation stratified sampling (the survey-statistics
     * optimal allocation: stratum h of size N_h and in-stratum std S_h
@@ -2947,8 +2945,10 @@ object Relational {
     * integer division plus a largest-remainder correction to hit the
     * budget exactly (ties by source) — is pure integer arithmetic,
     * engine-exact. The draw inside each stratum is the established
-    * md5-rank deterministic sample. One source-key shuffle; the
-    * 20-row strata table broadcasts back.
+    * md5-rank deterministic sample, routed through
+    * [[Scale.quotaSample]] so the rank window sees ~2·n_h survivors per
+    * stratum instead of the whole stratum (the allocation relation IS
+    * the per-group quota input); the strata table broadcasts back.
     */
   def q_sample_neyman(s: SparkSession, d: String): DataFrame = {
     val budget = 200L
@@ -2982,12 +2982,12 @@ object Relational {
         least(col("base").cast("long")
           + when(col("rk") <= col("deficit"), 1L).otherwise(0L), col("n")))
       .select(col("source"), col("n_h"))
-    val wDraw = Window.partitionBy("source")
-      .orderBy(md5(concat_ws(":", col("source"), col("doc_id"))), col("doc_id"))
-    docs
-      .withColumn("rn", row_number().over(wDraw).cast("long"))
-      .join(broadcast(alloc), "source")
-      .filter(col("rn") <= col("n_h"))
+    // the draw: quotaSample's prefiltered rank (scan-stage ~2×-quota
+    // md5 threshold + exact fallback on a count-check miss) replaces
+    // the whole-stratum window sort — same rows, no stratum-sized task
+    Scale.quotaSample(docs, Seq("source"),
+      md5(concat_ws(":", col("source"), col("doc_id"))), Seq(col("doc_id")),
+      Right(alloc))
       .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("n_h"))
       .orderBy("source", "rn")
   }

@@ -35,6 +35,94 @@ object Scale {
       .drop("__salt", "__lrn", "__rn")
   }
 
+  /** Deterministic per-group fixed-N sample at 100 TB scale: the
+    * lowest-`hash` `n_h` rows of each group (the md5-rank draw of
+    * `q_sample_group`/`q_sample_neyman`), WITHOUT funnelling whole
+    * strata through single window tasks. The naive plan sorts each
+    * group's ENTIRE partition to keep n_h rows — with few groups a 5 TB
+    * stratum becomes one spilling task (measured: skew 2.3 at sf100).
+    *
+    * Shape: (1) one scan-stage group-count aggregate sizes a per-group
+    * hash THRESHOLD at ~2× the quota plus a small-group cushion;
+    * (2) the prefilter keeps only rows whose hash prefix falls below it
+    * — a scan-stage cut, so the per-group rank window sees ~2·n_h rows
+    * instead of the stratum; (3) the draw is still EXACT: the survivor
+    * set is downward-closed in the hash order (a 60-bit numeric prefix
+    * of the md5 hex is order-consistent with it), so the n_h lowest
+    * survivors ARE the n_h lowest rows whenever the group kept ≥
+    * min(n_h, group size) survivors — which a per-group COUNT CHECK
+    * verifies, falling back to the exact whole-group rank for only the
+    * (overwhelmingly rare: the cut is Binomial with mean 2·n_h + 16)
+    * groups that miss. The check is a group-cardinality-sized driver
+    * read; the fallback branch never enters the plan when no group
+    * misses.
+    *
+    * `quotas`: Left(k) = flat per-group quota; Right(df) = per-group
+    * allocation relation (groupCols + `n_h`), broadcast-sized by
+    * construction (one row per group). Returns the input columns plus
+    * `n_h` and the in-group rank `rn` (1 ≤ rn ≤ min(n_h, group size)),
+    * ordered by (`hash`, `tie`) within the group. Shuffles: the count
+    * agg [map-combined, tiny output] and the survivor rank [~2·n_h rows
+    * per group].
+    */
+  def quotaSample(df: DataFrame, groupCols: Seq[String], hash: Column,
+                  tie: Seq[Column], quotas: Either[Long, DataFrame],
+                  oversample: Double = 2.0, cushion: Double = 16.0): DataFrame = {
+    val grp = groupCols.map(col)
+    val counts = df.groupBy(grp: _*).agg(count(lit(1)).as("__grp_n"))
+    val stats0 = quotas match {
+      case Left(k)  => counts.withColumn("n_h", lit(k))
+      case Right(q) => counts.join(q, groupCols)
+    }
+    // 60-bit threshold: the first 15 hex chars of the md5 as an integer;
+    // equal-length lowercase hex compares identically as string or number
+    val hexSpan = lit(1152921504606846976L) // 16^15 = 2^60
+    val stats = stats0
+      .withColumn("__needed", least(col("n_h"), col("__grp_n")))
+      .withColumn("__thresh",
+        least(lit(1.0),
+          (col("n_h").cast("double") * oversample + cushion) / col("__grp_n").cast("double"))
+          .multiply(hexSpan.cast("double")).cast("long"))
+      .localCheckpoint() // group-cardinality-sized; read 2-3 times below
+    val hv = conv(substring(hash, 1, 15), 16, 10).cast("long")
+    // the survivor cut is ~ groups·(2·n_h+16) rows — dim-sized by
+    // construction, so one checkpoint lets the rank, the count check,
+    // and the final action share ONE corpus scan
+    val surv = df
+      .join(broadcast(stats), groupCols)
+      .filter(hv < col("__thresh"))
+      .localCheckpoint()
+    val w = Window.partitionBy(grp: _*).orderBy(hash +: tie: _*)
+    val ranked = surv
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("__needed"))
+    // count check: a group is exact iff it kept at least `needed`
+    // survivors (downward-closure makes the lowest `needed` global)
+    val missRows = stats
+      .join(surv.groupBy(grp: _*).agg(count(lit(1)).as("__got")), groupCols, "left")
+      .filter(coalesce(col("__got"), lit(0L)) < col("__needed"))
+      .select(grp: _*).collect()
+    val out =
+      if (missRows.isEmpty) ranked
+      else {
+        // exact fallback for ONLY the missed groups: whole-group rank,
+        // fed through a broadcast semi-join BELOW the window
+        val missDf = df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext.parallelize(missRows.toSeq, 1),
+          org.apache.spark.sql.types.StructType(
+            groupCols.map(c => org.apache.spark.sql.types.StructField(c,
+              stats.schema(c).dataType))))
+        val exact = df
+          .join(broadcast(missDf), groupCols, "left_semi")
+          .join(broadcast(stats), groupCols)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= col("__needed"))
+        ranked.join(broadcast(missDf), groupCols, "left_anti")
+          .unionByName(exact)
+      }
+    out.drop("__grp_n", "__needed", "__thresh")
+  }
+
   /** Deterministic global row-sequencing: assigns `posCol` = 1..N in the
     * total order of `order`, WITHOUT funnelling the dataset through a
     * single task (the partition-less `row_number()` window plan). Shape:

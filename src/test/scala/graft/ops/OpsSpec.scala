@@ -569,6 +569,35 @@ class OpsSpec extends AnyFunSuite {
     assert(a.size > n * 0.08 && a.size < n * 0.26, s"sample ${a.size} of $n out of band")
   }
 
+  test("budgetTrim: prefiltered trim ≡ whole-source running window; forced under-cut takes the fallback") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val h = md5(col("doc_id").cast("string"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(h, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def direct(budget: Long) = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+    for (budget <- Seq(200L, 1000L)) {
+      val want = direct(budget).collect().map(_.toSeq).toSet
+      val got = Llm.budgetTrim(docs, budget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"prefiltered trim diverges at budget=$budget")
+      // oversample 0 + half-doc cushion: every source under-cuts, the
+      // exact whole-source fallback must reproduce the same trim
+      val forced = Llm.budgetTrim(docs, budget, oversample = 0.0, cushionDocs = 0.5)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect().map(_.toSeq).toSet
+      assert(forced == want, s"fallback trim diverges at budget=$budget")
+    }
+  }
+
   test("q_pack_sequences: bins respect the budget, packing is greedy-tight and deterministic") {
     import spark.implicits._
     val out = Llm.q_pack_sequences(spark, sf)

@@ -74,6 +74,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(twoPhase.count() == direct.count())
   }
 
+  test("quotaSample ≡ direct per-group md5-rank draw; forced under-cut takes the exact fallback") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val hash = md5(concat_ws(":", col("event_type"), col("event_id")))
+    def direct(k: Long) = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(hash, col("event_id"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select("event_type", "rn", "event_id", "value")
+    val want = direct(20).collect().map(_.toSeq).toSet
+    // normal path: the ~2× threshold keeps every group's quota
+    val got = Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")), Left(20L))
+      .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
+    assert(got == want, "prefiltered draw must equal the whole-group rank")
+    // forced under-cut: oversample 0 + cushion 0.5 keeps ~0.5 expected
+    // survivors per group — every group misses its count check and must
+    // route through the exact whole-group fallback, same rows out
+    val forced = Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")),
+      Left(20L), oversample = 0.0, cushion = 0.5)
+      .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
+    assert(forced == want, "the count-check fallback must reproduce the exact draw")
+    // per-group quota relation (the Neyman shape): quotas differ by group
+    val quotas = ev.select("event_type").distinct()
+      .withColumn("n_h", (length(col("event_type")) % 3 + 1).cast("long"))
+    val wantQ = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(hash, col("event_id"))).cast("long"))
+      .join(quotas, "event_type").filter(col("rn") <= col("n_h"))
+      .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
+    val gotQ = Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")),
+      Right(quotas))
+      .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
+    assert(gotQ == wantQ, "per-group quota relation draw must match the direct plan")
+  }
+
   test("asofJoin ≡ windowed running-last on the events/purchases case") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ns")
     val purchases = ev.filter(col("event_type") === "purchase")
