@@ -2894,32 +2894,76 @@ object Llm {
     * percentiles (p50/p95 over n_chars, exact interpolated), language
     * mix entropy in micro-nats (exact integer counts → one rounded ln
     * per term), and the exact-duplicate rate by normalized-text md5.
-    * ONE scan feeds every statistic (the doc-grain projection is
-    * pinned); everything downstream is per-source-keyed aggregation.
+    *
+    * Genuinely single-pass at the corpus grain: the three statistic
+    * families group on DIFFERENT keys ((source), (source,lang),
+    * (source,k)), so three separate aggregates would re-scan the
+    * doc-grain projection once each — measured as the 3× cache-read
+    * bill at the sf100 page-cache wall. GROUPING SETS computes all
+    * three grains off ONE corpus scan (Expand triples the rows INSIDE
+    * the scan stage; the shuffle carries map-combined partials). The
+    * percentile buffers hold n_chars doubles only — 3× doc-count across
+    * the three sets, megabytes at the fourth decade — and every other
+    * aggregate is constant-state. The grouping-sets output (doc-count-
+    * sized: the text column does not survive the aggregate) is
+    * localCheckpoint'ed, so the three statistic consumers share ONE
+    * materialized LogicalRDD leaf — the corpus parquet is scanned
+    * exactly once, by construction (PlanSpec asserts it on the
+    * optimized plan); the values outside each family's own set are
+    * computed-and-ignored (aggregate inputs bind to the original
+    * columns, so they cannot be set-gated).
+    * The card itself is one row per source — bounded by the
+    * stratification key BY DESIGN — so [[q_corpus_card]] computes it
+    * eagerly and returns a local relation.
     */
   def q_corpus_card(s: SparkSession, d: String): DataFrame = {
+    val (report, release) = corpusCard(documents(s, d))
+    val rows = report.collect()
+    release() // the doc-count-sized cache must not outlive the card
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), corpusCardSchema)
+  }
+
+  /** The lazy report plan behind [[q_corpus_card]] (exposed so PlanSpec
+    * can assert the single-scan shape on the executed plan). Returns the
+    * report and a release handle for the grouping-sets cache.
+    */
+  private[ops] def corpusCard(docs: DataFrame): (DataFrame, () => Unit) = {
     val norm = lower(trim(regexp_replace(
       regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
-    val g = documents(s, d)
+    val g = docs
       .select(col("source"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(norm).as("k"))
-      // DISK_ONLY, not localCheckpoint: the projection is doc-grain
-      // (corpus-sized) — pinned checkpoint blocks starved the execution
-      // pool at the fourth decade in the select_cover precedent; an
-      // evictable disk cache gives the same scan-once behavior. All
-      // consumers run inside ONE action, so the cache dedups their scans
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val base = g.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tokens").as("n_tokens"),
-      percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
-      percentile(col("n_chars"), lit(0.95)).as("p95_chars"))
-    val dups = g.groupBy("source", "k").agg(count(lit(1)).as("c"))
+    val gs = g.groupingSets(
+        Seq(Seq(col("source")),
+          Seq(col("source"), col("lang")),
+          Seq(col("source"), col("k"))),
+        col("source"), col("lang"), col("k"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(col("n_tokens")).as("tok"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.95)).as("p95"),
+        grouping_id().as("gid"))
+      // doc-count-sized, NOT corpus-sized (no text survives), so the
+      // dim-sized-checkpoint rule applies: localCheckpoint truncates the
+      // plan to ONE shared LogicalRDD leaf. Neither exchange reuse (the
+      // consumers prune different columns, so their exchanges diverge)
+      // nor .persist (the report self-joins three derivations of this
+      // frame; DeduplicateRelations re-aliases two branches and they
+      // re-optimize PAST the cache — plan-verified) makes the card
+      // single-scan; the checkpoint guarantees it by construction
+      .localCheckpoint()
+    // gid bit = 1 where the column is aggregated away, order (source,lang,k):
+    // (source) = 011b = 3, (source,lang) = 001b = 1, (source,k) = 010b = 2
+    val base = gs.filter(col("gid") === 3).select(
+      col("source"), col("c").as("n_docs"), col("tok").as("n_tokens"),
+      col("p50").as("p50_chars"), col("p95").as("p95_chars"))
+    val dups = gs.filter(col("gid") === 2)
       .groupBy("source").agg((sum("c") - count(lit(1))).as("n_dups"))
     // each −p·ln p term rounded then DECIMAL-summed (the q_entropy /
     // dsum contract: partial-agg order can't change the sum)
-    val langEnt = g.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val langEnt = gs.filter(col("gid") === 1)
       .withColumn("n", sum("c").over(Window.partitionBy("source")))
       .withColumn("p", col("c").cast("double") / col("n").cast("double"))
       .withColumn("term",
@@ -2927,36 +2971,30 @@ object Llm {
           .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
       .groupBy("source")
       .agg(sum(col("term")).cast("long").as("lang_entropy_micro"))
-    // the card is a human-readable release report — one row per source,
-    // bounded by the stratification key's cardinality BY DESIGN — so it
-    // computes eagerly (one action over the shared cache) and the
-    // corpus-sized cache is RELEASED before returning (a lazily-returned
-    // cache either leaks across callers or silently serves warm re-runs)
-    val rows = base.join(dups, "source").join(langEnt, "source")
+    val report = base.join(dups, "source").join(langEnt, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("p50_chars") + lit(1e-9), 1).as("p50_chars"),
         round(col("p95_chars") + lit(1e-9), 1).as("p95_chars"),
         col("n_dups"), col("lang_entropy_micro"))
       .orderBy("source")
-      .collect()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_docs",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("p50_chars",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("p95_chars",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("n_dups",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("lang_entropy_micro",
-        org.apache.spark.sql.types.LongType)))
-    g.unpersist(blocking = false)
-    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+    (report, () => unpersistCheckpoint(gs))
   }
+
+  private val corpusCardSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("p50_chars",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("p95_chars",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("n_dups",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang_entropy_micro",
+      org.apache.spark.sql.types.LongType)))
 
   /** Per-source token-budget trim (corpus quota enforcement): cap each
     * source's contribution at TrimBudget tokens, keeping a

@@ -291,4 +291,32 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan.toString.contains("*(1) Filter"),
       s"scan spine not codegen'd in:\n$finalPlan")
   }
+
+  test("corpus card is single-pass: all three statistic grains share ONE materialized grouping-sets relation") {
+    // the three families group on different keys; three dedicated
+    // aggregates would re-scan the doc-grain projection once each (the
+    // 3× cache-read bill measured at the sf100 page-cache wall). The
+    // grouping-sets + checkpoint form must leave exactly one
+    // materialization: every branch reads the same LogicalRDD leaf,
+    // none re-scans parquet. (.persist does NOT give this — the report
+    // self-joins three derivations, DeduplicateRelations re-aliases two
+    // branches, and they re-optimize past the cache.)
+    val (report, release) = Llm.corpusCard(Tables.documents(spark, sf))
+    try {
+      val opt = report.queryExecution.optimizedPlan
+      val leaves = opt.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+      assert(leaves.size == 3,
+        s"each statistic family must read the checkpoint, found ${leaves.size} reads")
+      assert(leaves.distinct.size == 1,
+        "the three reads must share ONE materialization (one corpus scan)")
+      val raw = opt.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(raw.isEmpty,
+        s"no statistic branch may re-scan the documents parquet, found ${raw.size}")
+      assert(report.collect().nonEmpty)
+    } finally release()
+  }
 }
