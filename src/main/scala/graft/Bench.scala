@@ -43,8 +43,9 @@ object Bench {
     if (cpEntries.length == 1 && cpEntries(0).contains("sbt-launch")) {
       System.err.println(s"[bench] profile heap ${profile.heap} requested but the " +
         "classpath is the sbt launcher (in-process runMain) — cannot re-exec; " +
-        "running on the current heap. Use the flat-classpath java invocation " +
-        "(see .claude/skills/verify) for profile-faithful heaps.")
+        "running on the current heap. Use a flat-classpath java invocation " +
+        "(java -cp 'target/scala-2.13/classes:/opt/spark/jars/*' graft.Bench) " +
+        "for profile-faithful heaps.")
       return None
     }
     val want = profile.heap.toLowerCase match {

@@ -794,7 +794,7 @@ object Llm {
   // ---- IVF approximate nearest neighbor -------------------------------
 
   private val NList = 16  // coarse cells
-  private val NProbe = 4  // cells probed per query
+  private val NProbe = 8  // cells probed per query (the measured knee)
 
   /** IVF-style ANN top-k: the corpus is coarse-quantized into NList
     * cells (nearest centroid), queries probe only their NProbe nearest
@@ -814,16 +814,19 @@ object Llm {
     q_sim_ivf(s, d, trainFraction, NProbe)
 
   /** `nProbe` override for the recall/latency trade. The committed
-    * sf0.01/0.1/1 ladder (IVF_RECALL_r10.json) shows recall@5 rising
+    * sf0.01/0.1/1 ladder (IVF_RECALL_r11.json) shows recall@5 rising
     * near-linearly with the probed fraction on the uniform synthetic
     * embeddings — 0.21/0.35/0.53/0.79 (sf0.01) and 0.23/0.38/0.66/0.85
     * (sf0.1) at nProbe 1/2/4/8 of 16 cells — i.e. there is no sharp
-    * knee below half the corpus when neighbors are near-uniform; the
-    * default nProbe=4 is the half-way recall at a quarter of the scan.
-    * At sf1 the ladder saturates (1.0 from nProbe=1): the replicated
-    * corpus' true top-5 are exact replicas, which quantize into the
-    * SAME cell — the regime real near-dup-heavy corpora live in, where
-    * IVF shines.
+    * knee below half the corpus when neighbors are near-uniform, so the
+    * recall-per-probe curve ends at nProbe=8: the DEFAULT operating
+    * point, chosen deliberately (round-10 verdict item 6) as the
+    * highest recall before probing degenerates into most-of-the-corpus;
+    * callers trading recall for probe cost pass a lower nProbe with the
+    * published curve in hand. At sf1 the ladder saturates (1.0 from
+    * nProbe=1): the replicated corpus' true top-5 are exact replicas,
+    * which quantize into the SAME cell — the regime real near-dup-heavy
+    * corpora live in, where IVF shines.
     */
   def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double,
                 nProbe: Int): DataFrame = {
@@ -3411,7 +3414,7 @@ object Llm {
     * assumed: every pick's residual gain must strictly exceed the max
     * initial gain outside the pool (strict, so doc_id tie-breaks can
     * never involve an excluded doc); if any round fails the
-    * certificate, M doubles and the trajectory restarts (one extra
+    * certificate, M grows 8× and the trajectory restarts (one extra
     * pool-extraction scan per doubling — still far below a rescan per
     * round). Driver state stays bounded as before: the covered set (≤
     * k docs' bigrams) and one argmax row per round. Gains are exact
@@ -3503,6 +3506,9 @@ object Llm {
         }
       }
       pool.unpersist(blocking = false)
+      // the LAST round's poolGains checkpoint (the loop discipline frees
+      // all earlier ones) must not outlive the call
+      unpersistCheckpoint(poolGains)
       if (certified) done = true
       else if (m >= nDocs)
         throw new IllegalStateException(

@@ -9,7 +9,7 @@ package graft
   */
 object IvfRecall {
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "IVF_RECALL_r10.json"
+    val out = if (args.nonEmpty) args(0) else "IVF_RECALL_r11.json"
     val sfDirs =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "target/testdata/sf1")
@@ -38,7 +38,7 @@ ${perProbe.mkString(",\n")}
       s"""{
  "what": "q_sim_ivf recall@5 vs the exact q_sim_topk baseline (same 20 pinned queries, k=5, cid tie-break) across SF decades and nProbe",
  "config": {"n_list": 16, "train_fraction": 100.0, "k": 5, "queries": 20},
- "note": "precision is not a free variable (every emitted candidate's cosine is exact); the ladder isolates the coarse-quantizer recall loss. Knee at nProbe=4/16 cells; see q_sim_ivf scaladoc.",
+ "note": "precision is not a free variable (every emitted candidate's cosine is exact); the ladder isolates the coarse-quantizer recall loss. DEFAULT operating point nProbe=8/16 since round 11 (the curve has no knee below half the corpus on uniform embeddings; 8 is the highest recall before probing degenerates); see q_sim_ivf scaladoc.",
  "results": [
 ${rows.mkString(",\n")}
  ]}

@@ -203,11 +203,12 @@ class OpsSpec extends AnyFunSuite {
       hits.toDouble / exact(q).size
     }
     val avgRecall = recalls.sum / recalls.size
-    info(f"IVF recall@5 = $avgRecall%.3f (nlist=16, nprobe=4)")
+    info(f"IVF recall@5 = $avgRecall%.3f (nlist=16, nprobe=8 default)")
     // kMeans init is a deterministic xxhash64 stride (Scale.kMeans) and
-    // the fixture is fixed, so the measured 0.61 is a constant — 0.55
-    // is a real floor on the probe path, not a statistical bound
-    assert(avgRecall >= 0.55, f"IVF recall too low: $avgRecall%.3f")
+    // the fixture is fixed, so the measured recall is a constant — the
+    // floor asserts the nProbe=8 default operating point (the r11 knee
+    // decision), not a statistical bound
+    assert(avgRecall >= 0.75, f"IVF recall too low at the nProbe=8 default: $avgRecall%.3f")
   }
 
   test("embedding LSH candidates: exact duplicates of a vector always collide") {
