@@ -474,6 +474,69 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass dedup-key text normalization:
+  * `lower(trim(regexp_replace(regexp_replace(s, "[^a-zA-Z0-9 ]", ""), " +", " ")))`
+  * as ONE byte-level scan — strip everything outside [a-zA-Z0-9 ],
+  * collapse space runs, trim, ASCII-lowercase. Bit-identical to the
+  * regex chain (the kept class is pure ASCII, so every UTF-8
+  * continuation/lead byte ≥ 0x80 is stripped exactly like the regex
+  * strips the code point), but without two java.util.regex rewrites and
+  * their per-row allocations — measured 820 µs/doc for the regex chain
+  * at sf100, the single largest CPU line in the text-pipeline scans.
+  * NULL → NULL.
+  */
+object NormTextKernel {
+  def normText(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (u == null) return null
+    val n = u.numBytes()
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = u.getByte(i)
+      val lower = c >= 'a' && c <= 'z'
+      val upper = c >= 'A' && c <= 'Z'
+      val digit = c >= '0' && c <= '9'
+      if (lower || upper || digit) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = if (upper) (c + 32).toByte else c
+        o += 1
+      } else if (c == ' ') {
+        pendingSpace = true // emitted only if a kept char follows (trim + collapse)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(out, o))
+  }
+}
+
+case class NormText(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_normtext"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    NormTextKernel.normText(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NormTextKernel.normText($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
 /** Precomputed BPE merge model behind [[BpeApply]] — the greedy
   * lowest-rank-pair decoder of `graft.ops.Llm.bpeEncode` (Sennrich et
   * al. 2016 §3; the GPT-2 reference encoder) as a reusable JVM kernel.
@@ -664,6 +727,19 @@ object Vec {
     ensureRegistered()
     call_function("graft_nfc", text)
   }
+  def normText(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_normtext", text)
+  }
+  /** `size(split(text, " "))` token count without the regex split or the
+    * per-row array: tokens = spaces + 1 (split keeps empty segments, so
+    * every single space is a boundary; 0x20 never occurs inside a UTF-8
+    * multi-byte sequence). Same value, scan-stage intrinsics only.
+    */
+  def wordCount(text: Column): Column = {
+    import org.apache.spark.sql.functions.{length, translate, lit}
+    (length(text) - length(translate(text, " ", "")) + lit(1)).cast("long")
+  }
   def bpeApply(syms: Column, merges: Seq[(String, String)]): Column = {
     ensureRegistered()
     import org.apache.spark.sql.functions.lit
@@ -708,6 +784,9 @@ object Vec {
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es(0))),
+    (FunctionIdentifier("graft_normtext"),
+      new ExpressionInfo(classOf[NormText].getName, "graft_normtext"),
+      (es: Seq[Expression]) => NormText(es(0))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated

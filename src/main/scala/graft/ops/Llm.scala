@@ -1341,8 +1341,7 @@ object Llm {
     */
   def q_pipeline_docs(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline._
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val norm = graft.functions.Vec.normText(col("text"))
     val p = DPP("docs" -> documents(s, d))
     p.sequence(
       p.docs >> fn("normalize")(_.withColumn("norm_key", md5(norm))) >> p.normed,
@@ -1555,8 +1554,7 @@ object Llm {
     * DuckDB-oracled.
     */
   def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val norm = graft.functions.Vec.normText(col("text"))
     val n = documents(s, d).select(col("doc_id"), norm.as("k"))
     val index = n.filter(col("doc_id") < 250).select("k")
     val batch = n.filter(col("doc_id") >= 250)
@@ -1572,8 +1570,7 @@ object Llm {
     * parallel.
     */
   def q_text_normalize(s: SparkSession, d: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val norm = graft.functions.Vec.normText(col("text"))
     documents(s, d)
       .select(col("doc_id"), md5(norm).as("norm_key"),
         length(norm).cast("long").as("norm_len"))
@@ -1827,7 +1824,7 @@ object Llm {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(graft.functions.Vec.wordCount(col("text"))).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy("lang")
@@ -1990,7 +1987,7 @@ object Llm {
     documents(s, d)
       .select(
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        graft.functions.Vec.wordCount(col("text")).as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
@@ -2795,7 +2792,7 @@ object Llm {
     val toks = documents(s, d)
       .select(
         col("doc_id"), col("source"),
-        (size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        graft.functions.Vec.wordCount(col("text")).as("n_tokens"))
       .repartition(col("source"))
       .sortWithinPartitions("source", "doc_id")
       .as[(Long, String, Long)]
@@ -2931,11 +2928,10 @@ object Llm {
     * report and a release handle for the grouping-sets cache.
     */
   private[ops] def corpusCard(docs: DataFrame): (DataFrame, () => Unit) = {
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val norm = graft.functions.Vec.normText(col("text"))
     val g = docs
       .select(col("source"), col("lang"), col("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.Vec.wordCount(col("text")).as("n_tokens"),
         md5(norm).as("k"))
     val gs = g.groupingSets(
         Seq(Seq(col("source")),
@@ -3039,7 +3035,7 @@ object Llm {
     val s = docs.sparkSession
     val base = docs
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        graft.functions.Vec.wordCount(col("text")).as("n_tokens"))
     val h = md5(col("doc_id").cast("string"))
     val hexSpan = lit(1152921504606846976L) // 16^15 = 2^60
     val stats = base.groupBy("source")
@@ -3350,7 +3346,7 @@ object Llm {
     // dl feeds the join AND the stats agg; tf feeds scoring AND the df
     // marginal — each materialized once (ExecProbe: 4 corpus scans → 2)
     val dl = documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .select(col("doc_id"), graft.functions.Vec.wordCount(col("text")).as("dl"))
       .localCheckpoint()
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
     val tf = documents(s, d)
@@ -3539,7 +3535,7 @@ object Llm {
     // dl and the term slice each materialize once — 4 corpus scans → 2
     // (ExecProbe-audited, same reuse gap as q_eval_ndcg)
     val dl = documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .select(col("doc_id"), graft.functions.Vec.wordCount(col("text")).as("dl"))
       .localCheckpoint()
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
     val tf = documents(s, d)

@@ -97,6 +97,31 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g == Seq("a ", " b"))
   }
 
+  test("graft_normtext ≡ the regex normalization chain on fixture corpus, edge cases, and unicode") {
+    import spark.implicits._
+    val unicode = Seq(
+      "café résumé",          // latin accents stripped
+      "你好 world 123",              // CJK stripped, ascii kept
+      "emoji 😀 mid",              // supplementary pair stripped whole
+      "  MIXED Case!! and;; 42  ",           // junk, case, trim
+      "tabs\tand\nnewlines stay out", // non-space whitespace is junk (stripped, no boundary)
+      "!!!", " ", "", "a", "A!a")
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(unicode.toDF("text"))
+      .unionByName(Seq.empty[String].toDF("text"))
+    val ref = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val diff = docs.select(Vec.normText(col("text")).as("nat"), ref.as("ref"))
+      .filter(not(col("nat") <=> col("ref"))).count()
+    assert(diff == 0, "single-pass kernel must be bit-identical to the regex chain")
+    // wordCount ≡ size(split) — the split keeps empty segments
+    val wdiff = docs.na.drop().select(
+      Vec.wordCount(col("text")).as("nat"),
+      size(split(col("text"), " ")).cast("long").as("ref"))
+      .filter(not(col("nat") === col("ref"))).count()
+    assert(wdiff == 0, "wordCount must equal size(split(text, ' ')) everywhere")
+  }
+
   test("null text hashes like the empty document (never null output)") {
     import spark.implicits._
     val df = Seq(Option.empty[String], Some("")).toDF("text")
