@@ -108,6 +108,7 @@ object SparkEntry {
     "q_winsorize" -> (Relational.q_winsorize _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_sample_neyman" -> (Relational.q_sample_neyman _),
+    "q_sample_weights" -> (Relational.q_sample_weights _),
     "q_split_temporal" -> (Llm.q_split_temporal _),
     "q_corpus_card" -> (Llm.q_corpus_card _),
     "q_incr_rollup" -> (Relational.q_incr_rollup _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_event_streaks" -> (Relational.q_event_streaks _),
     "q_two_hop" -> (Llm.q_two_hop _),
     "q_two_hop_capped" -> (Llm.q_two_hop_capped _),
+    "q_graph_kcore" -> (Llm.q_graph_kcore _),
     "q_zipf_fit" -> (Llm.q_zipf_fit _),
     "q_mmr_select" -> (Llm.q_mmr_select _),
     "q_percent_change" -> (Relational.q_percent_change _),
@@ -293,6 +295,8 @@ object SparkEntry {
     "q_select_cover" -> (Llm.q_select_cover _),
     "q_eval_calibration" -> (Llm.q_eval_calibration _),
     "q_lang_kappa" -> (Llm.q_lang_kappa _),
+    "q_agreement_alpha" -> (Llm.q_agreement_alpha _),
+    "q_keywords_ctfidf" -> (Llm.q_keywords_ctfidf _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
     "q_sim_sparse" -> (Llm.q_sim_sparse _),
     "q_mm_metadata" -> (Multimodal.q_mm_metadata _),
@@ -2889,6 +2893,126 @@ object SparkEntry {
         |SELECT ag.source, n, agree, s,
         |  n * agree - s AS kappa_num, n * n - s AS kappa_den
         |FROM ag JOIN ss USING (source) ORDER BY source""".stripMargin,
+
+    // alpha ships the exact fraction for the same reason kappa does:
+    // below-chance alpha is negative and integer division diverges there
+    "q_agreement_alpha" ->
+      """WITH base AS (SELECT source, lang AS gold,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred
+        |  FROM (SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de
+        |   FROM documents)),
+        |pm AS (SELECT source, pred AS cat, CAST(count(*) AS BIGINT) AS rp
+        |  FROM base GROUP BY 1, 2),
+        |gm AS (SELECT source, gold AS cat, CAST(count(*) AS BIGINT) AS rg
+        |  FROM base GROUP BY 1, 2),
+        |m2 AS (SELECT source,
+        |    CAST(sum((coalesce(rp, 0) + coalesce(rg, 0)) * (coalesce(rp, 0) + coalesce(rg, 0))) AS BIGINT) AS m2sum
+        |  FROM pm FULL OUTER JOIN gm USING (source, cat) GROUP BY 1),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN gold <> pred THEN 1 ELSE 0 END) AS BIGINT) AS disagree
+        |  FROM base GROUP BY 1)
+        |SELECT ag.source, n, disagree, m2sum,
+        |  4 * n * n - m2sum - 2 * disagree * (2 * n - 1) AS alpha_num,
+        |  4 * n * n - m2sum AS alpha_den
+        |FROM ag JOIN m2 USING (source) ORDER BY source""".stripMargin,
+
+    // the log argument is the exact rational (S*ft + W)/(S*ft): both
+    // engines divide the same BIGINTs as doubles and ln the same value
+    "q_keywords_ctfidf" ->
+      """WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS w,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS srcs FROM tf),
+        |j AS (SELECT source, tf.term, tf,
+        |    CAST(round(tf * ln(CAST(srcs * ft + w AS DOUBLE) / CAST(srcs * ft AS DOUBLE)) * 1000000 + 1e-9) AS BIGINT) AS w_ppm
+        |  FROM tf JOIN ft USING (term) CROSS JOIN tot),
+        |r AS (SELECT source, term, tf, w_ppm,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY w_ppm DESC, term) AS BIGINT) AS rn
+        |  FROM j)
+        |SELECT source, rn, term, tf, w_ppm FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+
+    // the peel fixpoint unrolls as three explicit rounds per k (the
+    // pointer-jump-oracle precedent); OpsSpec proves round 3 removes
+    // nothing on this graph family, so the truncation is exact
+    "q_graph_kcore" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |ed AS (SELECT x.id AS src, y.id AS dst FROM ids x JOIN ids y ON y.id = x.id + 1
+        |  UNION ALL
+        |  SELECT x.id, y.id FROM ids x JOIN ids y ON x.id % 2 = 0 AND y.id = x.id + 2),
+        |ud AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |v AS (SELECT DISTINCT src AS id FROM ud),
+        |k2d1 AS (SELECT src AS id, count(*) AS deg FROM ud GROUP BY 1),
+        |k2r1 AS (SELECT v.id FROM v LEFT JOIN k2d1 USING (id) WHERE coalesce(deg, 0) < 2),
+        |k2s1 AS (SELECT id FROM v WHERE id NOT IN (SELECT id FROM k2r1)),
+        |k2e1 AS (SELECT src, dst FROM ud
+        |  WHERE src NOT IN (SELECT id FROM k2r1) AND dst NOT IN (SELECT id FROM k2r1)),
+        |k2d2 AS (SELECT src AS id, count(*) AS deg FROM k2e1 GROUP BY 1),
+        |k2r2 AS (SELECT s.id FROM k2s1 s LEFT JOIN k2d2 USING (id) WHERE coalesce(deg, 0) < 2),
+        |k2s2 AS (SELECT id FROM k2s1 WHERE id NOT IN (SELECT id FROM k2r2)),
+        |k2e2 AS (SELECT src, dst FROM k2e1
+        |  WHERE src NOT IN (SELECT id FROM k2r2) AND dst NOT IN (SELECT id FROM k2r2)),
+        |k2d3 AS (SELECT src AS id, count(*) AS deg FROM k2e2 GROUP BY 1),
+        |k2r3 AS (SELECT s.id FROM k2s2 s LEFT JOIN k2d3 USING (id) WHERE coalesce(deg, 0) < 2),
+        |k2s3 AS (SELECT id FROM k2s2 WHERE id NOT IN (SELECT id FROM k2r3)),
+        |k3d1 AS (SELECT src AS id, count(*) AS deg FROM ud GROUP BY 1),
+        |k3r1 AS (SELECT v.id FROM v LEFT JOIN k3d1 USING (id) WHERE coalesce(deg, 0) < 3),
+        |k3s1 AS (SELECT id FROM v WHERE id NOT IN (SELECT id FROM k3r1)),
+        |k3e1 AS (SELECT src, dst FROM ud
+        |  WHERE src NOT IN (SELECT id FROM k3r1) AND dst NOT IN (SELECT id FROM k3r1)),
+        |k3d2 AS (SELECT src AS id, count(*) AS deg FROM k3e1 GROUP BY 1),
+        |k3r2 AS (SELECT s.id FROM k3s1 s LEFT JOIN k3d2 USING (id) WHERE coalesce(deg, 0) < 3),
+        |k3s2 AS (SELECT id FROM k3s1 WHERE id NOT IN (SELECT id FROM k3r2)),
+        |k3e2 AS (SELECT src, dst FROM k3e1
+        |  WHERE src NOT IN (SELECT id FROM k3r2) AND dst NOT IN (SELECT id FROM k3r2)),
+        |k3d3 AS (SELECT src AS id, count(*) AS deg FROM k3e2 GROUP BY 1),
+        |k3r3 AS (SELECT s.id FROM k3s2 s LEFT JOIN k3d3 USING (id) WHERE coalesce(deg, 0) < 3),
+        |k3s3 AS (SELECT id FROM k3s2 WHERE id NOT IN (SELECT id FROM k3r3))
+        |SELECT CAST(k AS BIGINT) AS k, id, CAST(peeled_round AS BIGINT) AS peeled_round FROM (
+        |  SELECT 2 AS k, id, 0 AS peeled_round FROM k2s3
+        |  UNION ALL SELECT 2, id, 1 FROM k2r1
+        |  UNION ALL SELECT 2, id, 2 FROM k2r2
+        |  UNION ALL SELECT 2, id, 3 FROM k2r3
+        |  UNION ALL SELECT 3, id, 0 FROM k3s3
+        |  UNION ALL SELECT 3, id, 1 FROM k3r1
+        |  UNION ALL SELECT 3, id, 2 FROM k3r2
+        |  UNION ALL SELECT 3, id, 3 FROM k3r3)
+        |ORDER BY k, id""".stripMargin,
+
+    // same allocation CTEs as q_sample_neyman; the weight is the
+    // round-half-up ppm integer (the q_dedup_soft form)
+    "q_sample_weights" ->
+      """WITH st AS (
+        |  SELECT source, count(*)::HUGEINT AS n,
+        |    sum(n_chars::HUGEINT) AS s1, sum((n_chars::HUGEINT) * (n_chars::HUGEINT)) AS s2
+        |  FROM documents GROUP BY source),
+        |wv AS (
+        |  SELECT source, n,
+        |    n * (CASE WHEN n > 1
+        |      THEN CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |             / CAST(n * (n - 1) AS DOUBLE)) * 1000000 + 1e-9) AS HUGEINT)
+        |      ELSE 0::HUGEINT END) AS w
+        |  FROM st),
+        |tot AS (SELECT sum(w) AS bigw FROM wv),
+        |base AS (
+        |  SELECT source, n, (200 * w) // bigw AS base, (200 * w) % bigw AS rem
+        |  FROM wv CROSS JOIN tot),
+        |def AS (SELECT 200 - sum(base) AS deficit FROM base),
+        |alloc AS (
+        |  SELECT source, n,
+        |    CAST(least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                           <= deficit THEN 1 ELSE 0 END, n) AS BIGINT) AS n_h
+        |  FROM base CROSS JOIN def)
+        |SELECT source, CAST(n AS BIGINT) AS n_pop, n_h AS n_samp,
+        |  CAST((2000000 * n + n_h) // (2 * n_h) AS BIGINT) AS weight_ppm
+        |FROM alloc WHERE n_h > 0 ORDER BY source""".stripMargin,
 
     "q_dedup_soft" ->
       """WITH k AS (SELECT doc_id, md5(text) AS k FROM documents),

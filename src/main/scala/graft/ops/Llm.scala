@@ -2584,6 +2584,26 @@ object Llm {
     dir.union(dir.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** k-core decomposition gate ([[Scale.kCore]] peeling over the same
+    * deterministic chain+chord graph as [[q_graph_triangles]]), run for
+    * k = 2 AND k = 3 with the per-vertex peel round surfaced: the k=2
+    * peel removes only the dangling chain tail, the k=3 peel strips the
+    * degree-2 odd vertices in round 1, which leaves the even vertices
+    * on a bare chord path that collapses in round 2 — so the output
+    * carries real multi-round structure at every SF (the graph is
+    * locally identical at any scale; the peel depth is a structural
+    * constant, which is what lets the DuckDB oracle replay the fixpoint
+    * as THREE unrolled rounds per k — OpsSpec asserts round 3 removes
+    * nothing, so the unroll bound is proven, not assumed).
+    */
+  def q_graph_kcore(s: SparkSession, d: String): DataFrame = {
+    val ud = undirectedChainChord(s, d)
+    Scale.kCore(ud, "src", "dst", k = 2).withColumn("k", lit(2L))
+      .unionByName(Scale.kCore(ud, "src", "dst", k = 3).withColumn("k", lit(3L)))
+      .select(col("k"), col("id"), col("peeled_round"))
+      .orderBy("k", "id")
+  }
+
   /** Dataset drift profile: Population Stability Index between two
     * corpus snapshots (here: doc_id < 250 = reference, ≥ 250 = current)
     * over fixed-width n_chars buckets — the monitoring op a training
@@ -3635,6 +3655,86 @@ object Llm {
         (col("n") * col("agree") - col("s")).as("kappa_num"),
         (col("n") * col("n") - col("s")).as("kappa_den"))
       .orderBy("source")
+  }
+
+  /** Krippendorff's alpha (nominal data, two coders, complete units) —
+    * [[q_lang_kappa]]'s generalization and the agreement coefficient
+    * annotation QA actually standardizes on (Krippendorff 2004): kappa
+    * corrects chance by each coder's OWN marginal, alpha by the POOLED
+    * value marginals, which makes it comparable across coder pairs and
+    * extensible to missing data. For two complete coders the nominal
+    * form reduces to exact integers: with n units, d disagreements, and
+    * pooled value marginals m_c (gold count + pred count per label),
+    * N = 2n and alpha = 1 − 2·d·(N−1) / (N² − Σ m_c²) — shipped as the
+    * exact fraction (alpha_num, alpha_den) like kappa, because alpha is
+    * negative below chance and rounded quotients diverge between
+    * engines there. Same one-scan cell-table reduction as kappa; the
+    * label space is bounded, so everything after the scan is tiny.
+    */
+  def q_agreement_alpha(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val base = documents(s, d)
+      .select(col("source"), col("lang").as("gold"),
+        stopHits(words, EnStops).as("s_en"),
+        stopHits(words, EsStops).as("s_es"),
+        stopHits(words, DeStops).as("s_de"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+    val cells = base.groupBy("source", "gold", "pred").agg(count(lit(1)).as("cc"))
+    val predM = cells.groupBy("source", "pred").agg(sum("cc").as("rp"))
+      .withColumnRenamed("pred", "cat")
+    val goldM = cells.groupBy("source", "gold").agg(sum("cc").as("rg"))
+      .withColumnRenamed("gold", "cat")
+    // pooled marginals need the FULL outer join: a label one coder never
+    // emits still counts on the other side
+    val m2 = predM.join(goldM, Seq("source", "cat"), "full_outer")
+      .na.fill(0L, Seq("rp", "rg"))
+      .withColumn("m", col("rp") + col("rg"))
+      .groupBy("source").agg(sum(col("m") * col("m")).as("m2sum"))
+    cells.groupBy("source")
+      .agg(sum("cc").as("n"),
+        sum(when(col("gold") =!= col("pred"), col("cc")).otherwise(0L)).as("disagree"))
+      .join(m2, "source")
+      .select(col("source"), col("n"), col("disagree"), col("m2sum"),
+        (lit(4L) * col("n") * col("n") - col("m2sum")
+          - lit(2L) * col("disagree") * (lit(2L) * col("n") - 1)).as("alpha_num"),
+        (lit(4L) * col("n") * col("n") - col("m2sum")).as("alpha_den"))
+      .orderBy("source")
+  }
+
+  /** Class-based TF-IDF keywords per source (the BERTopic c-TF-IDF
+    * form, Grootendorst 2022): treat each SOURCE as one pseudo-document
+    * and score term t in class c as tf_{t,c} · ln(1 + A/f_t), where f_t
+    * is the term's corpus frequency and A the average words per class —
+    * the per-class keyword extraction behind topic labeling and the
+    * per-source "what is this crawl actually about" line of a corpus
+    * card. Engine-exact: the log argument is the exact integer rational
+    * (S·f_t + W)/(S·f_t) (S classes, W total words) — both engines cast
+    * the same BIGINTs to double, divide, and ln, so the ppm-rounded
+    * weights agree bit-for-bit. Scale shape: one explode + one
+    * (source,term) map-combined aggregate; everything after is
+    * vocabulary-grain (Zipf-collapsed), and the top-5 window partitions
+    * over per-source vocab, never corpus rows.
+    */
+  def q_keywords_ctfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy("term").agg(sum("tf").as("ft"))
+    val tot = tf.agg(sum("tf").as("w"), count_distinct(col("source")).as("srcs"))
+    val rank = Window.partitionBy("source").orderBy(col("w_ppm").desc, col("term"))
+    tf.join(ft, "term").crossJoin(broadcast(tot))
+      .withColumn("w_ppm",
+        round(col("tf") * log((col("srcs") * col("ft") + col("w")).cast("double")
+          / (col("srcs") * col("ft")).cast("double")) * 1000000 + lit(1e-9), 0)
+          .cast("long"))
+      .withColumn("rn", row_number().over(rank).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("term"), col("tf"), col("w_ppm"))
+      .orderBy("source", "rn")
   }
 
   /** Per-class precision / recall / F1 for the stopword lang-ID

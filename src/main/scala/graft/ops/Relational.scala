@@ -2951,8 +2951,23 @@ object Relational {
     * the per-group quota input); the strata table broadcasts back.
     */
   def q_sample_neyman(s: SparkSession, d: String): DataFrame = {
-    val budget = 200L
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    // the draw: quotaSample's prefiltered rank (scan-stage ~2×-quota
+    // md5 threshold + exact fallback on a count-check miss) replaces
+    // the whole-stratum window sort — same rows, no stratum-sized task
+    Scale.quotaSample(docs, Seq("source"),
+      md5(concat_ws(":", col("source"), col("doc_id"))), Seq(col("doc_id")),
+      Right(neymanAlloc(docs, 200L).select(col("source"), col("n_h"))))
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("n_h"))
+      .orderBy("source", "rn")
+  }
+
+  /** The Neyman allocation relation behind [[q_sample_neyman]] and
+    * [[q_sample_weights]]: per stratum — population size `n` and the
+    * optimal sample quota `n_h` (largest-remainder corrected, capped at
+    * the stratum size). One stratum-key aggregate; broadcast-sized.
+    */
+  private def neymanAlloc(docs: DataFrame, budget: Long): DataFrame = {
     val st = docs.groupBy("source").agg(
       count(lit(1)).as("n"),
       sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),
@@ -2981,15 +2996,30 @@ object Relational {
       .withColumn("n_h",
         least(col("base").cast("long")
           + when(col("rk") <= col("deficit"), 1L).otherwise(0L), col("n")))
-      .select(col("source"), col("n_h"))
-    // the draw: quotaSample's prefiltered rank (scan-stage ~2×-quota
-    // md5 threshold + exact fallback on a count-check miss) replaces
-    // the whole-stratum window sort — same rows, no stratum-sized task
-    Scale.quotaSample(docs, Seq("source"),
-      md5(concat_ws(":", col("source"), col("doc_id"))), Seq(col("doc_id")),
-      Right(alloc))
-      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("n_h"))
-      .orderBy("source", "rn")
+      .select(col("source"), col("n").cast("long").as("n"), col("n_h"))
+    alloc
+  }
+
+  /** Post-stratification / design weights for the Neyman sample — the
+    * estimator step survey statistics runs AFTER drawing: a stratum
+    * sampled below its population share must count for more, and the
+    * inverse-inclusion-probability weight w_h = N_h / n_h is exactly
+    * that correction (Horvitz–Thompson for stratified designs). Shipped
+    * as round-half-up ppm integers ((2e6·N_h + n_h) div (2·n_h) — the
+    * [[graft.ops.Llm.q_dedup_soft]] integer-rounding form), so both
+    * engines emit identical BIGINTs. Strata allocated zero samples have
+    * no defined weight and are excluded (nothing drawn represents
+    * them — the caller sees the omission in the row count). Same
+    * broadcast-sized allocation relation as the draw; no corpus
+    * rescans beyond the one stratum aggregate.
+    */
+  def q_sample_weights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    neymanAlloc(docs, 200L)
+      .filter(col("n_h") > 0)
+      .select(col("source"), col("n").as("n_pop"), col("n_h").as("n_samp"),
+        expr("cast((2000000 * n + n_h) div (2 * n_h) as bigint)").as("weight_ppm"))
+      .orderBy("source")
   }
 
   /** Incremental rollup maintenance (materialized-view pattern): the

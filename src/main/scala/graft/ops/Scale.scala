@@ -433,6 +433,64 @@ object Scale {
     labels
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * BZ/peeling formulation every graph system ships): repeatedly
+    * remove vertices whose degree in the SURVIVING subgraph is < k —
+    * the fixpoint is the k-core, the maximal subgraph of minimum degree
+    * k (the graph-cleaning primitive behind spam-farm pruning, dense
+    * community seeds, and link-graph quality tiers). Input is an
+    * UNDIRECTED edge list (both directions present, deduped — the
+    * caller's contract, same as [[twoHopCensus]]).
+    *
+    * Returns (id, peeled_round): the 1-based round the vertex fell, or
+    * 0 for k-core members. Each round is one degree aggregate over the
+    * surviving edges plus two anti-joins — every stage wide, nothing
+    * driver-sized except the per-round removed COUNT. Rounds are
+    * checkpointed with the [[connectedComponents]] release discipline
+    * (superseded survivor/edge checkpoints freed as soon as the next
+    * round materializes; the per-round removed sets stay alive — they
+    * ARE the result). Real graphs peel in few rounds (degeneracy
+    * ordering is shallow); a pathological chain unravels one layer per
+    * round, hence the loud `maxRounds` guard instead of a silent
+    * truncation.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    var live = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
+    var survivors = live.select(col("a").as("id")).distinct().localCheckpoint()
+    var removed = List.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val deg = live.groupBy("a").agg(count(lit(1)).as("deg"))
+      // left join: a survivor with NO surviving edges has degree 0
+      val rem = survivors.join(deg, col("id") === col("a"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("id"))
+        .localCheckpoint() // alive until the final union — it IS output
+      if (rem.isEmpty) done = true
+      else {
+        removed ::= rem.withColumn("peeled_round", lit(round.toLong))
+        val prevSurv = survivors
+        val prevLive = live
+        survivors = prevSurv.join(rem, Seq("id"), "left_anti").localCheckpoint()
+        live = prevLive
+          .join(rem.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(rem.select(col("id").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        Llm.unpersistCheckpoint(prevSurv)
+        Llm.unpersistCheckpoint(prevLive)
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds peel rounds — raise maxRounds")
+    val core = survivors.withColumn("peeled_round", lit(0L))
+    removed.foldLeft(core)(_ unionByName _)
+  }
+
   /** Upsert (merge) for immutable columnar storage: rows from `updates`
     * replace base rows sharing the key; unmatched base rows survive.
     * Equivalent to `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED

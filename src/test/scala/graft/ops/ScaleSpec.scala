@@ -233,6 +233,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: K4+pendant-chain peels the chain layer by layer and keeps exactly the clique") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every degree 3) with a pendant chain 4-5-6-7:
+    // the 3-core is exactly the clique; the chain unravels one vertex
+    // per round from the dangling end (7 first), exercising multi-round
+    // peeling and the per-round checkpoint discipline
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    val out = Scale.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 0L), s"the clique IS the 3-core: $out")
+    assert(Seq(5L, 6L, 7L).forall(out(_) == 1L),
+      s"the whole chain is degree ≤ 2, so k=3 drops it in one round: $out")
+    // k=2 is the multi-round case: only the dangling END is sub-degree
+    // each round, so the chain peels outside-in one vertex per round
+    val out2 = Scale.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out2(_) == 0L))
+    assert(out2(7L) == 1L && out2(6L) == 2L && out2(5L) == 3L,
+      s"the chain must peel outside-in one layer per round: $out2")
+    // maxRounds guard is loud, not a silent truncation (k=2 needs 3
+    // removal rounds + the empty fixpoint round)
+    intercept[IllegalStateException] {
+      Scale.kCore(edges, "src", "dst", k = 2, maxRounds = 2)
+    }
+  }
+
+  test("q_graph_kcore: peel depth is a structural constant ≤ 2 (the oracle's 3-round unroll has slack)") {
+    import spark.implicits._
+    val out = Llm.q_graph_kcore(spark, sf)
+      .select("k", "peeled_round").as[(Long, Long)].collect()
+    val maxRound = out.map(_._2).max
+    assert(maxRound <= 2L,
+      s"chain+chord peel must converge in ≤2 rounds at any SF (oracle unrolls 3), got $maxRound")
+    // the k=3 peel leaves an EMPTY core (odd vertices fall in round 1,
+    // the bare even chord path in round 2) — structure, not vacuity
+    assert(out.filter(_._1 == 3L).forall(_._2 > 0L), "the 3-core of the strip graph is empty")
+    assert(out.count { case (k, r) => k == 2L && r == 0L } > 0, "the 2-core is non-empty")
+  }
+
   test("upsert laws: empty updates = identity; keys = base ∪ update keys; updates win") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
