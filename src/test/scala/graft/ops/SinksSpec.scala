@@ -291,6 +291,22 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.Snapshots.read(spark, path, Some(2)).filter($"id" === 1L)
       .select("v").as[String].head() == "a",
       "each merge is its own immutable version")
+    // a CONCURRENT writer lands v4 between merges — the next merge must
+    // stack on THAT tip (read-latest semantics), and an expired vacuum
+    // then reclaims every superseded version's data in one sweep
+    assert(Sinks.Snapshots.commit(spark,
+      Sinks.Snapshots.read(spark, path)
+        .unionByName(Seq((9L, "z", 90.0)).toDF("id", "v", "x")), path) == 4)
+    assert(Sinks.Snapshots.merge(spark, path, Seq((5L, "e", 50.0)).toDF("id", "v", "x"),
+      Seq("id")) == 5, "merge must land on the concurrent writer's tip + 1")
+    assert(Sinks.Snapshots.read(spark, path).count() == 6,
+      "the merge must have read the concurrent writer's rows (1,2,3,4,9 + inserted 5)")
+    Sinks.Snapshots.vacuum(spark, path, keepLast = 1, retainMs = 0L)
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(5))
+    val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    assert(dirs.size == 1 && dirs.head.startsWith("v00005"),
+      s"vacuum must reclaim all superseded data dirs, left: $dirs")
+    assert(Sinks.Snapshots.read(spark, path).count() == 6)
   }
 
   test("corrupt-file tolerance: ignoreCorruptFiles reads around a damaged input") {
