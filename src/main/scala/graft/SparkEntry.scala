@@ -296,6 +296,10 @@ object SparkEntry {
     "q_eval_calibration" -> (Llm.q_eval_calibration _),
     "q_lang_kappa" -> (Llm.q_lang_kappa _),
     "q_agreement_alpha" -> (Llm.q_agreement_alpha _),
+    "q_eval_lift" -> (Llm.q_eval_lift _),
+    "q_drift_js" -> (Llm.q_drift_js _),
+    "q_forecast_snaive" -> (Relational.q_forecast_snaive _),
+    "q_attribution_last" -> (Relational.q_attribution_last _),
     "q_keywords_ctfidf" -> (Llm.q_keywords_ctfidf _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
     "q_sim_sparse" -> (Llm.q_sim_sparse _),
@@ -417,6 +421,78 @@ object SparkEntry {
       |   FROM documents))"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // binned lift: integer divisions of exact counts; the cumulative
+    // window orders ten bin rows
+    "q_eval_lift" ->
+      (ClassifierScoredSql +
+      """,
+        |b AS (SELECT least(score_ppm // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |c AS (SELECT bin, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |  FROM b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM b)
+        |SELECT bin, n, n_pos, cum_n, cum_pos,
+        |  CAST((2000000 * cum_pos + tot_pos) // (2 * tot_pos) AS BIGINT) AS gain_ppm,
+        |  CAST((2000000 * cum_pos * tot_n + cum_n * tot_pos) // (2 * cum_n * tot_pos) AS BIGINT) AS lift_ppm
+        |FROM c CROSS JOIN t ORDER BY bin DESC""").stripMargin,
+
+    // JS terms: identical-rational shares through the same expression
+    // order -> bit-identical doubles; epsilon round closes formatting
+    "q_drift_js" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(n_chars / 400) AS BIGINT), 9) AS bucket,
+        |    CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS tot_ref,
+        |    CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS tot_cur
+        |  FROM documents),
+        |ax AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
+        |f AS (SELECT bucket, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ax LEFT JOIN b USING (bucket)),
+        |pq AS (SELECT bucket, n_ref, n_cur,
+        |    (n_ref + 0.5) / (tot_ref + 5.0) AS p,
+        |    (n_cur + 0.5) / (tot_cur + 5.0) AS q
+        |  FROM f CROSS JOIN t)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(0.5 * p * ln(p / ((p + q) / 2.0))
+        |    + 0.5 * q * ln(q / ((p + q) / 2.0)) + 1e-9, 6) AS js_term
+        |FROM pq ORDER BY bucket""".stripMargin,
+
+    // daily DECIMAL totals, exact 7-day-lag join; MAE round-half-up in
+    // micro units, bias shipped as the exact SIGNED micro sum (never a
+    // rounded negative quotient)
+    "q_forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.v - b.v AS err
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST((2 * CAST(sum(abs(err)) * 1000000 AS HUGEINT) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS mae_micro,
+        |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_attribution_last" ->
+      """WITH a AS (
+        |  SELECT event_type, value,
+        |    coalesce(last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS channel
+        |  FROM events)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_pagerank" -> pagerankOracle(5),
     // hash-kernel gates: FNV-1a/splitmix64/minhash/LSH replicated in
     // DuckDB HUGEINT arithmetic (OracleSql scaladoc) — the former

@@ -2613,6 +2613,40 @@ object Llm {
     * still report. Laplace-smoothed shares keep ln finite. PSI rule of
     * thumb: < 0.1 stable, > 0.25 shifted.
     */
+  /** Jensen–Shannon divergence between the same two corpus snapshots as
+    * [[q_drift_psi]] — the SYMMETRIC, always-finite drift metric (PSI
+    * blows up as a share → 0 even smoothed; JS is bounded by ln 2 and
+    * is the standard divergence reported next to PSI on monitoring
+    * dashboards). Per bucket: 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with
+    * m = (p+q)/2 over the identical Laplace-smoothed shares — the
+    * shares are exact rationals of integer counts, so both engines
+    * produce bit-identical doubles through the same expression order,
+    * and the 6-dp epsilon round closes formatting. Scan shape identical
+    * to PSI: one conditional agg, dense bucket axis, no extra pass.
+    */
+  def q_drift_js(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), least(floor(col("n_chars") / 400), lit(9)).cast("long").as("bucket"))
+    val counts = docs.groupBy("bucket").agg(
+      sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("doc_id") >= 250, 1L).otherwise(0L)).as("n_cur"))
+    val totals = docs.agg(
+      sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("tot_ref"),
+      sum(when(col("doc_id") >= 250, 1L).otherwise(0L)).as("tot_cur"))
+    s.range(10).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p", (col("n_ref") + 0.5) / (col("tot_ref") + 5.0))
+      .withColumn("q", (col("n_cur") + 0.5) / (col("tot_cur") + 5.0))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(lit(0.5) * col("p") * log(col("p") / col("m"))
+          + lit(0.5) * col("q") * log(col("q") / col("m")) + lit(1e-9), 6)
+          .as("js_term"))
+      .orderBy("bucket")
+  }
+
   def q_drift_psi(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), least(floor(col("n_chars") / 400), lit(9)).cast("long").as("bucket"))
@@ -3615,6 +3649,40 @@ object Llm {
         expr("cast((2 * sum_ppm + n) div (2 * n) as bigint)").as("mean_score_ppm"),
         expr("cast((2000000 * n_pos + n) div (2 * n) as bigint)").as("pos_rate_ppm"))
       .orderBy("bin")
+
+  /** Classifier eval: BINNED cumulative gains / lift (the marketing
+    * "lift curve" read top-score-down): rank the corpus by the quality
+    * classifier's score BIN (the same fixed 0.1-wide ppm bins as
+    * [[q_eval_calibration]] — binned, NOT exact deciles, deliberately:
+    * an exact global decile needs a corpus sort or a whole-corpus
+    * percentile pass, while score binning is pure scan-stage math and
+    * the lift question "how concentrated are the positives near the
+    * top" is answered the same way), then report, cumulatively from the
+    * top bin down: docs covered, positives captured (gain), and lift vs
+    * the base rate. All-integer: gain_ppm and lift_ppm ship as
+    * round-half-up integer divisions of exact counts. The cumulative
+    * window orders ≤ 10 bin rows — nothing corpus-sized sorts.
+    */
+  def q_eval_lift(s: SparkSession, d: String): DataFrame = {
+    val bins = classifierScored(s, d)
+      .withColumn("bin", least(expr("score_ppm div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum("n").as("tot_n"), sum("n_pos").as("tot_pos"))
+    bins
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        expr("cast((2000000 * cum_pos + tot_pos) div (2 * tot_pos) as bigint)")
+          .as("gain_ppm"),
+        expr("cast((2000000 * cum_pos * tot_n + cum_n * tot_pos) div (2 * cum_n * tot_pos) as bigint)")
+          .as("lift_ppm"))
+      .orderBy(col("bin").desc)
+  }
 
   /** Per-source Cohen's kappa between the stopword lang-ID heuristic
     * ([[q_lang_id]]'s predictor) and the gold `lang` column —

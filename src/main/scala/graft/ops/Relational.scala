@@ -3022,6 +3022,68 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Seasonal-naive forecast backtest (per event type): predict each
+    * day's total as the SAME WEEKDAY one week earlier and score the
+    * prediction — the baseline every forecasting pipeline must beat
+    * before anything fancier ships (a model that loses to
+    * seasonal-naive is worse than no model). Daily totals are exact
+    * DECIMAL(18,4) sums, the 7-day-lag self-join is exact date
+    * arithmetic, and the per-type report ships MAE as a round-half-up
+    * micro-unit integer (sum|err| is scale-4 exact, ×1e6 stays
+    * integral) plus the SIGNED bias as the exact micro SUM — never a
+    * rounded negative quotient (the kappa floor-vs-truncate lesson).
+    * Scale shape: one events scan → day-grain agg (map-combined), the
+    * backtest join and report run on the tiny day×type grain.
+    */
+  def q_forecast_snaive(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("v"))
+    val j = daily.as("a").join(daily.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.day") === date_add(col("b.day"), 7))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.v") - col("b.v")).as("err"))
+    j.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("err"))).as("sum_abs"),
+        sum(col("err")).as("sum_err"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast((2 * cast(sum_abs * 1000000 as decimal(38,0)) + n_days) div (2 * n_days) as bigint)")
+          .as("mae_micro"),
+        expr("cast(cast(sum_err * 1000000 as decimal(38,0)) as bigint)")
+          .as("bias_micro_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent PRECEDING non-purchase event type (the channel), or
+    * 'direct' when the purchase is the user's first touch — the
+    * simplest of the marketing attribution models, and the one every
+    * analytics engine ships first. One user-keyed window (high-
+    * cardinality partition key — shards evenly at any scale) with an
+    * IGNORE-NULLS running last over the strictly-preceding frame; the
+    * revenue rollup is a tiny channel-grain aggregate with the exact
+    * DECIMAL sum convention.
+    */
+  def q_attribution_last(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("channel",
+        coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w),
+          lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("channel")
+  }
+
   /** Incremental rollup maintenance (materialized-view pattern): the
     * historical batch collapses ONCE into mergeable per-key state
     * (count / DECIMAL sum / min / max); each new delta batch folds in by
