@@ -78,6 +78,7 @@ object GraftSession {
     graft.plans.Asof.ensureRegistered(spark)
     graft.plans.BloomJoin.ensureRegistered(spark)
     graft.plans.RangeJoin.ensureRegistered(spark)
+    graft.plans.TextKernelRewrite.ensureRegistered(spark)
   }
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b

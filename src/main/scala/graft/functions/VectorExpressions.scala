@@ -838,5 +838,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     extensions.injectOptimizerRule(_ => graft.plans.BloomJoinRule)
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    extensions.injectOptimizerRule(_ => graft.plans.TextKernelRewriteRule)
   }
 }

@@ -292,6 +292,36 @@ class PlanSpec extends AnyFunSuite {
       s"scan spine not codegen'd in:\n$finalPlan")
   }
 
+  test("TextKernelRewriteRule: raw regex idioms optimize into the native kernels, values unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq((-1L, "  MIXED Case!! and;; 42  "), (-2L, "café 你好 a"), (-3L, ""))
+        .toDF("doc_id", "text"))
+    // the user writes the reference's regex chain verbatim...
+    val userNorm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val userCount = size(split(col("text"), " "))
+    val df = docs.select(col("doc_id"), userNorm.as("norm"), userCount.as("n_tok"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    // ...and the optimizer substitutes the kernels
+    assert(opt.contains("graft_normtext"),
+      s"normalize chain must rewrite to the native kernel:\n$opt")
+    assert(!opt.toLowerCase.contains("regexp_replace"),
+      s"no regex must survive the rewrite:\n$opt")
+    assert(opt.contains("translate") && !opt.contains("split("),
+      s"token count must rewrite to the translate form:\n$opt")
+    // values are bit-identical to the un-rewritten expressions (evaluated
+    // through a fresh session-less path: the literal fold of each row)
+    val got = df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val want = docs.orderBy("doc_id").collect().map { r =>
+      val t = r.getString(1)
+      val norm = t.replaceAll("[^a-zA-Z0-9 ]", "").replaceAll(" +", " ").trim.toLowerCase
+      (r.getLong(0), norm, t.split(" ", -1).length)
+    }
+    assert(got.toSeq == want.toSeq, "the rewrite must not change a single value")
+  }
+
   test("corpus card is single-pass: all three statistic grains share ONE materialized grouping-sets relation") {
     // the three families group on different keys; three dedicated
     // aggregates would re-scan the doc-grain projection once each (the
