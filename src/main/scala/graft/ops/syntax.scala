@@ -91,6 +91,15 @@ object syntax {
       Sinks.rangeSortedParquet(df, path, byCol, files)
 
     /** [[Sinks.zOrderedParquet]]: two-dimension-skippable layout. */
+    /** [[Scale.quotaSample]]: prefiltered per-group fixed-N draw. */
+    def quotaSample(groupCols: Seq[String], hash: Column, tie: Seq[Column],
+                    quotas: Either[Long, DataFrame]): DataFrame =
+      Scale.quotaSample(df, groupCols, hash, tie, quotas)
+
+    /** [[Scale.kCore]]: iterative k-core peeling (undirected edge list). */
+    def kCore(srcCol: String, dstCol: String, k: Int): DataFrame =
+      Scale.kCore(df, srcCol, dstCol, k)
+
     def writeZOrdered(path: String, c1: String, c2: String, files: Int): Unit =
       Sinks.zOrderedParquet(df, path, c1, c2, files)
   }
