@@ -673,6 +673,139 @@ case class BpeApply(child: Expression, merges: Seq[String]) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Token-set kernels over the `split(text, " ")` tokenization, without
+  * the regex split or the per-row array. Tokens are the byte segments
+  * between single 0x20 bytes (split keeps empty segments; 0x20 never
+  * occurs inside a UTF-8 multi-byte sequence, so byte segmentation IS
+  * the code-point segmentation). [[StopSet.count]] is the OCCURRENCE
+  * count of stop-set tokens — `size(filter(words, _.isin(stops)))`,
+  * zero allocation. [[StopSet.stats]] is the one-pass form of the
+  * classifier feature trio — `size(words)` / `size(array_distinct
+  * (words))` / `size(array_intersect(words, stops))` (the intersect is
+  * DISTINCT-stops-present, per array_intersect's set semantics).
+  */
+class StopSet(stops: Array[String]) extends Serializable {
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stops.map(_.getBytes("UTF-8"))
+
+  private def matchStop(u: org.apache.spark.unsafe.types.UTF8String,
+                        start: Int, len: Int): Int = {
+    val sb = stopBytes
+    var s = 0
+    while (s < sb.length) {
+      val b = sb(s)
+      if (b.length == len) {
+        var j = 0
+        var eq = true
+        while (eq && j < len) {
+          if (u.getByte(start + j) != b(j)) eq = false
+          j += 1
+        }
+        if (eq) return s
+      }
+      s += 1
+    }
+    -1
+  }
+
+  def count(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = u.numBytes()
+    var i = 0
+    var tokStart = 0
+    var c = 0L
+    while (i <= n) {
+      if (i == n || u.getByte(i) == ' ') {
+        if (matchStop(u, tokStart, i - tokStart) >= 0) c += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  def stats(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = u.numBytes()
+    val bytes = u.getBytes // one copy; the distinct set needs materialized tokens
+    val seen = new java.util.HashSet[String]()
+    val stopSeen = new Array[Boolean](stopBytes.length)
+    var i = 0
+    var tokStart = 0
+    var nTok = 0L
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        nTok += 1
+        seen.add(new String(bytes, tokStart, i - tokStart,
+          java.nio.charset.StandardCharsets.UTF_8))
+        val m = matchStop(u, tokStart, i - tokStart)
+        if (m >= 0) stopSeen(m) = true
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var nStop = 0L
+    var s = 0
+    while (s < stopSeen.length) { if (stopSeen(s)) nStop += 1; s += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, seen.size.toLong, nStop))
+  }
+}
+
+case class StopCount(child: Expression, stops: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def prettyName: String = "graft_stopcount"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  @transient private lazy val set = new StopSet(stops.toArray)
+
+  override protected def nullSafeEval(a: Any): Any =
+    set.count(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, classOf[StopSet].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.count($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopCount =
+    copy(child = newChild)
+}
+
+case class WordStats(child: Expression, stops: Seq[String]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def prettyName: String = "graft_wordstats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_stop_distinct", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  @transient private lazy val set = new StopSet(stops.toArray)
+
+  override protected def nullSafeEval(a: Any): Any =
+    set.stats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, classOf[StopSet].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.stats($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordStats =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. Routed through
   * the session FunctionRegistry + `call_function` (the public
   * Expression→Column path in Spark 4; `Column(expr)` construction is
@@ -731,6 +864,16 @@ object Vec {
     ensureRegistered()
     call_function("graft_normtext", text)
   }
+  def stopCount(text: Column, stops: Seq[String]): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_stopcount", text, lit(stops.toArray))
+  }
+  def wordStats(text: Column, stops: Seq[String]): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_wordstats", text, lit(stops.toArray))
+  }
   /** `size(split(text, " "))` token count without the regex split or the
     * per-row array: tokens = spaces + 1 (split keeps empty segments, so
     * every single space is a boundary; 0x20 never occurs inside a UTF-8
@@ -787,6 +930,12 @@ object Vec {
     (FunctionIdentifier("graft_normtext"),
       new ExpressionInfo(classOf[NormText].getName, "graft_normtext"),
       (es: Seq[Expression]) => NormText(es(0))),
+    (FunctionIdentifier("graft_stopcount"),
+      new ExpressionInfo(classOf[StopCount].getName, "graft_stopcount"),
+      (es: Seq[Expression]) => StopCount(es(0), foldToStringSeq(es(1), "stops"))),
+    (FunctionIdentifier("graft_wordstats"),
+      new ExpressionInfo(classOf[WordStats].getName, "graft_wordstats"),
+      (es: Seq[Expression]) => WordStats(es(0), foldToStringSeq(es(1), "stops"))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated

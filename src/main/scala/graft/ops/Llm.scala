@@ -1839,20 +1839,24 @@ object Llm {
   private val EsStops = Seq("el", "la", "de", "que", "los")
   private val DeStops = Seq("der", "die", "das", "und", "ist")
 
-  private def stopHits(words: Column, stops: Seq[String]): Column =
-    size(filter(words, w => w.isInCollection(stops))).cast("long")
+  /** Occurrence count of stop-set tokens — the `graft_stopcount`
+    * kernel: one byte pass, no regex split, no per-row array (≡
+    * `size(filter(split(text, " "), _.isInCollection(stops)))`,
+    * kernel-parity pinned in TextExpressionsSpec).
+    */
+  private def stopHits(text: Column, stops: Seq[String]): Column =
+    graft.functions.Vec.stopCount(text, stops)
 
   /** Stopword-profile language ID — an n-gram-style heuristic whose
     * scoring is exactly reproducible in the DuckDB oracle.
     */
   def q_lang_id(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
     documents(s, d)
       .select(
         col("doc_id"),
-        stopHits(words, EnStops).as("s_en"),
-        stopHits(words, EsStops).as("s_es"),
-        stopHits(words, DeStops).as("s_de"))
+        stopHits(col("text"), EnStops).as("s_en"),
+        stopHits(col("text"), EsStops).as("s_es"),
+        stopHits(col("text"), DeStops).as("s_de"))
       .withColumn("pred_lang",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")
@@ -1868,7 +1872,7 @@ object Llm {
     documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         size(words).cast("long").as("n_tok"),
-        stopHits(words, EnStops).as("stop_hits"))
+        stopHits(col("text"), EnStops).as("stop_hits"))
       // +1e-9 before each round: the ratios are small-denominator
       // rationals that land exactly on x.xxxx5 round boundaries, where
       // Spark (BigDecimal HALF_UP on the true double) and DuckDB
@@ -1967,7 +1971,7 @@ object Llm {
     documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         size(words).cast("long").as("n_tok"),
-        stopHits(words, EnStops).as("stop_hits"),
+        stopHits(col("text"), EnStops).as("stop_hits"),
         array_contains(words, "slow").as("has_block"))
       .withColumn("avg_wlen",
         round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok") + 1e-9, 4))
@@ -3324,32 +3328,35 @@ object Llm {
     * "gold" signal. Pure scan-stage column math.
     */
   private[ops] def classifierScored(s: SparkSession, d: String): DataFrame = {
-    val stop = "the,a,and,of,to,in,is,it"
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    // the graft_wordstats kernel computes the feature trio — token
+    // count / distinct tokens / distinct-stops-present — in ONE byte
+    // pass (≡ size(words) / size(array_distinct(words)) /
+    // size(array_intersect(words, stops)); kernel parity pinned in
+    // TextExpressionsSpec). No regex split, no per-row arrays.
     documents(s, d)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_w", size(col("words")).cast("double"))
+      .withColumn("ws", graft.functions.Vec.wordStats(col("text"), stops))
+      .withColumn("n_w", col("ws.n_tokens").cast("double"))
       .withColumn("f_len", least(col("n_w") / 100.0, lit(1.0)))
       .withColumn("f_wlen",
         (col("n_chars").cast("double") - col("n_w") + 1.0) / col("n_w"))
-      .withColumn("f_stop",
-        size(array_intersect(col("words"), split(lit(stop), ","))).cast("double") / 8.0)
-      .withColumn("f_ttr",
-        size(array_distinct(col("words"))).cast("double") / col("n_w"))
+      .withColumn("f_stop", col("ws.n_stop_distinct").cast("double") / 8.0)
+      .withColumn("f_ttr", col("ws.n_distinct").cast("double") / col("n_w"))
       .withColumn("z",
         lit(-2.0) + lit(1.5) * col("f_len") + lit(0.4) * col("f_wlen") +
           lit(2.0) * col("f_stop") + lit(1.2) * col("f_ttr"))
       .withColumn("score_ppm",
         round(round(lit(1.0) / (lit(1.0) + exp(-col("z"))) + lit(1e-9), 6)
           * lit(1000000.0)).cast("long"))
-      .withColumn("n_tok", size(col("words")).cast("long"))
+      .withColumn("n_tok", col("ws.n_tokens"))
       .withColumn("avg_wlen",
         round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")
           + lit(1e-9), 4))
       .withColumn("label",
         col("n_tok") >= 30 && col("n_tok") <= 5000 &&
           col("avg_wlen") >= 3.0 && col("avg_wlen") <= 12.0 &&
-          stopHits(col("words"), EnStops) >= 2 &&
-          !array_contains(col("words"), "slow"))
+          stopHits(col("text"), EnStops) >= 2 &&
+          stopHits(col("text"), Seq("slow")) === 0)
       .select("doc_id", "source", "score_ppm", "label")
   }
 
@@ -3696,12 +3703,11 @@ object Llm {
     * the corpus is scanned once.
     */
   def q_lang_kappa(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
     val base = documents(s, d)
       .select(col("source"), col("lang").as("gold"),
-        stopHits(words, EnStops).as("s_en"),
-        stopHits(words, EsStops).as("s_es"),
-        stopHits(words, DeStops).as("s_de"))
+        stopHits(col("text"), EnStops).as("s_en"),
+        stopHits(col("text"), EsStops).as("s_es"),
+        stopHits(col("text"), DeStops).as("s_de"))
       .withColumn("pred",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")
@@ -3740,12 +3746,11 @@ object Llm {
     * label space is bounded, so everything after the scan is tiny.
     */
   def q_agreement_alpha(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
     val base = documents(s, d)
       .select(col("source"), col("lang").as("gold"),
-        stopHits(words, EnStops).as("s_en"),
-        stopHits(words, EsStops).as("s_es"),
-        stopHits(words, DeStops).as("s_de"))
+        stopHits(col("text"), EnStops).as("s_en"),
+        stopHits(col("text"), EsStops).as("s_es"),
+        stopHits(col("text"), DeStops).as("s_de"))
       .withColumn("pred",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")
@@ -3816,12 +3821,11 @@ object Llm {
     */
   def q_eval_f1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = split(col("text"), " ")
     val cells = documents(s, d)
       .select(col("lang").as("gold"),
-        stopHits(words, EnStops).as("s_en"),
-        stopHits(words, EsStops).as("s_es"),
-        stopHits(words, DeStops).as("s_de"))
+        stopHits(col("text"), EnStops).as("s_en"),
+        stopHits(col("text"), EsStops).as("s_es"),
+        stopHits(col("text"), DeStops).as("s_de"))
       .withColumn("pred",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")

@@ -122,6 +122,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(wdiff == 0, "wordCount must equal size(split(text, ' ')) everywhere")
   }
 
+  test("graft_stopcount / graft_wordstats ≡ the split+array reference forms") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val extra = Seq(
+      "the the the a of", "  the  a ", "", " ", "the", "thea theb",
+      "a b c a b a", "slow and the slow", "café the 你好 the")
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(extra.toDF("text"))
+      .unionByName(Seq.empty[String].toDF("text"))
+    val words = split(col("text"), " ")
+    val refCount = size(filter(words, w => w.isInCollection(stops))).cast("long")
+    val d1 = docs.select(
+      Vec.stopCount(col("text"), stops).as("nat"), refCount.as("ref"))
+      .filter(not(col("nat") <=> col("ref"))).count()
+    assert(d1 == 0, "stopCount must equal the filter(split) occurrence count everywhere")
+    val d2 = docs.na.drop().select(
+      Vec.wordStats(col("text"), stops).as("ws"),
+      size(words).cast("long").as("r_n"),
+      size(array_distinct(words)).cast("long").as("r_d"),
+      size(array_intersect(words, split(lit(stops.mkString(",")), ","))).cast("long").as("r_s"))
+      .filter(not(col("ws.n_tokens") === col("r_n")) ||
+        not(col("ws.n_distinct") === col("r_d")) ||
+        not(col("ws.n_stop_distinct") === col("r_s"))).count()
+    assert(d2 == 0, "wordStats trio must equal size/array_distinct/array_intersect everywhere")
+  }
+
   test("null text hashes like the empty document (never null output)") {
     import spark.implicits._
     val df = Seq(Option.empty[String], Some("")).toDF("text")
