@@ -438,7 +438,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM b)
         |SELECT bin, n, n_pos, cum_n, cum_pos,
         |  CAST((2000000 * cum_pos + tot_pos) // (2 * tot_pos) AS BIGINT) AS gain_ppm,
-        |  CAST((2000000 * cum_pos * tot_n + cum_n * tot_pos) // (2 * cum_n * tot_pos) AS BIGINT) AS lift_ppm
+        |  CAST((2000000 * CAST(cum_pos AS HUGEINT) * tot_n + CAST(cum_n AS HUGEINT) * tot_pos) // (2 * CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_ppm
         |FROM c CROSS JOIN t ORDER BY bin DESC""").stripMargin,
 
     // JS terms: identical-rational shares through the same expression

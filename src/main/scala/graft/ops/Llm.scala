@@ -3686,7 +3686,11 @@ object Llm {
       .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
         expr("cast((2000000 * cum_pos + tot_pos) div (2 * tot_pos) as bigint)")
           .as("gain_ppm"),
-        expr("cast((2000000 * cum_pos * tot_n + cum_n * tot_pos) div (2 * cum_n * tot_pos) as bigint)")
+        // the cum_pos·tot_n product crosses Long range (~4.6e12) around a
+        // 2M-doc corpus and non-ANSI Long mul wraps SILENTLY — route it
+        // through DECIMAL(38,0) (the q_forecast_snaive convention); the
+        // quotient itself is ppm-sized, so the final bigint cast is safe
+        expr("cast((2000000 * cast(cum_pos as decimal(38,0)) * tot_n + cast(cum_n as decimal(38,0)) * tot_pos) div (2 * cast(cum_n as decimal(38,0)) * tot_pos) as bigint)")
           .as("lift_ppm"))
       .orderBy(col("bin").desc)
   }

@@ -2954,10 +2954,17 @@ object Relational {
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
     // the draw: quotaSample's prefiltered rank (scan-stage ~2×-quota
     // md5 threshold + exact fallback on a count-check miss) replaces
-    // the whole-stratum window sort — same rows, no stratum-sized task
+    // the whole-stratum window sort — same rows, no stratum-sized task.
+    // The allocation relation already aggregated the stratum sizes, so
+    // it feeds quotaSample BOTH the quotas and the group counts — the
+    // sampler's internal count scan drops out and the corpus is read
+    // ONCE (the survivor prefilter). The tiny alloc is checkpointed so
+    // its two consumers read one materialization, not two agg scans.
+    val alloc = neymanAlloc(docs, 200L).localCheckpoint()
     Scale.quotaSample(docs, Seq("source"),
       md5(concat_ws(":", col("source"), col("doc_id"))), Seq(col("doc_id")),
-      Right(neymanAlloc(docs, 200L).select(col("source"), col("n_h"))))
+      Right(alloc.select(col("source"), col("n_h"))),
+      groupCounts = Some(alloc.select(col("source"), col("n").as("__grp_n"))))
       .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("n_h"))
       .orderBy("source", "rn")
   }

@@ -59,20 +59,32 @@ object Scale {
     *
     * `quotas`: Left(k) = flat per-group quota; Right(df) = per-group
     * allocation relation (groupCols + `n_h`), broadcast-sized by
-    * construction (one row per group). Returns the input columns plus
+    * construction (one row per group) — it must COVER every group in
+    * the data exactly once: a missing or duplicated allocation row
+    * fails loudly (a silent inner join here would shrink or duplicate
+    * the sample with no signal). Returns the input columns plus
     * `n_h` and the in-group rank `rn` (1 ≤ rn ≤ min(n_h, group size)),
     * ordered by (`hash`, `tie`) within the group. Shuffles: the count
     * agg [map-combined, tiny output] and the survivor rank [~2·n_h rows
     * per group].
+    *
+    * `groupCounts`: optional caller-supplied per-group sizes (groupCols
+    * + a long `__grp_n`), e.g. the population column a Neyman allocation
+    * already aggregated — supplying it DROPS the internal count scan, so
+    * the corpus is read once (the survivor prefilter) instead of twice.
+    * The counts must be exact for the same `df` or the threshold sizing
+    * and the exactness check are garbage — caller's contract.
     */
   def quotaSample(df: DataFrame, groupCols: Seq[String], hash: Column,
                   tie: Seq[Column], quotas: Either[Long, DataFrame],
-                  oversample: Double = 2.0, cushion: Double = 16.0): DataFrame = {
+                  oversample: Double = 2.0, cushion: Double = 16.0,
+                  groupCounts: Option[DataFrame] = None): DataFrame = {
     val grp = groupCols.map(col)
-    val counts = df.groupBy(grp: _*).agg(count(lit(1)).as("__grp_n"))
+    val counts = groupCounts.getOrElse(
+      df.groupBy(grp: _*).agg(count(lit(1)).as("__grp_n")))
     val stats0 = quotas match {
       case Left(k)  => counts.withColumn("n_h", lit(k))
-      case Right(q) => counts.join(q, groupCols)
+      case Right(q) => counts.join(q, groupCols, "left")
     }
     // 60-bit threshold: the first 15 hex chars of the md5 as an integer;
     // equal-length lowercase hex compares identically as string or number
@@ -84,6 +96,23 @@ object Scale {
           (col("n_h").cast("double") * oversample + cushion) / col("__grp_n").cast("double"))
           .multiply(hexSpan.cast("double")).cast("long"))
       .localCheckpoint() // group-cardinality-sized; read 2-3 times below
+    // allocation-relation hygiene, read off the tiny checkpoint: a group
+    // the quota relation missed surfaces as a null n_h (left join above),
+    // a duplicated allocation row as a doubled group — both are caller
+    // bugs that previously shrank/duplicated the sample SILENTLY
+    if (quotas.isRight) {
+      val bad = stats.filter(col("n_h").isNull).select(grp: _*).limit(5).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"quotaSample: quota relation is missing allocation rows for groups " +
+          s"${bad.map(_.toSeq.mkString("/")).mkString(", ")} ... — every group in " +
+          "the data needs exactly one n_h row")
+      val dup = stats.groupBy(grp: _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).select(grp: _*).limit(5).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"quotaSample: quota relation has duplicate allocation rows for groups " +
+          s"${dup.map(_.toSeq.mkString("/")).mkString(", ")} ... — the join would " +
+          "duplicate survivors")
+    }
     val hv = conv(substring(hash, 1, 15), 16, 10).cast("long")
     // the survivor cut is ~ groups·(2·n_h+16) rows — dim-sized by
     // construction, so one checkpoint lets the rank, the count check,
@@ -453,9 +482,25 @@ object Scale {
     * ordering is shallow); a pathological chain unravels one layer per
     * round, hence the loud `maxRounds` guard instead of a silent
     * truncation.
+    *
+    * The returned frame READS the round checkpoints, which otherwise
+    * stay pinned until GC reclaims the RDDs — a long-lived session
+    * calling this repeatedly should use [[kCoreWithRelease]] (the
+    * `corpusCard` (result, release) shape) and call release() once the
+    * result is consumed/persisted.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 100): DataFrame = {
+            maxRounds: Int = 100): DataFrame =
+    kCoreWithRelease(edges, srcCol, dstCol, k, maxRounds)._1
+
+  /** [[kCore]] with an explicit checkpoint-release handle: release()
+    * frees every checkpoint block the result depends on (per-round
+    * removed sets + the final survivor set). Call it only AFTER the
+    * result has been consumed (collected, written, or re-checkpointed) —
+    * the frame is unreadable afterwards.
+    */
+  def kCoreWithRelease(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+                       maxRounds: Int = 100): (DataFrame, () => Unit) = {
     require(k >= 1, "kCore needs k >= 1")
     var live = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
     var survivors = live.select(col("a").as("id")).distinct().localCheckpoint()
@@ -470,8 +515,10 @@ object Scale {
         .filter(coalesce(col("deg"), lit(0L)) < k)
         .select(col("id"))
         .localCheckpoint() // alive until the final union — it IS output
-      if (rem.isEmpty) done = true
-      else {
+      if (rem.isEmpty) {
+        done = true
+        Llm.unpersistCheckpoint(rem) // empty probe frame: not output
+      } else {
         removed ::= rem.withColumn("peeled_round", lit(round.toLong))
         val prevSurv = survivors
         val prevLive = live
@@ -487,8 +534,12 @@ object Scale {
     if (!done)
       throw new IllegalStateException(
         s"kCore(k=$k) did not converge in $maxRounds peel rounds — raise maxRounds")
+    // the final edge checkpoint is not part of the result — free it now
+    Llm.unpersistCheckpoint(live)
     val core = survivors.withColumn("peeled_round", lit(0L))
-    removed.foldLeft(core)(_ unionByName _)
+    val pinned = survivors :: removed
+    (removed.foldLeft(core)(_ unionByName _),
+      () => pinned.foreach(Llm.unpersistCheckpoint))
   }
 
   /** Upsert (merge) for immutable columnar storage: rows from `updates`

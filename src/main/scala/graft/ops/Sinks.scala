@@ -127,11 +127,14 @@ object Sinks {
     * the manifest back and checking it names this writer's data
     * directory (closes the residual check-then-rename window on stores
     * whose rename is not a single atomic op). On S3A-class object
-    * stores rename is copy+delete and NOT atomic: a torn rename can
-    * strand a half-copied manifest — run the table on a store with
-    * atomic rename (HDFS, ABFS, GCS+hns, local), or front it with a
-    * coordination layer; the verify step turns a lost race into a loud
-    * retry instead of silent corruption either way.
+    * stores rename is copy+delete and NOT atomic — there the commit
+    * goes through [[ConditionalPutCommitter]] instead: one conditional
+    * PUT (`If-None-Match: *` / `ifGenerationMatch=0` / ETag) carries
+    * the same publish-if-absent semantics server-side, no rename
+    * anywhere. The primitive is pluggable per commit
+    * ([[ManifestCommitter]]); whichever is used, the verify step turns
+    * a lost race on a misbehaving store into a loud retry instead of
+    * silent corruption.
     *
     * What this deliberately does NOT implement (and says so): schema
     * evolution enforcement and multi-table transactions. Row-level
@@ -156,11 +159,12 @@ object Sinks {
       case _               => None
     }
 
-    /** Atomic no-overwrite rename: the commit primitive. `FileContext`
-      * (unlike `FileSystem.rename`, which silently replaces an existing
-      * FILE on POSIX local filesystems) refuses an existing destination
-      * on every Hadoop FS. Returns false on "destination exists" — the
-      * lost-race signal — and rethrows anything else.
+    /** Atomic no-overwrite rename: the rename-store commit primitive.
+      * `FileContext` (unlike `FileSystem.rename`, which silently
+      * replaces an existing FILE on POSIX local filesystems) refuses an
+      * existing destination on every Hadoop FS. Returns false on
+      * "destination exists" — the lost-race signal — and rethrows
+      * anything else.
       */
     private[ops] def renameNoOverwrite(
         spark: SparkSession,
@@ -179,6 +183,64 @@ object Sinks {
             if e.getMessage != null && e.getMessage.contains("already exists") =>
           false
       }
+    }
+
+    /** The PLUGGABLE commit primitive behind [[commit]]: publish
+      * manifest `body` at `dst` iff nothing is committed there, exactly
+      * once across racing writers. The store arbitrates — via an atomic
+      * no-overwrite RENAME ([[RenameCommitter]]: HDFS, ABFS, GCS-hns,
+      * local) or a CONDITIONAL PUT ([[ConditionalPutCommitter]]: S3
+      * `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag) — and
+      * the committer maps the store's answer to `true` = this writer
+      * won, `false` = destination already existed (lost the race).
+      * Anything else must throw. A committer whose store call is NOT
+      * atomic (S3A rename = copy+delete) can return two winners; the
+      * manifest read-back in [[commit]] then demotes the loser to a
+      * retry, so the failure mode is progress loss, never a torn table —
+      * but exactly-once still requires a genuinely atomic primitive.
+      */
+    trait ManifestCommitter {
+      def publish(spark: SparkSession, body: Array[Byte],
+                  dst: org.apache.hadoop.fs.Path): Boolean
+    }
+
+    /** Default committer for atomic-rename stores: write a uniquely-named
+      * dot-temp next to the destination, then one
+      * `FileContext.rename(.., Rename.NONE)`. The temp name carries a
+      * UUID so two writers racing the same version never share (and
+      * never clobber) a temp file; the loser's temp is removed.
+      */
+    object RenameCommitter extends ManifestCommitter {
+      def publish(spark: SparkSession, body: Array[Byte],
+                  dst: org.apache.hadoop.fs.Path): Boolean = {
+        val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+          s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = f.create(tmp, true)
+        out.write(body); out.close()
+        val won = renameNoOverwrite(spark, tmp, dst)
+        if (!won && f.exists(tmp)) f.delete(tmp, false)
+        won
+      }
+    }
+
+    /** Conditional-put committer for object stores WITHOUT atomic
+      * rename: one PUT carrying the store's if-absent precondition — no
+      * temp file, no rename anywhere. Each store spells the precondition
+      * differently (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`,
+      * ABFS `If-None-Match` on the ETag), so the store call is injected:
+      * `putIfAbsent(dst, body)` must atomically create-or-refuse
+      * SERVER-SIDE and return false iff the destination already existed.
+      * This is the seam that brings S3-class stores into the snapshot
+      * table's contract — the surrounding commit protocol (version
+      * discovery, read-back verify, loser cleanup, retry) is identical.
+      */
+    final class ConditionalPutCommitter(
+        putIfAbsent: (org.apache.hadoop.fs.Path, Array[Byte]) => Boolean)
+      extends ManifestCommitter {
+      def publish(spark: SparkSession, body: Array[Byte],
+                  dst: org.apache.hadoop.fs.Path): Boolean =
+        putIfAbsent(dst, body)
     }
 
     /** All committed versions, ascending. */
@@ -200,8 +262,17 @@ object Sinks {
                maxAttempts: Int = 5): Int =
       commit(spark, df, path, maxAttempts, batchId = None)
 
+    def commit(spark: SparkSession, df: DataFrame, path: String,
+               maxAttempts: Int, committer: ManifestCommitter): Int =
+      commit(spark, df, path, maxAttempts, batchId = None, committer)
+
     private def commit(spark: SparkSession, df: DataFrame, path: String,
-                       maxAttempts: Int, batchId: Option[Long]): Int = {
+                       maxAttempts: Int, batchId: Option[Long]): Int =
+      commit(spark, df, path, maxAttempts, batchId, RenameCommitter)
+
+    private def commit(spark: SparkSession, df: DataFrame, path: String,
+                       maxAttempts: Int, batchId: Option[Long],
+                       committer: ManifestCommitter): Int = {
       val (f, _) = fs(spark, path)
       val md = manifestDir(path)
       f.mkdirs(md)
@@ -211,24 +282,49 @@ object Sinks {
         val next = versions(spark, path).lastOption.getOrElse(0) + 1
         val dataDir = f"data/v$next%05d-${java.util.UUID.randomUUID().toString.take(8)}"
         df.write.mode("errorifexists").parquet(s"$path/$dataDir")
-        val tmp = new org.apache.hadoop.fs.Path(md, f".v$next%05d.json.tmp")
         val fin = new org.apache.hadoop.fs.Path(md, f"v$next%05d.json")
         val batchField = batchId.map(b => s""""batch_id": $b, """).getOrElse("")
         val body = s"""{"version": $next, "data_dir": "$dataDir", $batchField""" +
           s""""committed_at_ms": ${System.currentTimeMillis()}}"""
-        val out = f.create(tmp, true)
-        out.write(body.getBytes("UTF-8")); out.close()
-        // THE commit: atomic no-overwrite rename; an existing target
-        // means another writer took this version. The win is VERIFIED by
-        // reading the manifest back — on a store whose rename is not one
-        // atomic op, both racers can believe they renamed; only the one
-        // whose data_dir the manifest names actually committed.
-        val won = renameNoOverwrite(spark, tmp, fin) &&
-          (try dataDirOf(spark, path, next) == dataDir
-           catch { case _: java.io.IOException => false })
-        if (won) return next
+        // THE commit: one atomic publish-if-absent (rename or conditional
+        // put, per the committer); an existing target means another
+        // writer took this version. The win is VERIFIED by reading the
+        // manifest back — on a store whose primitive is not one atomic
+        // op, both racers can believe they published; only the one whose
+        // data_dir the manifest names actually committed.
+        //
+        // A verify READ failure is NOT a lost race: if the publish already
+        // landed, treating a transient IOException as a loss would delete
+        // the data directory a committed manifest now references (a
+        // permanently-broken version) and re-commit the rows as next+1
+        // (duplicates in readLog). So the verify retries, and if it never
+        // resolves the commit FAILS LOUDLY with the data dir retained.
+        if (committer.publish(spark, body.getBytes("UTF-8"), fin)) {
+          var verified: Option[Boolean] = None
+          var verifyTries = 0
+          while (verified.isEmpty && verifyTries < 5) {
+            verifyTries += 1
+            try verified = Some(dataDirOf(spark, path, next) == dataDir)
+            catch {
+              // manifest absent after a "successful" rename = torn rename
+              // on a non-atomic store; no manifest names this data dir,
+              // so the lost-race cleanup below is safe
+              case _: java.util.NoSuchElementException => verified = Some(false)
+              case _: java.io.IOException => Thread.sleep(50L * verifyTries)
+            }
+          }
+          verified match {
+            case Some(true) => return next
+            case Some(false) => // genuinely lost: fall through to cleanup
+            case None => throw new java.io.IOException(
+              s"snapshot v$next at $path: rename succeeded but the manifest " +
+                s"could not be read back after $verifyTries attempts — refusing " +
+                s"to treat an unverifiable commit as a lost race (data dir " +
+                s"$dataDir retained; inspect the manifest before retrying)")
+          }
+        }
         // lost the race: clean up this attempt and retry against the tip
-        if (f.exists(tmp)) f.delete(tmp, false)
+        // (the committer already cleaned its own temp state)
         f.delete(new org.apache.hadoop.fs.Path(s"$path/$dataDir"), true)
       }
       throw new java.io.IOException(

@@ -97,6 +97,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(g == Seq("a ", " b"))
   }
 
+  /** Run `body` with [[graft.plans.TextKernelRewriteRule]] excluded, so
+    * reference expressions written as the regex idioms STAY regex — the
+    * test session installs the rule, which would otherwise rewrite the
+    * reference into the kernel and make the parity assertion compare
+    * the kernel against itself (vacuously green even on a broken
+    * kernel). The caller additionally asserts the reference plan still
+    * contains the un-rewritten expression, so a silently-failed
+    * exclusion cannot re-vacuate the test.
+    */
+  private def withRewriteRuleExcluded[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    val mine = "graft.plans.TextKernelRewriteRule"
+    spark.conf.set(key, prev.filter(_.nonEmpty).map(_ + "," + mine).getOrElse(mine))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("graft_normtext ≡ the regex normalization chain on fixture corpus, edge cases, and unicode") {
     import spark.implicits._
     val unicode = Seq(
@@ -111,15 +132,34 @@ class TextExpressionsSpec extends AnyFunSuite {
       .unionByName(Seq.empty[String].toDF("text"))
     val ref = lower(trim(regexp_replace(
       regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
-    val diff = docs.select(Vec.normText(col("text")).as("nat"), ref.as("ref"))
-      .filter(not(col("nat") <=> col("ref"))).count()
-    assert(diff == 0, "single-pass kernel must be bit-identical to the regex chain")
-    // wordCount ≡ size(split) — the split keeps empty segments
-    val wdiff = docs.na.drop().select(
-      Vec.wordCount(col("text")).as("nat"),
-      size(split(col("text"), " ")).cast("long").as("ref"))
-      .filter(not(col("nat") === col("ref"))).count()
-    assert(wdiff == 0, "wordCount must equal size(split(text, ' ')) everywhere")
+    withRewriteRuleExcluded {
+      val cmp = docs.select(Vec.normText(col("text")).as("nat"), ref.as("ref"))
+      val opt = cmp.queryExecution.optimizedPlan.toString
+      assert(opt.contains("regexp_replace"),
+        s"reference column was rewritten away — parity test would be vacuous:\n$opt")
+      val diff = cmp.filter(not(col("nat") <=> col("ref"))).count()
+      assert(diff == 0, "single-pass kernel must be bit-identical to the regex chain")
+      // wordCount ≡ size(split) — the split keeps empty segments
+      val wcmp = docs.na.drop().select(
+        Vec.wordCount(col("text")).as("nat"),
+        size(split(col("text"), " ")).cast("long").as("ref"))
+      assert(wcmp.queryExecution.optimizedPlan.toString.contains("split("),
+        "size(split) reference was rewritten away — parity test would be vacuous")
+      val wdiff = wcmp.filter(not(col("nat") === col("ref"))).count()
+      assert(wdiff == 0, "wordCount must equal size(split(text, ' ')) everywhere")
+    }
+    // independent driver-side anchor: the JVM regex chain, no Spark
+    // expressions at all — pins the kernel even if plan exclusion ever
+    // changes semantics underneath us
+    val jvmRef = (s: String) =>
+      s.replaceAll("[^a-zA-Z0-9 ]", "").replaceAll(" +", " ")
+        .trim.toLowerCase(java.util.Locale.ROOT)
+    val kernelOut = unicode.toDF("text")
+      .select(col("text"), Vec.normText(col("text")).as("nat"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    unicode.foreach { s =>
+      assert(kernelOut(s) == jvmRef(s), s"kernel diverges from JVM regex on '$s'")
+    }
   }
 
   test("graft_stopcount / graft_wordstats ≡ the split+array reference forms") {
@@ -133,19 +173,25 @@ class TextExpressionsSpec extends AnyFunSuite {
       .unionByName(Seq.empty[String].toDF("text"))
     val words = split(col("text"), " ")
     val refCount = size(filter(words, w => w.isInCollection(stops))).cast("long")
-    val d1 = docs.select(
-      Vec.stopCount(col("text"), stops).as("nat"), refCount.as("ref"))
-      .filter(not(col("nat") <=> col("ref"))).count()
-    assert(d1 == 0, "stopCount must equal the filter(split) occurrence count everywhere")
-    val d2 = docs.na.drop().select(
-      Vec.wordStats(col("text"), stops).as("ws"),
-      size(words).cast("long").as("r_n"),
-      size(array_distinct(words)).cast("long").as("r_d"),
-      size(array_intersect(words, split(lit(stops.mkString(",")), ","))).cast("long").as("r_s"))
-      .filter(not(col("ws.n_tokens") === col("r_n")) ||
+    withRewriteRuleExcluded {
+      val c1 = docs.select(
+        Vec.stopCount(col("text"), stops).as("nat"), refCount.as("ref"))
+      assert(c1.queryExecution.optimizedPlan.toString.contains("split("),
+        "stopCount reference was rewritten away — parity test would be vacuous")
+      val d1 = c1.filter(not(col("nat") <=> col("ref"))).count()
+      assert(d1 == 0, "stopCount must equal the filter(split) occurrence count everywhere")
+      val c2 = docs.na.drop().select(
+        Vec.wordStats(col("text"), stops).as("ws"),
+        size(words).cast("long").as("r_n"),
+        size(array_distinct(words)).cast("long").as("r_d"),
+        size(array_intersect(words, split(lit(stops.mkString(",")), ","))).cast("long").as("r_s"))
+      assert(c2.queryExecution.optimizedPlan.toString.contains("array_distinct"),
+        "wordStats reference was rewritten away — parity test would be vacuous")
+      val d2 = c2.filter(not(col("ws.n_tokens") === col("r_n")) ||
         not(col("ws.n_distinct") === col("r_d")) ||
         not(col("ws.n_stop_distinct") === col("r_s"))).count()
-    assert(d2 == 0, "wordStats trio must equal size/array_distinct/array_intersect everywhere")
+      assert(d2 == 0, "wordStats trio must equal size/array_distinct/array_intersect everywhere")
+    }
   }
 
   test("null text hashes like the empty document (never null output)") {

@@ -106,6 +106,43 @@ class ScaleSpec extends AnyFunSuite {
       Right(quotas))
       .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
     assert(gotQ == wantQ, "per-group quota relation draw must match the direct plan")
+    // caller-supplied group counts (the single-scan Neyman path): exact
+    // counts reproduce the internal-scan result bit for bit...
+    val exactCounts = ev.groupBy("event_type").agg(count(lit(1)).as("__grp_n"))
+    val gotC = Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")),
+      Right(quotas), groupCounts = Some(exactCounts))
+      .select("event_type", "rn", "event_id", "value").collect().map(_.toSeq).toSet
+    assert(gotC == wantQ, "caller-counts draw must match the internal-count draw")
+    // ...and DELIBERATELY wrong counts visibly drive the draw — proving
+    // the internal count scan is actually skipped, not silently re-run
+    // (__grp_n = 1 forces __needed = min(n_h, 1) = 1 per group)
+    val lying = ev.select("event_type").distinct().withColumn("__grp_n", lit(1L))
+    val gotLie = Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")),
+      Left(20L), groupCounts = Some(lying))
+    val perGroup = gotLie.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .select("c").collect().map(_.getLong(0)).toSet
+    assert(perGroup == Set(1L),
+      "groupCounts must be consumed in place of the internal count scan")
+  }
+
+  test("quotaSample fails loudly on a malformed quota relation (missing or duplicate groups)") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val hash = md5(concat_ws(":", col("event_type"), col("event_id")))
+    val types = ev.select("event_type").distinct()
+    // missing allocation row: the sampler must error, never silently
+    // drop the group from the sample
+    val partial = types.orderBy("event_type").limit(1).withColumn("n_h", lit(5L))
+    val eMissing = intercept[IllegalArgumentException] {
+      Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")), Right(partial))
+    }
+    assert(eMissing.getMessage.contains("missing allocation rows"))
+    // duplicated allocation row: the join would double survivors — error
+    val doubled = types.withColumn("n_h", lit(5L))
+      .unionByName(types.limit(1).withColumn("n_h", lit(7L)))
+    val eDup = intercept[IllegalArgumentException] {
+      Scale.quotaSample(ev, Seq("event_type"), hash, Seq(col("event_id")), Right(doubled))
+    }
+    assert(eDup.getMessage.contains("duplicate allocation rows"))
   }
 
   test("asofJoin ≡ windowed running-last on the events/purchases case") {
@@ -259,6 +296,14 @@ class ScaleSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Scale.kCore(edges, "src", "dst", k = 2, maxRounds = 2)
     }
+    // release handle: same result, and release() frees the round
+    // checkpoints the frame reads (a re-read afterwards must fail —
+    // the lineage was truncated, so the blocks WERE the data)
+    val (relDf, release) = Scale.kCoreWithRelease(edges, "src", "dst", k = 2)
+    val got = relDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == out2, "kCoreWithRelease must return the same decomposition")
+    release()
+    intercept[org.apache.spark.SparkException] { relDf.count() }
   }
 
   test("q_graph_kcore: peel depth is a structural constant ≤ 2 (the oracle's 3-round unroll has slack)") {

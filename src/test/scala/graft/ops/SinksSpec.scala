@@ -266,6 +266,105 @@ class SinksSpec extends AnyFunSuite {
       "rename onto a free destination must succeed")
   }
 
+  test("conditional-put committer: racing writers land distinct versions exactly once (object-store seam)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_cput_").toString + "/t"
+    // simulate an object store whose PUT carries If-None-Match: * — the
+    // CAS table plays the server's atomic existence arbitration; the
+    // local file write is the object body landing after the win
+    val slots = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cput = new Sinks.Snapshots.ConditionalPutCommitter((dst, body) => {
+      if (slots.putIfAbsent(dst.toString, java.lang.Boolean.TRUE) != null) false
+      else { val o = fsys.create(dst, false); o.write(body); o.close(); true }
+    })
+    val a = Seq((1L, "a")).toDF("id", "v")
+    val b = Seq((2L, "b")).toDF("id", "v")
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futs = Seq(
+      Future(Sinks.Snapshots.commit(spark, a, path, 5, cput)),
+      Future(Sinks.Snapshots.commit(spark, b, path, 5, cput)))
+    val vs = futs.map(Await.result(_, duration.Duration(180, "s")))
+    pool.shutdown()
+    assert(vs.toSet == Set(1, 2), s"racing writers must land distinct versions, got $vs")
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(1, 2))
+    val all = Sinks.Snapshots.readLog(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all == Seq((1L, "a"), (2L, "b")),
+      s"exactly-once: both commits present, neither duplicated, got $all")
+  }
+
+  test("two-winners race on a NON-atomic store (copy+delete rename): verify read-back demotes the loser") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_torn_").toString + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate S3A-style copy+delete rename: the publish CLOBBERS any
+    // existing destination and acknowledges success — so two racers both
+    // believe they committed the same version. Barrier 1 holds both
+    // writers until each has targeted v1 (no manifest can land before
+    // both computed next=1); barrier 2 holds both until BOTH bodies have
+    // landed, so each verify reads the settled final manifest — the
+    // deterministic worst case of the torn-rename window. Retries (3rd
+    // entry on) bypass both.
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier1 = new java.util.concurrent.CyclicBarrier(2)
+    val barrier2 = new java.util.concurrent.CyclicBarrier(2)
+    val acks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lock = new Object
+    val torn = new Sinks.Snapshots.ConditionalPutCommitter((dst, body) => {
+      val racing = entered.incrementAndGet() <= 2
+      if (racing) barrier1.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      lock.synchronized { val o = fsys.create(dst, true); o.write(body); o.close() }
+      if (racing) barrier2.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (dst.getName == "v00001.json") acks.incrementAndGet()
+      true
+    })
+    val a = Seq((1L, "a")).toDF("id", "v")
+    val b = Seq((2L, "b")).toDF("id", "v")
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futs = Seq(
+      Future(Sinks.Snapshots.commit(spark, a, path, 5, torn)),
+      Future(Sinks.Snapshots.commit(spark, b, path, 5, torn)))
+    val vs = futs.map(Await.result(_, duration.Duration(180, "s")))
+    pool.shutdown()
+    assert(acks.get() == 2,
+      "test rig: both writers must have been acknowledged for v1 — the two-winners race was not exercised")
+    assert(vs.toSet == Set(1, 2),
+      s"the read-back verify must demote exactly one acknowledged winner to a retry, got $vs")
+    assert(Sinks.Snapshots.versions(spark, path) == Seq(1, 2))
+    val all = Sinks.Snapshots.readLog(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all == Seq((1L, "a"), (2L, "b")),
+      s"no commit may be lost or duplicated through the torn-rename race, got $all")
+    // each version's manifest must name a data dir that actually holds
+    // that version's rows (no version pointing at deleted loser data)
+    assert(Sinks.Snapshots.read(spark, path, Some(1)).count() == 1)
+    assert(Sinks.Snapshots.read(spark, path, Some(2)).count() == 1)
+  }
+
+  test("a commit acknowledged by the store but never visible fails loudly, never half-commits") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_snap_liar_").toString + "/t"
+    // a store that acknowledges the publish but drops it (torn rename
+    // stranding a half-copied manifest): the verify read-back finds no
+    // manifest, treats the attempt as lost, and after maxAttempts the
+    // commit fails LOUDLY — with no committed version and no manifest
+    // pointing at anything
+    val liar = new Sinks.Snapshots.ConditionalPutCommitter((_, _) => true)
+    val e = intercept[java.io.IOException] {
+      Sinks.Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"), path, 2, liar)
+    }
+    assert(e.getMessage.contains("lost the version race"))
+    assert(Sinks.Snapshots.versions(spark, path).isEmpty,
+      "no version may exist after an unverifiable commit")
+  }
+
   test("row-level MERGE into the snapshot table: upsert composes with commit + time travel") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_snap_merge_").toString + "/t"
