@@ -311,6 +311,92 @@ UNION ALL
 SELECT -1::BIGINT, -1::BIGINT, -1::BIGINT, false FROM (SELECT v FROM ccviol LIMIT 1) t
 ORDER BY doc_id"""
 
+  /** q_pipeline_release: the end-to-end corpus-release pipeline —
+    * normalize (the regex idiom the engine auto-lowers to its kernel) →
+    * lang/quality gate → exact dedup on the norm key → MinHash-LSH
+    * near-dup drop (the full HUGEINT minhash replica over the SURVIVOR
+    * relation, larger id of each verified pair dropped) → Neyman-
+    * allocation stratified sample (budget 200, the q_sample_neyman
+    * arithmetic over the deduped relation) → the q_corpus_card rollup
+    * over the sample. The snapshot-table legs of the engine pipeline
+    * are value-neutral (commit + read-back of the same rows), so the
+    * oracle replays the relational stages only.
+    */
+  val pipelineRelease: String = {
+    val normKey = "md5(lower(trim(regexp_replace(regexp_replace(text, " +
+      "'[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))))"
+    "WITH rl_base AS (\n" +
+      s"  SELECT doc_id, text, lang, source, n_chars, $normKey AS norm_key,\n" +
+      "    len(string_split(text, ' ')) AS n_tok\n" +
+      "  FROM documents),\n" +
+      """rl_kept AS (
+  SELECT * FROM rl_base WHERE lang IN ('es', 'de', 'zh') AND n_tok >= 5),
+rl_uniq AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rn0
+    FROM rl_kept)
+  WHERE rn0 = 1),
+""" +
+      minhashCtes("rel_", "SELECT doc_id, text FROM rl_uniq") + "," +
+      pairCtes("rel_") + """,
+rl_drop AS (SELECT DISTINCT id2 AS doc_id FROM rel_verified),
+rl_ded AS (SELECT u.* FROM rl_uniq u ANTI JOIN rl_drop USING (doc_id)),
+rl_st AS (
+  SELECT source, count(*)::HUGEINT AS n,
+    sum(n_chars::HUGEINT) AS s1, sum((n_chars::HUGEINT) * (n_chars::HUGEINT)) AS s2
+  FROM rl_ded GROUP BY source),
+rl_wv AS (
+  SELECT source, n,
+    n * (CASE WHEN n > 1
+      THEN CAST(round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) * 1000000 + 1e-9) AS HUGEINT)
+      ELSE 0::HUGEINT END) AS w
+  FROM rl_st),
+rl_tot AS (SELECT sum(w) AS bigw FROM rl_wv),
+rl_shares AS (
+  SELECT source, n, (200 * w) // bigw AS base, (200 * w) % bigw AS rem
+  FROM rl_wv CROSS JOIN rl_tot),
+rl_def AS (SELECT 200 - sum(base) AS deficit FROM rl_shares),
+rl_alloc AS (
+  SELECT source,
+    CAST(least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                           <= deficit THEN 1 ELSE 0 END, n) AS BIGINT) AS n_h
+  FROM rl_shares CROSS JOIN rl_def),
+rl_d AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM rl_ded),
+rl_samp AS (
+  SELECT d.* FROM rl_d d JOIN rl_alloc USING (source) WHERE rn <= n_h),
+rl_g AS (
+  SELECT source, lang, n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+""" +
+      s"    $normKey AS k\n" +
+      """  FROM rl_samp),
+rl_card AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+    round(quantile_cont(n_chars, 0.5) + 1e-9, 1) AS p50_chars,
+    round(quantile_cont(n_chars, 0.95) + 1e-9, 1) AS p95_chars
+  FROM rl_g GROUP BY source),
+rl_dups AS (
+  SELECT source, CAST(sum(c) - count(*) AS BIGINT) AS n_dups
+  FROM (SELECT source, k, count(*) AS c FROM rl_g GROUP BY source, k)
+  GROUP BY source),
+rl_ent AS (
+  SELECT source,
+    CAST(sum(CAST(round(-p * ln(p) * 1000000 + 1e-9, 0) AS BIGINT)) AS BIGINT)
+      AS lang_entropy_micro
+  FROM (SELECT source,
+          CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source) AS p
+        FROM (SELECT source, lang, count(*) AS c FROM rl_g GROUP BY source, lang))
+  GROUP BY source)
+SELECT source, n_docs, n_tokens, p50_chars, p95_chars, n_dups, lang_entropy_micro
+FROM rl_card JOIN rl_dups USING (source) JOIN rl_ent USING (source)
+ORDER BY source"""
+  }
+
   /** q_dedup_bucket_stats: the LSH bucket-size distribution summary. */
   val dedupBucketStats: String =
     "WITH " + minhashCtes("mh_", allDocs) + """,

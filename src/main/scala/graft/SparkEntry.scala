@@ -248,6 +248,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Llm.q_dedup_incremental _),
     "q_vocab_df" -> (Llm.q_vocab_df _),
     "q_pipeline_docs" -> (Llm.q_pipeline_docs _),
+    "q_pipeline_release" -> (Llm.q_pipeline_release _),
     "q_tfidf" -> (Llm.q_tfidf _),
     "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
     "q_bpe_train" -> (Llm.q_bpe_train _),
@@ -500,6 +501,7 @@ object SparkEntry {
     "q_winnow" -> OracleSql.winnow,
     "q_pack_sequences" -> OracleSql.packSequences,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q_pipeline_release" -> OracleSql.pipelineRelease,
     "q_dedup_clusters" -> OracleSql.dedupClusters,
     "q_dedup_bucket_stats" -> OracleSql.dedupBucketStats,
     "q_contamination_fuzzy" -> OracleSql.contaminationFuzzy,

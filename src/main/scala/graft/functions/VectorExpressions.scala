@@ -537,6 +537,62 @@ case class NormText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object RunCountKernel {
+  /** Number of MAXIMAL separator runs in `u` — the match count of the
+    * regex `" +"` (ws=false) or `"\s+"` (ws=true, the Java default
+    * ASCII class `[ \t\n\x0B\f\r]`), so `runs + 1` is exactly
+    * `size(split(u, sep, -1))`: Java split with a negative limit keeps
+    * leading/trailing empties, making segments = separator runs + 1
+    * (including `"" → [""]`). Byte-pass safe: every class byte is
+    * ASCII and UTF-8 continuation bytes are ≥ 0x80.
+    */
+  def countRuns(u: org.apache.spark.unsafe.types.UTF8String, ws: Boolean): Int = {
+    val n = u.numBytes()
+    var runs = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = u.getByte(i)
+      val hit = c == 0x20.toByte || (ws && c >= 0x09.toByte && c <= 0x0d.toByte)
+      if (hit) {
+        if (!inRun) { runs += 1; inRun = true }
+      } else inRun = false
+      i += 1
+    }
+    runs
+  }
+}
+
+/** `graft_runs(text, ws)` — separator-run count backing the
+  * [[graft.plans.TextKernelRewriteRule]] token-count rewrites for the
+  * REGEX split idioms: `size(split(c, " +"))` = `graft_runs(c, false) + 1`
+  * and `size(split(c, "\\s+"))` = `graft_runs(c, true) + 1`, replacing a
+  * java.util.regex split + per-row array with one byte pass.
+  */
+case class CountRuns(child: Expression, ws: Boolean) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def prettyName: String = "graft_runs"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    RunCountKernel.countRuns(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ws)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RunCountKernel.countRuns($a, $ws);")
+
+  override protected def withNewChildInternal(newChild: Expression): CountRuns =
+    copy(child = newChild)
+}
+
 /** Precomputed BPE merge model behind [[BpeApply]] — the greedy
   * lowest-rank-pair decoder of `graft.ops.Llm.bpeEncode` (Sennrich et
   * al. 2016 §3; the GPT-2 reference encoder) as a reusable JVM kernel.
@@ -688,22 +744,68 @@ class StopSet(stops: Array[String]) extends Serializable {
   @transient private lazy val stopBytes: Array[Array[Byte]] =
     stops.map(_.getBytes("UTF-8"))
 
-  private def matchStop(u: org.apache.spark.unsafe.types.UTF8String,
-                        start: Int, len: Int): Int = {
+  /** Open-addressing FNV-1a probe table, built once per JVM (transient
+    * lazy, like [[BpeModel.lookups]]). The original per-token LINEAR
+    * scan was fine at the production 12-stopword sets but degraded
+    * linearly with user-supplied lists; the hash probe is O(1) per
+    * token at any list size. A 64-bit length bitmask rejects most
+    * non-stop tokens before hashing at all (token lengths ≥ 64 only
+    * ever compare against the rare same-length stops — handled by the
+    * bit-63 bucket). Duplicate stop entries keep the FIRST index,
+    * matching the linear scan's first-match-wins.
+    */
+  @transient private lazy val probe: (Array[Int], Array[Int], Long) = {
     val sb = stopBytes
+    var cap = 4
+    while (cap < sb.length * 4) cap <<= 1
+    val tabHash = new Array[Int](cap)
+    val tabIdx = new Array[Int](cap)
+    java.util.Arrays.fill(tabIdx, -1)
+    var lenMask = 0L
     var s = 0
     while (s < sb.length) {
       val b = sb(s)
-      if (b.length == len) {
-        var j = 0
-        var eq = true
-        while (eq && j < len) {
-          if (u.getByte(start + j) != b(j)) eq = false
-          j += 1
-        }
-        if (eq) return s
+      lenMask |= 1L << math.min(b.length, 63)
+      var h = -2128831035 // FNV-1a 32-bit offset basis
+      var j = 0
+      while (j < b.length) { h = (h ^ (b(j) & 0xff)) * 16777619; j += 1 }
+      var slot = h & (cap - 1)
+      var placed = false
+      while (!placed) {
+        if (tabIdx(slot) == -1) { tabHash(slot) = h; tabIdx(slot) = s; placed = true }
+        else if (tabHash(slot) == h && java.util.Arrays.equals(sb(tabIdx(slot)), b)) {
+          placed = true // duplicate stop: first index wins
+        } else slot = (slot + 1) & (cap - 1)
       }
       s += 1
+    }
+    (tabHash, tabIdx, lenMask)
+  }
+
+  private def matchStop(u: org.apache.spark.unsafe.types.UTF8String,
+                        start: Int, len: Int): Int = {
+    val (tabHash, tabIdx, lenMask) = probe
+    if ((lenMask & (1L << math.min(len, 63))) == 0L) return -1
+    val sb = stopBytes
+    var h = -2128831035
+    var j = 0
+    while (j < len) { h = (h ^ (u.getByte(start + j) & 0xff)) * 16777619; j += 1 }
+    val cap = tabIdx.length
+    var slot = h & (cap - 1)
+    while (tabIdx(slot) != -1) {
+      if (tabHash(slot) == h) {
+        val b = sb(tabIdx(slot))
+        if (b.length == len) {
+          var k = 0
+          var eq = true
+          while (eq && k < len) {
+            if (u.getByte(start + k) != b(k)) eq = false
+            k += 1
+          }
+          if (eq) return tabIdx(slot)
+        }
+      }
+      slot = (slot + 1) & (cap - 1)
     }
     -1
   }
@@ -936,6 +1038,9 @@ object Vec {
     (FunctionIdentifier("graft_wordstats"),
       new ExpressionInfo(classOf[WordStats].getName, "graft_wordstats"),
       (es: Seq[Expression]) => WordStats(es(0), foldToStringSeq(es(1), "stops"))),
+    (FunctionIdentifier("graft_runs"),
+      new ExpressionInfo(classOf[CountRuns].getName, "graft_runs"),
+      (es: Seq[Expression]) => CountRuns(es(0), foldToBool(es(1), "ws"))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated
@@ -950,6 +1055,17 @@ object Vec {
     }
     case _ => throw new IllegalArgumentException(
       s"graft_word_ngrams $what must be a literal, got $e")
+  }
+
+  /** The ws flag is baked into the generated code — literal only. */
+  private def foldToBool(e: Expression, what: String): Boolean = e match {
+    case other if other.foldable => other.eval() match {
+      case b: Boolean => b
+      case v => throw new IllegalArgumentException(
+        s"graft_runs $what must be a BOOLEAN literal, got $v")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"graft_runs $what must be a literal, got $e")
   }
 
   /** The merge list must be a literal ARRAY<STRING> — it is the

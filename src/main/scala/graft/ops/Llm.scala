@@ -829,7 +829,22 @@ object Llm {
     * corpora live in, where IVF shines.
     */
   def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double,
-                nProbe: Int): DataFrame = {
+                nProbe: Int): DataFrame =
+    q_sim_ivf(s, d, trainFraction, nProbe, NList)
+
+  /** `nList` override — the quantizer grain. The gate default stays
+    * NList=16 (right for the 5k-500k test corpora); at scale the
+    * standard sizing is nList ≈ √n with nProbe ≈ nList/8: the round-12
+    * CLUSTERED ladder (IVF_RECALL_r12.json — planted 64-component
+    * Gaussian mixture, the geometry real embedding corpora have, where
+    * the uniform fixture's recall ∝ probed-fraction artifact
+    * disappears) measures recall@5 ≈ 0.9+ while probing ~12% of cells,
+    * with a visible knee: past it, doubling nProbe buys single recall
+    * points for 2× probe cost.
+    */
+  def q_sim_ivf(s: SparkSession, d: String, trainFraction: Double,
+                nProbe: Int, nList: Int): DataFrame = {
+    val NList = nList
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
@@ -1350,6 +1365,84 @@ object Llm {
         Scale.dedupKeepFirst(df, Seq(col("norm_key")), Seq(col("doc_id")))) >> p.unique,
       Prev >> fn("project")(
         _.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")) >> p.result)
+    p("result")
+  }
+
+  /** End-to-end "corpus release" pipeline — the flagship composition the
+    * engine exists for, every tier exercised in ONE gated query:
+    * lakehouse on-ramp (snapshot-table commit + read-back of the raw
+    * corpus), the reference DPP combinators (`sequence`/`Prev`)
+    * orchestrating the LLM data ops, and a lakehouse off-ramp (the
+    * release card committed as its own versioned snapshot and served
+    * from the committed bytes). Stages, each individually gated
+    * elsewhere and composed here verbatim:
+    *
+    *   ingest → normalize (the VERBATIM regex idiom — the auto-injected
+    *   [[graft.plans.TextKernelRewriteRule]] lowers it to
+    *   `graft_normtext`/`translate`, PipelineSpec asserts the fire) →
+    *   quality gate (lang allowlist + ≥5-token floor) → exact dedup on
+    *   the normalized key (keep min doc_id) → MinHash-LSH near-dup drop
+    *   (verified Jaccard ≥ 0.5; the LARGER id of each verified pair is
+    *   dropped — one bounded-bucket LSH pass, never doc×doc) → Neyman-
+    *   allocation stratified sample (budget 200, by source — the
+    *   [[graft.ops.Relational.q_sample_neyman]] single-corpus-scan
+    *   quotaSample carrier) → one-pass corpus card → snapshot publish.
+    *
+    * The DuckDB oracle ([[graft.OracleSql.pipelineRelease]]) replays the
+    * deterministic stages end to end — including the HUGEINT minhash
+    * replica — so the composed artifact is hash-gated, not just each
+    * piece. 100 TB shape: every stage is the gated production operator;
+    * the only driver materialization is the one-row-per-source card.
+    */
+  def q_pipeline_release(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline._
+    val base = java.nio.file.Files.createTempDirectory("graft_release_")
+    val corpusSnap = s"$base/corpus_snapshot"
+    val cardSnap = s"$base/release_card"
+    val p = DPP("raw" -> documents(s, d))
+    p.sequence(
+      p.raw >> fn("ingest") { df =>
+        Sinks.Snapshots.commit(s, df, corpusSnap)
+        Sinks.Snapshots.read(s, corpusSnap)
+      } >> p.corpus,
+      Prev >> fn("normalize")(_
+        .withColumn("norm_key", md5(lower(trim(regexp_replace(
+          regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))))
+        .withColumn("n_tok", size(split(col("text"), " ")))) >> p.normed,
+      Prev >> fn("quality")(_
+        .filter(col("lang").isin("es", "de", "zh") && col("n_tok") >= 5)) >> p.kept,
+      Prev >> fn("dedupExact")(df =>
+        Scale.dedupKeepFirst(df, Seq(col("norm_key")), Seq(col("doc_id")))) >> p.uniq,
+      Prev >> fn("dedupNear") { df =>
+        val drop = minhashPairs(df.select("doc_id", "text"), threshold = 0.5)
+          .select(col("id2").as("doc_id")).distinct()
+        df.join(drop, Seq("doc_id"), "left_anti")
+      } >> p.deduped,
+      Prev >> fn("neymanSample") { df =>
+        val pop = df.select(col("doc_id"), col("source"), col("n_chars"),
+          col("text"), col("lang"))
+        val alloc = Relational.neymanAlloc(
+          pop.select("doc_id", "source", "n_chars"), 200L).localCheckpoint()
+        Scale.quotaSample(pop, Seq("source"),
+          md5(concat_ws(":", col("source"), col("doc_id"))), Seq(col("doc_id")),
+          Right(alloc.select(col("source"), col("n_h"))),
+          groupCounts = Some(alloc.select(col("source"), col("n").as("__grp_n"))))
+      } >> p.sampled,
+      Prev >> fn("corpusCard") { df =>
+        val (report, release) = corpusCard(df.select("source", "lang", "n_chars", "text"))
+        val rows = report.collect()
+        release() // card is one row per source — bounded by design
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), corpusCardSchema)
+      } >> p.card,
+      Prev >> fn("publish") { card =>
+        Sinks.Snapshots.commit(s, card, cardSnap)
+        Sinks.Snapshots.read(s, cardSnap).orderBy("source")
+      } >> p.result)
+    // the card stage materialized everything upstream eagerly and the
+    // published result reads only the card snapshot — the raw-corpus
+    // snapshot is scratch now
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(corpusSnap))
     p("result")
   }
 

@@ -2974,7 +2974,7 @@ object Relational {
     * optimal sample quota `n_h` (largest-remainder corrected, capped at
     * the stratum size). One stratum-key aggregate; broadcast-sized.
     */
-  private def neymanAlloc(docs: DataFrame, budget: Long): DataFrame = {
+  private[ops] def neymanAlloc(docs: DataFrame, budget: Long): DataFrame = {
     val st = docs.groupBy("source").agg(
       count(lit(1)).as("n"),
       sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),

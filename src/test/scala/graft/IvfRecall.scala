@@ -1,19 +1,29 @@
 package graft
 
-/** IVF ANN recall ladder (round-10 verdict item 7): recall@5 of
-  * `Llm.q_sim_ivf` against the exact `Llm.q_sim_topk` baseline — same
-  * 20 pinned queries, same k, same tie-break — across SF decades and
-  * the nProbe knob, written as one JSON artifact.
+/** IVF ANN recall ladder: recall@5 of `Llm.q_sim_ivf` against the exact
+  * `Llm.q_sim_topk` baseline — same 20 pinned queries, same k, same
+  * tie-break — across corpora and the nProbe knob, one JSON artifact.
   *
-  * `sbt "Test/runMain graft.IvfRecall <out.json> <sfDir1> [sfDir2 ...]"`
+  * Round 12: the ladder runs on the CLUSTERED fixtures
+  * ([[GenIvfFixture]] planted Gaussian mixture — real-embedding
+  * geometry) with the at-scale quantizer sizing nList = ⌈√n⌉, alongside
+  * the legacy uniform sf dirs at the gate default nList=16 for
+  * continuity. On uniform embeddings recall is ∝ probed-fraction by
+  * construction (the round-11 "no knee" artifact); the clustered curve
+  * is the one operating points are defended against.
+  *
+  * `sbt "Test/runMain graft.IvfRecall <out.json> <sfDir>[:nList] ..."`
   */
 object IvfRecall {
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "IVF_RECALL_r11.json"
-    val sfDirs =
+    val out = if (args.nonEmpty) args(0) else "IVF_RECALL_r12.json"
+    val specs: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "target/testdata/sf1")
-    val nProbes = Seq(1, 2, 4, 8)
+      else Seq(
+        "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "target/testdata/ivf_clustered_5k:sqrt",
+        "target/testdata/ivf_clustered_50k:sqrt",
+        "target/testdata/ivf_clustered_500k:sqrt")
     val spark = GraftSession.local(16)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -21,24 +31,35 @@ object IvfRecall {
       df.select("qid", "cid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val rows = for (d <- sfDirs) yield {
+    val rows = for (spec <- specs) yield {
+      val (d, nListSpec) = spec.split(":") match {
+        case Array(dir) => (dir, "16")
+        case Array(dir, nl) => (dir, nl)
+      }
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val nList =
+        if (nListSpec == "sqrt") math.ceil(math.sqrt(n.toDouble)).toInt
+        else nListSpec.toInt
+      // probe ladder: powers of two up to half the cells
+      val nProbes = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nList / 2).toSeq
       val exact = pairs(graft.ops.Llm.q_sim_topk(spark, d))
       val perProbe = for (np <- nProbes) yield {
-        val got = pairs(graft.ops.Llm.q_sim_ivf(spark, d, 100.0, np))
+        val got = pairs(graft.ops.Llm.q_sim_ivf(spark, d, 100.0, np, nList))
         val rec = got.intersect(exact).size.toDouble / math.max(1, exact.size)
-        println(f"[ivfrecall] $d nProbe=$np recall@5=$rec%.4f (${got.size} emitted / ${exact.size} exact)")
+        println(f"[ivfrecall] $d n=$n nList=$nList nProbe=$np recall@5=$rec%.4f " +
+          f"(${got.size} emitted / ${exact.size} exact)")
         f""" {"n_probe": $np, "recall_at_5": $rec%.4f, "emitted": ${got.size}, "exact_pairs": ${exact.size}}"""
       }
-      s""" {"sf_dir": "$d",
+      s""" {"sf_dir": "$d", "n": $n, "n_list": $nList,
  "by_n_probe": [
 ${perProbe.mkString(",\n")}
  ]}"""
     }
     val json =
       s"""{
- "what": "q_sim_ivf recall@5 vs the exact q_sim_topk baseline (same 20 pinned queries, k=5, cid tie-break) across SF decades and nProbe",
- "config": {"n_list": 16, "train_fraction": 100.0, "k": 5, "queries": 20},
- "note": "precision is not a free variable (every emitted candidate's cosine is exact); the ladder isolates the coarse-quantizer recall loss. DEFAULT operating point nProbe=8/16 since round 11 (the curve has no knee below half the corpus on uniform embeddings; 8 is the highest recall before probing degenerates); see q_sim_ivf scaladoc.",
+ "what": "q_sim_ivf recall@5 vs the exact q_sim_topk baseline (same 20 pinned queries, k=5, cid tie-break) across corpora and nProbe",
+ "config": {"train_fraction": 100.0, "k": 5, "queries": 20, "n_list": "16 on the legacy uniform sf dirs (gate default), ceil(sqrt(n)) on the clustered fixtures (the at-scale sizing)"},
+ "note": "clustered fixtures are a planted 64-component Gaussian mixture (GenIvfFixture) — real-embedding geometry; the uniform sf dirs keep the round-11 continuity curve, whose recall is proportional to probed fraction BY CONSTRUCTION (every cell equidistant). Operating points are defended against the clustered curve. Precision is not a free variable (every emitted candidate's cosine is exact).",
  "results": [
 ${rows.mkString(",\n")}
  ]}

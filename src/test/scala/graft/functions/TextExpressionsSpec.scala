@@ -162,6 +162,93 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize-chain idiom FAMILY: every fire variant is bit-identical to its regex form") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // edge set: case/junk/space shapes plus the unicode lowercase traps —
+    // İ (U+0130) lowers to i+combining-dot and K (U+212A Kelvin) lowers
+    // to ASCII k, so lower-BEFORE-strip genuinely differs from
+    // strip-before-lower and each variant must match ITS OWN reference
+    val edges = Seq(
+      "  MIXED Case!! and;; 42  ", "a .. b  C", "tabs\tand\nnewlines",
+      "İstanbul K here", "café 你好 a", "!!!", " ", "", "A!a",
+      "a  b   c", " leading", "trailing ")
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(edges.toDF("text"))
+      .unionByName(Seq.empty[String].toDF("text"))
+    val t = col("text")
+    val variants: Seq[(String, Column)] = Seq(
+      "canonical" -> lower(trim(regexp_replace(
+        regexp_replace(t, "[^a-zA-Z0-9 ]", ""), " +", " "))),
+      "alt class" -> lower(trim(regexp_replace(
+        regexp_replace(t, "[^A-Za-z0-9 ]", ""), " +", " "))),
+      "\\s+ collapse" -> lower(trim(regexp_replace(
+        regexp_replace(t, "[^a-zA-Z0-9 ]", ""), "\\s+", " "))),
+      "[ ]+ collapse" -> lower(trim(regexp_replace(
+        regexp_replace(t, "[^a-zA-Z0-9 ]", ""), "[ ]+", " "))),
+      " {2,} collapse" -> lower(trim(regexp_replace(
+        regexp_replace(t, "[^a-zA-Z0-9 ]", ""), " {2,}", " "))),
+      "lower-first" -> trim(regexp_replace(
+        regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " ")),
+      "lower-first redundant outer" -> lower(trim(regexp_replace(
+        regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))),
+      "lowercase class no inner lower" -> trim(regexp_replace(
+        regexp_replace(t, "[^a-z0-9 ]", ""), " +", " ")))
+    for ((name, expr) <- variants) {
+      // rewritten value (rule active in the test session)
+      val active = docs.select(expr.as("v"))
+      assert(active.queryExecution.optimizedPlan.toString.contains("graft_normtext"),
+        s"variant '$name' did not rewrite — parity below would be regex-vs-regex")
+      val got = active.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      // reference value with the rule excluded (regex actually executes)
+      val want = withRewriteRuleExcluded {
+        val ref = docs.select(expr.as("v"))
+        assert(ref.queryExecution.optimizedPlan.toString.contains("regexp_replace"),
+          s"variant '$name' reference was rewritten — exclusion failed")
+        ref.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      }
+      assert(got.toSeq == want.toSeq, s"variant '$name' diverges from its regex form")
+    }
+    // the unicode traps really exercise the lower-first difference:
+    // canonical strips İ/K entirely, lower-first keeps their ASCII folds
+    val c0 = "İstanbul K here".replaceAll("[^a-zA-Z0-9 ]", "")
+      .replaceAll(" +", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    val l0 = "İstanbul K here".toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    assert(c0 != l0, "unicode trap lost its teeth — pick new edge chars")
+  }
+
+  test("token-count idiom FAMILY: run-split rewrites equal Java split counts everywhere") {
+    import spark.implicits._
+    val edges = Seq(
+      "a b c", "a  b   c", " a b ", "  ", " ", "", "a", "a\tb\nc",
+      "\t lead", "trail \t", "a \t b", "tabs\t\tonly")
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(edges.toDF("text"))
+    val exprs = Seq(
+      ("space-run", size(split(col("text"), " +")), (s: String) => s.split(" +", -1).length),
+      ("ws-run", size(split(col("text"), "\\s+")), (s: String) => s.split("\\s+", -1).length))
+    for ((name, e, jvm) <- exprs) {
+      val active = docs.select(col("text"), e.as("n"))
+      assert(active.queryExecution.optimizedPlan.toString.contains("graft_runs"),
+        s"$name did not rewrite to graft_runs")
+      // independent driver-side anchor: Java's own split semantics
+      active.collect().foreach { r =>
+        assert(r.getInt(1) == jvm(r.getString(0)),
+          s"$name diverges from Java split on '${r.getString(0)}'")
+      }
+      // and the excluded-rule Spark regex split agrees too
+      val want = withRewriteRuleExcluded {
+        val ref = docs.select(e.as("n"))
+        assert(ref.queryExecution.optimizedPlan.toString.contains("split("),
+          s"$name reference was rewritten — exclusion failed")
+        ref.collect().map(_.getInt(0))
+      }
+      assert(active.collect().map(_.getInt(1)).toSeq == want.toSeq,
+        s"$name diverges from the un-rewritten split")
+    }
+  }
+
   test("graft_stopcount / graft_wordstats ≡ the split+array reference forms") {
     import spark.implicits._
     val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -192,6 +279,35 @@ class TextExpressionsSpec extends AnyFunSuite {
         not(col("ws.n_stop_distinct") === col("r_s"))).count()
       assert(d2 == 0, "wordStats trio must equal size/array_distinct/array_intersect everywhere")
     }
+  }
+
+  test("StopSet hash probe ≡ reference at user-scale stop lists (duplicates, multibyte, collisions)") {
+    import spark.implicits._
+    // a 500-entry list with duplicates (first index wins), multi-byte
+    // entries, an empty-string entry, and shared lengths — the shapes
+    // the old linear scan handled trivially and the probe table must
+    // reproduce exactly
+    val big = (0 until 480).map(i => s"w$i") ++
+      Seq("the", "the", "café", "你好", "", "a", "b", "aa", "ab", "ba",
+        "longstopwordhere", "x" * 70, "the quick".replace(" ", ""),
+        "w7", "w77", "w477", "über", "naïve", "ß", "œ")
+    val docs = graft.ops.Tables.documents(spark, sf).select("text")
+      .unionByName(Seq(
+        "the café 你好  w7 w77 zz", "", " ", "x" * 70 + " " + "x" * 70,
+        "a a a b ab ba w479 w480", "über ß œ the").toDF("text"))
+    val words = split(col("text"), " ")
+    val refCount = size(filter(words, w => w.isInCollection(big.distinct))).cast("long")
+    val cmp = docs.select(
+      Vec.stopCount(col("text"), big).as("nat"), refCount.as("ref"))
+    val d = cmp.filter(not(col("nat") <=> col("ref"))).count()
+    assert(d == 0, "hash-probe stopCount must equal the filter(split) reference at 500 stops")
+    // wordStats' distinct-stop leg through the same probe
+    val c2 = docs.select(
+      Vec.wordStats(col("text"), big).as("ws"),
+      size(array_intersect(words,
+        typedLit(big.distinct))).cast("long").as("r_s"))
+    val d2 = c2.filter(not(col("ws.n_stop_distinct") === col("r_s"))).count()
+    assert(d2 == 0, "hash-probe wordStats must count distinct stops exactly")
   }
 
   test("null text hashes like the empty document (never null output)") {

@@ -322,6 +322,82 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "the rewrite must not change a single value")
   }
 
+  test("TextKernelRewriteRule fire/decline matrix: the idiom FAMILY rewrites; near-misses survive untouched") {
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def optPlan(c: Column): String =
+      docs.select(c.as("v")).queryExecution.optimizedPlan.toString
+
+    // --- normalize chain: every spelling a ported pipeline writes ---
+    val fireNorm: Seq[(String, Column)] = Seq(
+      "canonical" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " "))),
+      "alt class spelling" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " "))),
+      "\\s+ collapse" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), "\\s+", " "))),
+      "[ ]+ collapse" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), "[ ]+", " "))),
+      " {2,} collapse" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " {2,}", " "))),
+      "lower-first" -> trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")),
+      "lower-first, redundant outer lower" -> lower(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))),
+      "lowercase class, no inner lower" -> trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
+    for ((name, c) <- fireNorm) {
+      val opt = optPlan(c)
+      assert(opt.contains("graft_normtext"), s"'$name' must fire:\n$opt")
+      assert(!opt.toLowerCase.contains("regexp_replace"),
+        s"'$name' left a regex behind:\n$opt")
+    }
+
+    // --- token counts ---
+    val fireCount: Seq[(String, Column, String)] = Seq(
+      ("literal-space split", size(split(col("text"), " ")), "translate"),
+      ("space-run split", size(split(col("text"), " +")), "graft_runs"),
+      ("ws-run split", size(split(col("text"), "\\s+")), "graft_runs"))
+    for ((name, c, marker) <- fireCount) {
+      val opt = optPlan(c)
+      assert(opt.contains(marker), s"'$name' must rewrite to $marker:\n$opt")
+      assert(!opt.contains("split("), s"'$name' left the split behind:\n$opt")
+    }
+
+    // --- declines: semantics genuinely differ, the rule must NOT fire ---
+    val decline: Seq[(String, Column)] = Seq(
+      // strip AFTER collapse can create new adjacent spaces ("a .. b" →
+      // collapse no-op → strip → "a  b", uncollapsed)
+      "swapped strip/collapse order" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), " +", " "), "[^a-zA-Z0-9 ]", ""))),
+      // class without the space joins words across junk
+      "strip class missing space" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9]", ""), " +", " "))),
+      // collapse target other than a single space
+      "collapse to empty" -> lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", ""))),
+      // the kernel always lowercases — a chain without ANY lower keeps case
+      "full class, no lower anywhere" -> trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")),
+      "tab split is not a space split" -> size(split(col("text"), "\t")).cast("string"),
+      "explicit split limit" -> size(split(col("text"), " ", 2)).cast("string"))
+    for ((name, c) <- decline) {
+      val opt = optPlan(c)
+      assert(!opt.contains("graft_normtext") && !opt.contains("graft_runs"),
+        s"'$name' must NOT fire (semantics differ):\n$opt")
+    }
+
+    // decline justification by counterexample: the swapped order and the
+    // canonical chain really do disagree
+    val probe = "a .. b  C"
+    val canonical = probe.replaceAll("[^a-zA-Z0-9 ]", "")
+      .replaceAll(" +", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    val swapped = probe.replaceAll(" +", " ")
+      .replaceAll("[^a-zA-Z0-9 ]", "").trim.toLowerCase(java.util.Locale.ROOT)
+    assert(canonical != swapped,
+      "decline matrix premise broken: swapped order became equivalent?")
+  }
+
   test("corpus card is single-pass: all three statistic grains share ONE materialized grouping-sets relation") {
     // the three families group on different keys; three dedicated
     // aggregates would re-scan the doc-grain projection once each (the

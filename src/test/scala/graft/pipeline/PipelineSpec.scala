@@ -289,4 +289,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(v1 == Seq((1, 5), (2, 6), (3, 7)))
     assert(p("committed").count() == 3)
   }
+
+  test("q_pipeline_release composes every tier: snapshot I/O at both ends, auto-kernel normalize, bounded sample, versioned card") {
+    val sf = "/root/testdata/sf0.001"
+    val card = graft.ops.Llm.q_pipeline_release(spark, sf)
+    // the published card reads COMMITTED snapshot bytes, one row per
+    // surviving source, and the sample stage bounded every stratum at
+    // its Neyman quota (budget 200 total)
+    val rows = card.collect()
+    assert(rows.nonEmpty, "release card must not be empty")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "card is one row per source")
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs > 0 && nDocs <= 200, s"sample must respect the 200-doc budget, got $nDocs")
+    // the normalize stage was written as the VERBATIM regex idiom — the
+    // auto-injected rewrite rule must lower it to the kernels in the
+    // composed plan (checked on the stage output the card stage
+    // materializes; the final frame reads the published parquet, so the
+    // assertion runs on a reconstruction of the upstream plan)
+    import org.apache.spark.sql.functions._
+    val upstream = graft.ops.Tables.documents(spark, sf)
+      .withColumn("norm_key", md5(lower(trim(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val opt = upstream.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_normtext") && !opt.toLowerCase.contains("regexp_replace"),
+      s"pipeline normalize stage must ride the kernel rewrite:\n$opt")
+  }
 }
