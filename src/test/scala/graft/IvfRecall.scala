@@ -40,12 +40,16 @@ object IvfRecall {
       val nList =
         if (nListSpec == "sqrt") math.ceil(math.sqrt(n.toDouble)).toInt
         else nListSpec.toInt
-      // probe ladder: powers of two up to half the cells
+      // probe ladder: powers of two up to half the cells, stopping two
+      // rungs after recall saturates at 1.0 (every further rung costs a
+      // full quantizer retrain and can only re-measure 1.0)
       val nProbes = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nList / 2).toSeq
       val exact = pairs(graft.ops.Llm.q_sim_topk(spark, d))
-      val perProbe = for (np <- nProbes) yield {
+      var saturated = 0
+      val perProbe = for (np <- nProbes if saturated < 2) yield {
         val got = pairs(graft.ops.Llm.q_sim_ivf(spark, d, 100.0, np, nList))
         val rec = got.intersect(exact).size.toDouble / math.max(1, exact.size)
+        if (rec >= 1.0) saturated += 1 else saturated = 0
         println(f"[ivfrecall] $d n=$n nList=$nList nProbe=$np recall@5=$rec%.4f " +
           f"(${got.size} emitted / ${exact.size} exact)")
         f""" {"n_probe": $np, "recall_at_5": $rec%.4f, "emitted": ${got.size}, "exact_pairs": ${exact.size}}"""

@@ -15,7 +15,7 @@ import graft.ops.{Ev, Streaming}
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "BENCH_STREAM_r10.json"
+    val out = if (args.nonEmpty) args(0) else "BENCH_STREAM_r12.json"
     val rowsPerBatch = if (args.length > 1) args(1).toLong else 200000L
     val numBatches = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.local(8)
@@ -92,7 +92,35 @@ object StreamBench {
         mode = "append"),
       bench("dedup_watermark",
         Streaming.dedupWithinWatermark(source().toDF(), "10 seconds"),
-        mode = "append"))
+        mode = "append"),
+      // the exactly-once lakehouse leg: every micro-batch lands as one
+      // idempotent snapshot-table version (foreachBatch + commitBatch —
+      // replayed batch ids are no-ops), so the number includes the full
+      // commit protocol: parquet write, manifest rename, read-back verify
+      {
+        val snapPath = java.nio.file.Files
+          .createTempDirectory("sb_snap").toString + "/t"
+        val name = "snapshot_commit_batch"
+        val t0 = System.nanoTime()
+        var batches = 0
+        val q = source().toDF().writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"sb_$name").toString)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.ops.Sinks.Snapshots.commitBatch(batch.sparkSession, batch, snapPath, id)
+            batches += 1
+            ()
+          }
+          .start()
+        while (batches < numBatches) Thread.sleep(200)
+        q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = graft.ops.Sinks.Snapshots.readLog(spark, snapPath).count()
+        val versions = graft.ops.Sinks.Snapshots.versions(spark, snapPath).size
+        val rps = rows / secs
+        println(f"[streambench] $name%-22s $rows%9d rows in $secs%7.1fs = $rps%9.0f rows/s  state: $versions committed versions")
+        f""" {"op": "$name", "rows": $rows, "seconds": $secs%.2f, "rows_per_sec": $rps%.0f, "state_rows": $versions, "state_bytes": 0}"""
+      })
 
     val json =
       s"""{

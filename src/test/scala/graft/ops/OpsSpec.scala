@@ -211,6 +211,33 @@ class OpsSpec extends AnyFunSuite {
     assert(avgRecall >= 0.75, f"IVF recall too low at the nProbe=8 default: $avgRecall%.3f")
   }
 
+  test("IVF ANN at-scale sizing: nList=√n / nProbe=nList/8 holds recall ≥ 0.9 on CLUSTERED geometry") {
+    // the round-12 operating point is defended against the clustered
+    // ladder (IVF_RECALL_r12.json: planted Gaussian mixture — real
+    // embedding geometry, where the uniform fixture's
+    // recall-∝-probed-fraction artifact disappears). This gate rebuilds
+    // the 5k fixture deterministically and pins the recommended sizing:
+    // ceil(√5000)=71 cells, probe 71/8≈8 → measured 0.98 recall@5
+    // probing ~11% of cells (the probed fraction FALLS with n: 1.8% at
+    // 50k where recall@4/224 already measures 1.0).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_clustered_gate_").toString
+    graft.GenIvfFixture.build(spark, 5000L, noiseScale = 1.4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nList = math.ceil(math.sqrt(5000.0)).toInt
+    val exact = Llm.q_sim_topk(spark, dir).select("qid", "cid")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Llm.q_sim_ivf(spark, dir, 100.0, nList / 8, nList).select("qid", "cid")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"clustered IVF recall@5 = $avgRecall%.3f (nList=$nList, nProbe=${nList / 8})")
+    assert(avgRecall >= 0.9,
+      f"at-scale IVF sizing lost its clustered-recall floor: $avgRecall%.3f")
+  }
+
   test("embedding LSH candidates: exact duplicates of a vector always collide") {
     import spark.implicits._
     // the planted canary (-1 = copy of the smallest vec_id) guarantees at
