@@ -66,6 +66,7 @@ object SparkEntry {
     "q_scd2" -> (Relational.q_scd2 _),
     "q_graph_triangles" -> (Llm.q_graph_triangles _),
     "q_graph_triangles_deg" -> (Llm.q_graph_triangles_deg _),
+    "q_graph_hits" -> (Llm.q_graph_hits _),
     "q_drift_psi" -> (Llm.q_drift_psi _),
     "q_dq_report" -> (Relational.q_dq_report _),
     "q_split_train" -> (Llm.q_split_train _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_dedup_bucket_stats" -> ((s, d) => Llm.minhashBucketStats(Tables.documents(s, d))),
     // LLM: similarity search
     "q_sim_topk" -> (Llm.q_sim_topk _),
+    "q_knn_classify" -> (Llm.q_knn_classify _),
     "q_sim_truncated" -> (Llm.q_sim_truncated _),
     "q_sim_ivf" -> (Llm.q_sim_ivf _),
     // LLM: text analysis
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_eval_lift" -> (Llm.q_eval_lift _),
     "q_drift_js" -> (Llm.q_drift_js _),
     "q_forecast_snaive" -> (Relational.q_forecast_snaive _),
+    "q_xcorr_lag" -> (Relational.q_xcorr_lag _),
     "q_attribution_last" -> (Relational.q_attribution_last _),
     "q_keywords_ctfidf" -> (Llm.q_keywords_ctfidf _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
@@ -381,6 +384,44 @@ object SparkEntry {
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
        |$rounds
        |SELECT id, round(rank + 1e-12, 8) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** HITS unrolled: authority then hub pass per round, all-BIGINT (the
+    * engine iterates without normalization, so every intermediate is an
+    * exact integer — see Llm.q_graph_hits). Each a/s CTE is referenced
+    * twice downstream → AS MATERIALIZED (DuckDB v1.0 inlines every CTE
+    * reference; un-hinted this unrolling is 2^iters copies of round 1 —
+    * the q_select_cover disk-fill trap, PERF.md round 10).
+    */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT n.id, coalesce(x.s, 0)::BIGINT AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(s.hub) AS s FROM e JOIN s${k - 1} s ON e.src = s.id
+         |    GROUP BY e.dst) x ON n.id = x.dst),
+         |h$k AS (
+         |  SELECT n.id, coalesce(y.s, 0)::BIGINT AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src, sum(a.auth) AS s FROM e JOIN a$k a ON e.dst = a.id
+         |    GROUP BY e.src) y ON n.id = y.src),
+         |s$k AS MATERIALIZED (SELECT h.id, h.hub, a.auth FROM h$k h JOIN a$k a USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT x.doc_id AS src, y.doc_id AS dst
+       |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+       |  UNION ALL
+       |  SELECT x.doc_id, y.doc_id
+       |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 2 AND x.doc_id % 2 = 0),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |s0 AS (SELECT id, 1::BIGINT AS hub, 1::BIGINT AS auth FROM nodes),
+       |$rounds,
+       |mx AS (SELECT max(hub) AS mh, max(auth) AS ma FROM s$iters)
+       |SELECT id, hub, auth,
+       |  round(CAST(hub AS DOUBLE) / mh + 1e-12, 8) AS hub_norm,
+       |  round(CAST(auth AS DOUBLE) / ma + 1e-12, 8) AS auth_norm
+       |FROM s$iters CROSS JOIN mx ORDER BY id""".stripMargin
   }
 
   /** DuckDB-equivalent SQL per query (same column names + total ORDER BY
@@ -483,6 +524,31 @@ object SparkEntry {
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_xcorr_lag" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        |a AS (SELECT day AS da, v AS x FROM daily WHERE event_type = 'click'),
+        |b AS (SELECT day AS db, v AS y FROM daily WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT g.lag, x, y
+        |  FROM a CROSS JOIN generate_series(0, 7) AS g(lag)
+        |  JOIN b ON db = da + to_days(CAST(g.lag AS INTEGER))),
+        |st AS (
+        |  SELECT lag, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n_days,
+        |  round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    + 1e-9, 6) AS xcorr
+        |FROM st ORDER BY lag""".stripMargin,
+
     "q_attribution_last" ->
       """WITH a AS (
         |  SELECT event_type, value,
@@ -495,6 +561,7 @@ object SparkEntry {
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
     "q_pagerank" -> pagerankOracle(5),
+    "q_graph_hits" -> hitsOracle(5),
     // hash-kernel gates: FNV-1a/splitmix64/minhash/LSH replicated in
     // DuckDB HUGEINT arithmetic (OracleSql scaladoc) — the former
     // "rows-only by design" class, now hash-exact
@@ -2436,6 +2503,28 @@ object SparkEntry {
         |      FROM s)
         |SELECT qid, CAST(rn AS BIGINT) AS rn, cid, round(cos_raw, 6) AS cos
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce, label AS clabel
+        |      FROM embeddings),
+        |s AS (SELECT qid, qlabel, cid, clabel,
+        |        round(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9) AS cos_raw
+        |      FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, qlabel, clabel,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+        |      FROM s),
+        |v AS (SELECT qid, qlabel, clabel, count(*) AS votes, min(rn) AS best_rn
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, best_rn, clabel) AS vr FROM v)
+        |SELECT qid, CAST(qlabel AS INT) AS true_label, CAST(clabel AS INT) AS pred_label,
+        |       votes, clabel = qlabel AS correct
+        |FROM p WHERE vr = 1 ORDER BY qid""".stripMargin,
 
     "q_sim_truncated" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

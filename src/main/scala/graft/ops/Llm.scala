@@ -676,6 +676,39 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** k-NN label classification over the embedding column — the standard
+    * embedding-quality eval (does nearest-neighbor structure recover the
+    * labels?) and the label-propagation primitive for weakly-labeled
+    * corpus curation: each pinned query's top-5 cosine neighbors
+    * majority-vote its label. Same exact-baseline plan as
+    * [[q_sim_topk]] (broadcast pinned queries × corpus, per-query
+    * window top-k — the LSH/IVF buckets are the at-scale carrier);
+    * vote ties break by the class with the NEAREST member, then
+    * smallest label — total order, engine-exact.
+    */
+  def q_knn_classify(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.select(col("vec_id").as("qid"), col("e").as("qe"),
+      l2norm(col("e")).as("qn"), col("label").as("qlabel")).filter(col("qid") < 20)
+    val c = emb.select(col("vec_id").as("cid"), col("e").as("ce"),
+      l2norm(col("e")).as("cn"), col("label").as("clabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid"))
+    val top = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    top.groupBy(col("qid"), col("qlabel"), col("clabel"))
+      .agg(count(lit(1)).as("votes"), min(col("rn")).as("__best"))
+      .withColumn("__vr", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("__best"), col("clabel"))))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("qlabel").cast("int").as("true_label"),
+        col("clabel").cast("int").as("pred_label"), col("votes"),
+        (col("clabel") === col("qlabel")).as("correct"))
+      .orderBy("qid")
+  }
+
   /** Truncated-embedding top-k (the Matryoshka/MRL serving trick): rank
     * by cosine over the FIRST 32 of 64 dims — prefix truncation plus
     * renormalization is exactly prefix cosine — and surface the
@@ -2665,6 +2698,28 @@ object Llm {
   def q_graph_triangles_deg(s: SparkSession, d: String): DataFrame =
     Scale.triangleCount(chainChordEdges(s, d), "src", "dst", orientByDegree = true)
       .orderBy("a")
+
+  /** HITS hubs & authorities ([[Scale.hits]]) over the shared
+    * deterministic gate graph — the OTHER classic link-quality score
+    * next to [[q_pagerank]] (Kleinberg 1999): PageRank measures global
+    * endorsement mass, HITS separates "points at good pages" (hub) from
+    * "is pointed at by good hubs" (authority) — the pair web-corpus
+    * curation uses to find directories vs content. Fixed 5 rounds, NO
+    * per-round normalization, so every intermediate is an exact integer
+    * and the DuckDB oracle unrolls the same rounds in BIGINT —
+    * hash-exact with zero float scaffolding; unit-normalized doubles
+    * (÷ max, the ranking-invariant form) ship alongside with the house
+    * epsilon round.
+    */
+  def q_graph_hits(s: SparkSession, d: String): DataFrame = {
+    val scores = Scale.hits(chainChordEdges(s, d), "src", "dst", iters = 5)
+    val mx = scores.agg(max(col("hub")).as("__mh"), max(col("auth")).as("__ma"))
+    scores.crossJoin(broadcast(mx))
+      .select(col("id"), col("hub"), col("auth"),
+        round(col("hub").cast("double") / col("__mh") + lit(1e-12), 8).as("hub_norm"),
+        round(col("auth").cast("double") / col("__ma") + lit(1e-12), 8).as("auth_norm"))
+      .orderBy("id")
+  }
 
   /** Deterministic gate graph shared by the graph-operator queries:
     * chain edges (i, i+1) plus chords (i, i+2) at even i over the

@@ -3064,6 +3064,48 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Lead–lag cross-correlation between two behavioral daily series —
+    * "do clicks LEAD purchases, and by how many days?": Pearson
+    * correlation of click-total(t) against purchase-total(t+k) for
+    * k = 0..7, the classic marketing/causality screen run before any
+    * attribution model is trusted. Engine-exact float discipline: the
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * DECIMAL sums of scale-4/8 values, and both engines evaluate the
+    * same closed-form correlation expression over the same exact
+    * inputs — identical IEEE doubles, closed with the house epsilon
+    * round. Two tiny aggregates (day grain, then lag grain: ≤ 8·days
+    * rows) off one events scan; the lag fan-out is a broadcast of 8
+    * rows, never a second scan.
+    */
+  def q_xcorr_lag(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("v"))
+    val a = daily.filter(col("event_type") === "click")
+      .select(col("day").as("da"), col("v").as("x"))
+    val b = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("db"), col("v").as("y"))
+    val lags = s.range(0, 8).select(col("id").as("lag"))
+    def dbl(c: Column) = c.cast("double")
+    a.crossJoin(broadcast(lags))
+      .join(b, col("db") === date_add(col("da"), col("lag").cast("int")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_days"),
+        round(
+          (dbl(col("n_days")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+            / (sqrt(dbl(col("n_days")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+              * sqrt(dbl(col("n_days")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))))
+            + lit(1e-9), 6).as("xcorr"))
+      .orderBy("lag")
+  }
+
   /** Last-touch attribution: every purchase is credited to the user's
     * most recent PRECEDING non-purchase event type (the channel), or
     * 'direct' when the purchase is the user's first touch — the

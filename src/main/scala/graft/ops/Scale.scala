@@ -977,4 +977,49 @@ object Scale {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5) §3) with a
+    * FIXED iteration count and NO per-round normalization: starting
+    * from all-ones, each round is a_k(v) = Σ_{u→v} h_{k-1}(u) then
+    * h_k(u) = Σ_{u→v} a_k(v) — every intermediate is an exact INTEGER
+    * (sums of integers), so both engines agree bit-for-bit without any
+    * DECIMAL scaffolding, and on a bounded-degree graph the magnitudes
+    * stay far below 2^53 (growth ≤ (d_in·d_out)^iters per round pair).
+    * Normalization does not change the ranking HITS exists to produce;
+    * callers wanting unit scores divide by the max once at the end
+    * (the gate reports both). Same loop discipline as [[pageRank]]:
+    * per-round localCheckpoint with superseded-round release, two
+    * shuffles per round (group on dst, group on src), never
+    * node × node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct().localCheckpoint()
+    var scores = nodes.select(col("id"), lit(1L).as("hub"), lit(1L).as("auth"))
+    var prevCkpt: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // authority pass: a(v) = Σ hub of in-neighbors
+      val aNew = e.join(scores.select(col("id"), col("hub")), col("__src") === col("id"))
+        .groupBy(col("__dst")).agg(sum(col("hub")).as("__a"))
+      val withA = nodes.join(aNew, col("id") === col("__dst"), "left")
+        .select(col("id"), coalesce(col("__a"), lit(0L)).as("auth"))
+      // hub pass: h(u) = Σ NEW authority of out-neighbors
+      val hNew = e.join(withA.select(col("id").as("__aid"), col("auth")),
+          col("__dst") === col("__aid"))
+        .groupBy(col("__src")).agg(sum(col("auth")).as("__h"))
+      scores = withA.join(hNew, col("id") === col("__src"), "left")
+        .select(col("id"), coalesce(col("__h"), lit(0L)).as("hub"), col("auth"))
+        .localCheckpoint() // bound lineage growth across iterations
+      prevCkpt.foreach(Llm.unpersistCheckpoint)
+      prevCkpt = Some(scores)
+    }
+    if (iters > 0) {
+      Llm.unpersistCheckpoint(e)
+      Llm.unpersistCheckpoint(nodes)
+    }
+    scores
+  }
 }
