@@ -311,6 +311,33 @@ UNION ALL
 SELECT -1::BIGINT, -1::BIGINT, -1::BIGINT, false FROM (SELECT v FROM ccviol LIMIT 1) t
 ORDER BY doc_id"""
 
+  /** q_tokenizer_fertility: the bpeEncode merge replay grouped at the
+    * language grain — tokens-per-word as the round-half-up ppm integer.
+    * Every distinct corpus word is in the trained vocab, so the
+    * word-occurrence join is lossless and n_words is the exact
+    * nonempty-whitespace-token count.
+    */
+  val tokenizerFertility: String = {
+    val n = 30
+    val sep = "chr(31)"
+    val ss = s"($sep || $sep)"
+    s"""WITH ${bpeRounds(n, carryWord = true)},
+vocab AS (
+  SELECT w, string_split(substr(s, 2, len(s)-2), $ss) AS toks FROM w$n),
+docw AS (
+  SELECT lang, u.w AS w
+  FROM (SELECT lang,
+          unnest(list_transform(string_split(text, ' '), (w, i) -> {'w': w, 'i': i})) AS u
+        FROM documents)
+  WHERE u.w <> ''),
+ft AS (
+  SELECT lang, count(*)::BIGINT AS n_words, sum(len(toks))::BIGINT AS n_tokens
+  FROM docw JOIN vocab USING (w) GROUP BY lang)
+SELECT lang, n_words, n_tokens,
+  CAST((2000000 * n_tokens + n_words) // (2 * n_words) AS BIGINT) AS fertility_ppm
+FROM ft ORDER BY lang"""
+  }
+
   /** q_pipeline_release: the end-to-end corpus-release pipeline —
     * normalize (the regex idiom the engine auto-lowers to its kernel) →
     * lang/quality gate → exact dedup on the norm key → MinHash-LSH

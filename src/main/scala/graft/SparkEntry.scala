@@ -255,6 +255,8 @@ object SparkEntry {
     "q_quality_perplexity" -> (Llm.q_quality_perplexity _),
     "q_bpe_train" -> (Llm.q_bpe_train _),
     "q_bpe_encode" -> (Llm.q_bpe_encode _),
+    "q_tokenizer_fertility" -> (Llm.q_tokenizer_fertility _),
+    "q_char_entropy" -> (Llm.q_char_entropy _),
     "q_bm25" -> (Llm.q_bm25 _),
     "q_inverted_index" -> (Llm.q_inverted_index _),
     // multimodal
@@ -583,6 +585,19 @@ object SparkEntry {
     // scaladoc) — the last deterministic gates that were rows-only
     "q_bpe_train" -> OracleSql.bpeTrain,
     "q_bpe_encode" -> OracleSql.bpeEncode,
+    "q_tokenizer_fertility" -> OracleSql.tokenizerFertility,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS u FROM documents)
+        |  WHERE u <> ''),
+        |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM cc)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_split,
+        |  CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 1e-9, 0)
+        |      AS BIGINT)) AS BIGINT) AS entropy_micro
+        |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mm_frames" -> OracleSql.mmFrames,
     "q_mm_features" -> OracleSql.mmFeatures,
     "q_mm_phash" -> OracleSql.mmPhash,

@@ -1205,6 +1205,62 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility by language — tokens-per-word after applying
+    * the corpus-trained BPE (Sennrich 2016 merges via [[bpeEncode]]):
+    * the vocabulary-coverage metric multilingual pipelines watch,
+    * because a tokenizer trained lopsided makes under-represented
+    * languages pay 2-4× the tokens for the same text (and therefore
+    * 2-4× the training/inference budget — the mBERT/XLM imbalance
+    * q_temperature_sample exists to correct). Fertility ships as the
+    * house round-half-up ppm integer, engine-exact; word counts are
+    * the nonempty whitespace tokens (the bpe tokenization's own word
+    * grain).
+    */
+  def q_tokenizer_fertility(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (merges, _) = bpeTrain(docs, "text", numMerges = 30)
+    val enc = bpeEncode(docs, "doc_id", "text", merges.map { case (l, r, _) => (l, r) })
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_t"))
+    docs.select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), w => length(w) > lit(0)))
+          .cast("long").as("n_w"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_w").as("n_words"), sum("n_t").as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("cast((2000000 * n_tokens + n_words) div (2 * n_words) as bigint)")
+          .as("fertility_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Per-document character-histogram Shannon entropy — the
+    * gibberish/boilerplate screen next to the compression-ratio signal
+    * (q_quality_compress): natural text sits in a narrow char-entropy
+    * band, while keyboard mash, base64 blobs and repeated separators
+    * fall outside it. Exact-integer discipline: per-(doc, char) counts
+    * are exact, each −p·ln p term is rounded to a micro-nat INTEGER
+    * from identical (cnt, n) inputs in both engines, and the per-doc
+    * sum of integers is order-independent (the q_entropy / corpus-card
+    * dsum convention). One explode + one hash agg + one doc-keyed
+    * window — scan-stage linear, high-cardinality partition key.
+    */
+  def q_char_entropy(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(wd))
+      .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        round(-col("p") * log(col("p")) * 1000000 + lit(1e-9), 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars_split"),
+        sum(col("term")).cast("long").as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Frees the storage behind an (eager) `localCheckpoint`ed DataFrame.
     * Checkpoint blocks are persisted at the RDD layer, not through the
     * CacheManager, so `Dataset.unpersist` cannot reach them; the plan of
