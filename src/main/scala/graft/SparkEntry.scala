@@ -305,6 +305,8 @@ object SparkEntry {
     "q_drift_js" -> (Llm.q_drift_js _),
     "q_forecast_snaive" -> (Relational.q_forecast_snaive _),
     "q_xcorr_lag" -> (Relational.q_xcorr_lag _),
+    "q_stat_ttest" -> (Relational.q_stat_ttest _),
+    "q_stat_anova" -> (Relational.q_stat_anova _),
     "q_attribution_last" -> (Relational.q_attribution_last _),
     "q_keywords_ctfidf" -> (Llm.q_keywords_ctfidf _),
     "q_dedup_soft" -> (Llm.q_dedup_soft _),
@@ -525,6 +527,62 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stat_ttest" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT sum(n) AS nt, sum(s1) AS s1t, sum(s2) AS s2t FROM st),
+        |x AS (
+        |  SELECT event_type, n, nt - n AS n2, s1, s2, s1t - s1 AS r1, s2t - s2 AS r2
+        |  FROM st CROSS JOIN tot),
+        |y AS (
+        |  SELECT event_type, n, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |    CAST(r1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v1,
+        |    (CAST(n2 AS DOUBLE) * CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        |  FROM x),
+        |z AS (
+        |  SELECT event_type, n, n2, m1, m2, v1, v2,
+        |    v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM y)
+        |SELECT event_type, CAST(n AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round((m1 - m2) / sqrt(se2) + 1e-9, 6) AS t_stat,
+        |  round(se2 * se2
+        |    / ((v1 / CAST(n AS DOUBLE)) * (v1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+        |      + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+        |    + 1e-9, 4) AS welch_df
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_stat_anova" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2
+        |  FROM events GROUP BY event_type),
+        |agg AS (
+        |  SELECT count(*) AS k, sum(n) AS n_tot, sum(s1) AS s1t, sum(s2) AS s2t,
+        |    sum(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * 1000000 + 1e-9, 0) AS HUGEINT)) AS a_micro
+        |  FROM st),
+        |x AS (
+        |  SELECT k, n_tot, a_micro,
+        |    CAST(round(CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |        * 1000000 + 1e-9, 0) AS HUGEINT) AS grand_micro,
+        |    CAST(round(CAST(s2t AS DOUBLE) * 1000000 + 1e-9, 0) AS HUGEINT) AS s2t_micro
+        |  FROM agg)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n_tot,
+        |  CAST(a_micro - grand_micro AS BIGINT) AS ssb_micro,
+        |  CAST(s2t_micro - a_micro AS BIGINT) AS ssw_micro,
+        |  round((CAST(a_micro - grand_micro AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (CAST(s2t_micro - a_micro AS DOUBLE) / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    + 1e-9, 6) AS f_stat
+        |FROM x""".stripMargin,
 
     "q_xcorr_lag" ->
       """WITH daily AS (

@@ -3293,6 +3293,83 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Welch's two-sample t (unequal variances) per event type vs the
+    * pooled rest — the mean-shift screen completing the drift toolkit
+    * (KS tests the whole distribution, χ² the categorical mix, this
+    * the first moment; run before trusting any per-segment metric
+    * delta). Float discipline: the sufficient statistics (n, Σv, Σv²)
+    * are EXACT DECIMAL sums, the "rest" side is exact decimal
+    * subtraction, and both engines evaluate the identical closed-form
+    * expression tree over identical exact inputs — identical IEEE
+    * doubles, epsilon-rounded. One scan, one k-row grain.
+    */
+  def q_stat_ttest(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 4))
+    val st = events(s, d).groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    val tot = st.groupBy().agg(
+      sum("n").as("nt"), sum("s1").as("s1t"), sum("s2").as("s2t"))
+    def dbl(c: Column) = c.cast("double")
+    st.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n"))
+      .withColumn("r1", (col("s1t") - col("s1"))) // exact decimal rest sums
+      .withColumn("r2", (col("s2t") - col("s2")))
+      .withColumn("m1", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("m2", dbl(col("r1")) / dbl(col("n2")))
+      .withColumn("v1",
+        (dbl(col("n")) * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1")))
+          / (dbl(col("n")) * (dbl(col("n")) - lit(1.0))))
+      .withColumn("v2",
+        (dbl(col("n2")) * dbl(col("r2")) - dbl(col("r1")) * dbl(col("r1")))
+          / (dbl(col("n2")) * (dbl(col("n2")) - lit(1.0))))
+      .withColumn("se2", col("v1") / dbl(col("n")) + col("v2") / dbl(col("n2")))
+      .select(col("event_type"), col("n").as("n1"), col("n2"),
+        round((col("m1") - col("m2")) / sqrt(col("se2")) + lit(1e-9), 6).as("t_stat"),
+        round(col("se2") * col("se2")
+          / ((col("v1") / dbl(col("n"))) * (col("v1") / dbl(col("n")))
+              / (dbl(col("n")) - lit(1.0))
+            + (col("v2") / dbl(col("n2"))) * (col("v2") / dbl(col("n2")))
+              / (dbl(col("n2")) - lit(1.0)))
+          + lit(1e-9), 4).as("welch_df"))
+      .orderBy("event_type")
+  }
+
+  /** One-way ANOVA F across the event-type groups — "does the segment
+    * explain ANY of the variance" before pairwise digging. Every
+    * between/within sum of squares is shipped as a micro-unit INTEGER
+    * built from exact DECIMAL sufficient statistics (each group's
+    * S1²/n term is rounded to micro from identical exact inputs in
+    * both engines, then integer-summed — the dsum convention, so
+    * partial-agg order cannot move a bit); F is the double ratio of
+    * those integers, epsilon-rounded. One scan, k-row grain, one row
+    * out.
+    */
+  def q_stat_anova(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 4))
+    val st = events(s, d).groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    def dbl(c: Column) = c.cast("double")
+    val micro = org.apache.spark.sql.types.DecimalType(38, 0)
+    st.groupBy().agg(
+        count(lit(1)).as("k"),
+        sum("n").as("n_tot"),
+        sum("s1").as("s1t"),
+        sum("s2").as("s2t"),
+        sum(round(dbl(col("s1")) * dbl(col("s1")) / dbl(col("n")) * 1000000 + lit(1e-9), 0)
+          .cast(micro)).as("a_micro"))
+      .withColumn("grand_micro",
+        round(dbl(col("s1t")) * dbl(col("s1t")) / dbl(col("n_tot")) * 1000000 + lit(1e-9), 0)
+          .cast(micro))
+      .withColumn("s2t_micro",
+        round(dbl(col("s2t")) * 1000000 + lit(1e-9), 0).cast(micro))
+      .withColumn("ssb_micro", (col("a_micro") - col("grand_micro")).cast("long"))
+      .withColumn("ssw_micro", (col("s2t_micro") - col("a_micro")).cast("long"))
+      .select(col("k"), col("n_tot"), col("ssb_micro"), col("ssw_micro"),
+        round((dbl(col("ssb_micro")) / (dbl(col("k")) - lit(1.0)))
+          / (dbl(col("ssw_micro")) / (dbl(col("n_tot")) - dbl(col("k"))))
+          + lit(1e-9), 6).as("f_stat"))
+  }
+
   /** Chi-square independence screen over the lang × source contingency
     * grid (the "is my corpus mix independent of provenance" question).
     * Every reported number is integer-exact: expected counts and
