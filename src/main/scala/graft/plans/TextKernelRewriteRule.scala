@@ -61,6 +61,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     forms are skipped under `spark.sql.legacy.sizeOfNull` (matched
   *     via `Size(_, false)`; there `size(null)` = -1 but the kernel
   *     forms yield NULL).
+  *  3. the type-token-ratio idiom `size(array_distinct(split(c, " ")))`
+  *     → `graft_wordstats(c).n_distinct` — one byte pass instead of a
+  *     regex split + array materialization + array_distinct's own
+  *     per-row hash set (parity property-pinned in TextExpressionsSpec).
   *
   * All rewrites are pure expression substitutions — no shape change,
   * null-for-null identical — registered in the post-optimization user
@@ -152,6 +156,18 @@ object TextKernelRewriteRule extends Rule[LogicalPlan] {
       case Size(StringSplit(c, sp, Literal(-1, IntegerType)), false)
           if lit(sp, "\\s+") =>
         Add(graft.functions.CountRuns(c, ws = true), Literal(1, IntegerType))
+
+      // the type-token-ratio idiom: distinct-token count without the
+      // regex split, the per-row array, or the per-row hash set ON TOP
+      // of array_distinct's — graft_wordstats builds the distinct set
+      // in one byte pass (parity property-pinned in TextExpressionsSpec:
+      // ws.n_distinct ≡ size(array_distinct(split(c, " ")))). Size is
+      // Int-typed, the kernel counts in Long — the cast is exact for
+      // any materializable array (arrays are Int-indexed).
+      case Size(ArrayDistinct(StringSplit(c, sp, Literal(-1, IntegerType))), false)
+          if lit(sp, " ") && c.dataType == StringType =>
+        Cast(GetStructField(
+          graft.functions.WordStats(c, Nil), 1, Some("n_distinct")), IntegerType)
     }
 }
 

@@ -357,7 +357,9 @@ class PlanSpec extends AnyFunSuite {
     val fireCount: Seq[(String, Column, String)] = Seq(
       ("literal-space split", size(split(col("text"), " ")), "translate"),
       ("space-run split", size(split(col("text"), " +")), "graft_runs"),
-      ("ws-run split", size(split(col("text"), "\\s+")), "graft_runs"))
+      ("ws-run split", size(split(col("text"), "\\s+")), "graft_runs"),
+      ("distinct-token count (TTR idiom)",
+        size(array_distinct(split(col("text"), " "))), "graft_wordstats"))
     for ((name, c, marker) <- fireCount) {
       val opt = optPlan(c)
       assert(opt.contains(marker), s"'$name' must rewrite to $marker:\n$opt")
@@ -380,10 +382,13 @@ class PlanSpec extends AnyFunSuite {
       "full class, no lower anywhere" -> trim(regexp_replace(
         regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")),
       "tab split is not a space split" -> size(split(col("text"), "\t")).cast("string"),
-      "explicit split limit" -> size(split(col("text"), " ", 2)).cast("string"))
+      "explicit split limit" -> size(split(col("text"), " ", 2)).cast("string"),
+      "distinct over a NON-space split" ->
+        size(array_distinct(split(col("text"), ","))).cast("string"))
     for ((name, c) <- decline) {
       val opt = optPlan(c)
-      assert(!opt.contains("graft_normtext") && !opt.contains("graft_runs"),
+      assert(!opt.contains("graft_normtext") && !opt.contains("graft_runs") &&
+        !opt.contains("graft_wordstats"),
         s"'$name' must NOT fire (semantics differ):\n$opt")
     }
 
