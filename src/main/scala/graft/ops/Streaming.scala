@@ -288,6 +288,46 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-key LIST state: the last-N event ring per user — the "recent
+    * context" feature every personalization / session model reads.
+    * `ListState` is the right state variable for an append-mostly
+    * bounded buffer: appends write only the new entries in RocksDB
+    * (a ValueState of the whole Seq would rewrite all N per batch);
+    * the trim rewrites the list only on overflow. Batch rows are
+    * sorted (ts, event_id) before appending so ring order is
+    * event-time order regardless of shuffle arrival order.
+    */
+  class LastNProcessor(n: Int) extends StatefulProcessor[Long, Ev, (Long, Seq[Long])] {
+    @transient private var ring: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getListState[Long]("ring", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[(Long, Seq[Long])] = {
+      val batch = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      ring.appendList(batch.map(e => java.lang.Long.valueOf(e.event_id).longValue()))
+      val all = ring.get().toArray
+      val kept = if (all.length > n) {
+        val k = all.takeRight(n)
+        ring.put(k) // overflow: rewrite once, bounded at N entries
+        k
+      } else all
+      Iterator.single((key, kept.toSeq))
+    }
+  }
+
+  /** `(user_id, last_event_ids)` — the bounded recent-event ring,
+    * re-emitted for each touched key per micro-batch.
+    */
+  def lastN(events: Dataset[Ev], n: Int): Dataset[(Long, Seq[Long])] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** `(user_id, n_events)` emitted once a user goes idle for `idleMs`.
     * `watermarkDelay` admits late events; the processor keeps the idle
     * deadline anchored to the max event time EVER seen per key, so an

@@ -93,6 +93,8 @@ object StreamBench {
       bench("dedup_watermark",
         Streaming.dedupWithinWatermark(source().toDF(), "10 seconds"),
         mode = "append"),
+      bench("last_n_ring",
+        Streaming.lastN(source(), n = 5).toDF("user_id", "last_event_ids")),
       // the exactly-once lakehouse leg: every micro-batch lands as one
       // idempotent snapshot-table version (foreachBatch + commitBatch —
       // replayed batch ids are no-ops), so the number includes the full

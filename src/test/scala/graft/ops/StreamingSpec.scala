@@ -433,6 +433,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("transformWithState ListState: last-N event ring trims at the bound and survives batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.lastN(in.toDS(), n = 3)
+        .toDF("user_id", "last_event_ids"), "lastn")
+      // batch 1: two events for u1, one for u2 (fed out of ts order —
+      // the ring must store event-time order)
+      in.addData(Ev(12, 1, "view", 1, ts(2)), Ev(11, 1, "click", 1, ts(1)),
+        Ev(21, 2, "click", 1, ts(1)))
+      q.processAllAvailable()
+      // batch 2: two more for u1 → ring overflows 3, oldest (11) drops
+      in.addData(Ev(13, 1, "click", 1, ts(3)), Ev(14, 1, "view", 1, ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("lastn").as[(Long, Seq[Long])].collect()
+      val u1 = rows.filter(_._1 == 1L).map(_._2)
+      assert(u1.contains(Seq(11L, 12L)), s"batch-1 ring must be event-time ordered: ${u1.toSeq}")
+      assert(u1.contains(Seq(12L, 13L, 14L)),
+        s"batch-2 ring must resume from state, trim to N=3, drop the oldest: ${u1.toSeq}")
+      assert(rows.filter(_._1 == 2L).map(_._2).contains(Seq(21L)))
+      assert(u1.forall(_.length <= 3), "ring must never exceed the bound")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState MapState: per-(user,type) counts accumulate across micro-batches") {
     val s = spark
     import s.implicits._
