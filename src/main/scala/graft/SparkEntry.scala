@@ -165,6 +165,7 @@ object SparkEntry {
     "q_sort_limit" -> (Relational.q_sort_limit _),
     "q_topk_group" -> (Relational.q_topk_group _),
     "q_sample_hash" -> (Relational.q_sample_hash _),
+    "q_sample_systematic" -> (Relational.q_sample_systematic _),
     "q_subquery_scalar" -> (Relational.q_subquery_scalar _),
     "q_subquery_corr" -> (Relational.q_subquery_corr _),
     // set ops
@@ -1708,6 +1709,15 @@ object SparkEntry {
         |FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '29'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_systematic" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |p AS (SELECT *, row_number() OVER (ORDER BY h, o_orderkey) AS pos FROM h)
+        |SELECT CAST(pos AS BIGINT) AS pos, o_orderkey, o_custkey, o_totalprice
+        |FROM p WHERE pos % 10 = 0 ORDER BY pos""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice

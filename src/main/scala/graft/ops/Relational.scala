@@ -649,6 +649,27 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** SYSTEMATIC sampling (survey statistics' third classic draw next to
+    * Bernoulli/q_sample_hash and quota/q_sample_group): order the frame
+    * by a deterministic content hash, take every k-th element — equal
+    * inclusion probability 1/k with maximal between-selection spacing
+    * (lower variance than Bernoulli on ordered frames), fully
+    * reproducible and retry-stable. The global position comes from
+    * [[Scale.globalSequence]] (range-partitioned sort + per-partition
+    * offsets — never a single-partition window); the md5 order makes
+    * the frame ordering airtight against any physical layout.
+    */
+  def q_sample_systematic(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    Scale.globalSequence(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("h", md5(col("o_orderkey").cast("string"))),
+        Seq(col("h"), col("o_orderkey")), "pos")
+      .filter(pmod(col("pos"), lit(k)) === 0)
+      .select(col("pos"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("pos")
+  }
+
   /** Scalar-subquery shape: compare every row against a whole-table
     * aggregate. The aggregate reduces to ONE row, which is broadcast
     * back across the fact table — two passes over the data, no shuffle
