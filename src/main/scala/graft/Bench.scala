@@ -219,6 +219,11 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
     println(line)
+    // The driver captures a BOUNDED stdout tail; the per-query map above
+    // can push the total-first head out of it (every BENCH_r*.json shows
+    // "parsed": null). Echo a compact TRAILER after the query map so the
+    // headline numbers always survive tail truncation.
+    println(s"""{"metric":"total_echo","value":${ms(total)},"unit":"sec","n":${good.size},"n_errors":${bad.size},"max_skew":${r1(maxSkew)},"runs":$runs,"sf":"$sfDir"$profJson}""")
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

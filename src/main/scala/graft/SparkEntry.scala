@@ -196,8 +196,11 @@ object SparkEntry {
     "q_source_json" -> (Sources.q_source_json _),
     "q_source_orc" -> (Sources.q_source_orc _),
     "q_source_xml" -> (Sources.q_source_xml _),
+    "q_source_avro" -> (Sources.q_source_avro _),
+    "q_source_jdbc" -> (Sources.q_source_jdbc _),
     "q_source_evolution" -> (Sources.q_source_evolution _),
     "q_source_from_json" -> (Sources.q_source_from_json _),
+    "q_last_n" -> (Relational.q_last_n _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
@@ -1728,6 +1731,28 @@ object SparkEntry {
 
     "q_source_orc" ->
       """SELECT * FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_source_avro" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_source_jdbc" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_last_n" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |  array_to_string(list(event_id ORDER BY ts_ns ASC, event_id ASC), ',')
+        |    AS last_event_ids
+        |FROM r WHERE rn <= 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_contamination" ->
       """WITH g AS (

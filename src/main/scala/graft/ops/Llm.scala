@@ -1556,12 +1556,16 @@ object Llm {
         Sinks.Snapshots.commit(s, card, cardSnap)
         Sinks.Snapshots.read(s, cardSnap).orderBy("source")
       } >> p.result)
-    // the card stage materialized everything upstream eagerly and the
-    // published result reads only the card snapshot — the raw-corpus
-    // snapshot is scratch now
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(corpusSnap))
-    p("result")
+    // Materialize the read-back NOW (bounded: one row per source) so the
+    // whole scratch tree — corpus snapshot AND card snapshot — can be
+    // deleted before returning; repeated Verify/Bench/smoke runs must not
+    // accumulate directories under java.io.tmpdir. The returned rows
+    // still come from the committed snapshot bytes (the publish stage's
+    // read-back), so the round-trip gate semantics are unchanged.
+    val published = p("result").collect()
+    val schema = p("result").schema
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    s.createDataFrame(s.sparkContext.parallelize(published.toSeq, 1), schema)
   }
 
   private val ChunkW = 8 // words per chunk for cross-doc chunk dedup

@@ -3604,4 +3604,39 @@ object Relational {
       .select("event_id", "user_id", "last_purchase_tol_ns")
       .orderBy("event_id")
   }
+
+  /** Per-key last-N ring, BATCH form: the newest `n` events per key in
+    * event-time order — the exact end-state the streaming
+    * [[graft.ops.Streaming.LastNProcessor]] ListState ring converges to
+    * after all batches (StreamingSpec pins the two paths equal on the
+    * same inputs). Rank-filter formulation: one user-keyed window
+    * (high-cardinality key — shards evenly), `row_number` DESC to keep
+    * the newest n, then a bounded `collect_list` (≤ n entries per key —
+    * never an unbounded per-key buffer) re-sorted ascending so the ring
+    * reads oldest→newest. Tie-break on event_id makes duplicate
+    * timestamps deterministic. Same linear sort shape as
+    * [[q_attribution_last]] (disposed at sf100: cores, not memory).
+    */
+  def lastNPerKey(ev: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("event_id"), col("ts_ns"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts_ns"), col("event_id")))),
+        x => x.getField("event_id")).as("last_event_ids"))
+  }
+
+  /** Gate surface renders the ring as a canonical CSV string — the
+    * driver's pandas hash-compare can't hash list cells (same
+    * convention as [[q_agg_collect]]).
+    */
+  def q_last_n(s: SparkSession, d: String): DataFrame =
+    lastNPerKey(events(s, d), 3)
+      .select(col("user_id"),
+        array_join(transform(col("last_event_ids"), _.cast("string")), ",")
+          .as("last_event_ids"))
+      .orderBy("user_id")
 }

@@ -158,6 +158,123 @@ object Sources {
       .orderBy("c_mktsegment")
   }
 
+  /** Avro record schema for the `nation` round-trip (kept as a JSON
+    * string so executor closures re-parse it locally — `Schema` is
+    * heavyweight to ship and the parse is once per partition).
+    */
+  private val nationAvroSchema: String =
+    """{"type":"record","name":"nation","fields":[
+      |{"name":"n_nationkey","type":"int"},
+      |{"name":"n_name","type":"string"},
+      |{"name":"n_regionkey","type":"int"}]}""".stripMargin
+
+  /** parquet → Avro container files → Avro scan: the most common wire /
+    * interchange format missing from the matrix. The sandbox image ships
+    * Avro core + `avro-mapred` but NOT the `spark-avro` datasource
+    * module, so the round trip uses the public Hadoop MapReduce
+    * integration (`AvroKeyOutputFormat`/`AvroKeyInputFormat`) — the same
+    * layer `spark-avro` itself builds on. Semantics are identical to the
+    * module: real `.avro` container files on disk (schema in the header,
+    * deflate-able blocks, sync markers → files are SPLITTABLE, so the
+    * read parallelizes across executors exactly like the columnar
+    * formats); the writer emits one container per partition with no
+    * driver funnel. GenericRecords are created and consumed inside the
+    * same task (no shuffle touches them), and the reader copies fields
+    * out of Hadoop's reused record before anything downstream sees them.
+    */
+  def q_source_avro(s: SparkSession, d: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.Row
+
+    val out = tmpDir(s"avro_${math.abs(d.hashCode).toHexString}")
+    // the Hadoop committer refuses an existing output dir — this scratch
+    // path is per-process-stable, so clear the previous run's copy
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val schemaJson = nationAvroSchema
+
+    val writeJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(writeJob, new Schema.Parser().parse(schemaJson))
+    Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey").rdd
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("n_nationkey", r.getInt(0))
+          rec.put("n_name", r.getString(1))
+          rec.put("n_regionkey", r.getInt(2))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        writeJob.getConfiguration)
+
+    val readJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(readJob, new Schema.Parser().parse(schemaJson))
+    val back = s.sparkContext.newAPIHadoopFile(out,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        readJob.getConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum() // copy NOW: Hadoop reuses the record
+        Row(rec.get("n_nationkey").asInstanceOf[Int],
+          rec.get("n_name").toString,
+          rec.get("n_regionkey").asInstanceOf[Int])
+      }
+    s.createDataFrame(back, nationSchema).orderBy("n_nationkey")
+  }
+
+  /** JDBC round-trip against an EMBEDDED Derby database (the Derby jars
+    * ship with Spark): `df.write.jdbc` → `spark.read.jdbc` with a
+    * stride-partitioned parallel read and predicates pushed to the
+    * database. The two scale-critical knobs are both exercised and one
+    * is spec-asserted (OpsSpec):
+    *   - `partitionColumn/lowerBound/upperBound/numPartitions` — without
+    *     them a JDBC read is ONE executor holding one cursor; with them
+    *     each executor opens its own stride `WHERE` cursor (bounds come
+    *     from a one-row min/max query, not guesses, so stripes are
+    *     balanced for uniform keys);
+    *   - filter pushdown — the predicate must reach the remote engine as
+    *     SQL (`PushedFilters` in the scan), not filter post-transfer.
+    * `createTableColumnTypes` overrides Spark's Derby default of CLOB
+    * for StringType — Derby cannot compare CLOBs, which would break
+    * pushdown on the string predicate (the exact footgun a real
+    * warehouse hits).
+    */
+  def q_source_jdbc(s: SparkSession, d: String): DataFrame = {
+    val dbDir = tmpDir(s"jdbc_${math.abs(d.hashCode).toHexString}")
+    Files.createDirectories(java.nio.file.Paths.get(dbDir))
+    // derby.log goes to scratch, not the process cwd
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .repartition(4) // multi-connection batched-insert write path
+      .write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "c_name VARCHAR(64), c_mktsegment VARCHAR(16)")
+      .jdbc(url, "customer", props)
+
+    val bounds = Tables.customer(s, d)
+      .agg(min("c_custkey"), max("c_custkey")).head()
+    s.read
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", (bounds.getLong(1) + 1L).toString)
+      .option("numPartitions", "4")
+      .jdbc(url, "customer", props)
+      .filter(col("c_acctbal") > 0 && col("c_mktsegment") === "BUILDING")
+      .orderBy("c_custkey")
+  }
+
   /** Parse a JSON string column into typed fields (`from_json`) — the
     * streaming-ingest pattern (Kafka value → struct) run over
     * `events.props`.

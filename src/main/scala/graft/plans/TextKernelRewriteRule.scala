@@ -141,8 +141,13 @@ object TextKernelRewriteRule extends Rule[LogicalPlan] {
       case t @ StringTrim(_, _) if normChain(t).exists(_._2) =>
         graft.functions.NormText(lowerClassInput(normChain(t).get._1))
 
+      // All three split-size cases require the default collation
+      // (c.dataType == StringType), same as normChain and the TTR case:
+      // CountRuns.checkInputDataTypes rejects collated strings, and an
+      // optimizer rule must never leave an unresolvable expression in
+      // the plan (spark.sql.planChangeValidation would fail the rule).
       case s @ Size(StringSplit(c, sp, Literal(-1, IntegerType)), false)
-          if lit(sp, " ") =>
+          if lit(sp, " ") && c.dataType == StringType =>
         // Size is Int-typed; keep the arithmetic in Int so the rewrite
         // is type-invisible to everything above it
         Add(Subtract(Length(c),
@@ -150,11 +155,11 @@ object TextKernelRewriteRule extends Rule[LogicalPlan] {
           Literal(1, IntegerType))
 
       case Size(StringSplit(c, sp, Literal(-1, IntegerType)), false)
-          if lit(sp, " +") =>
+          if lit(sp, " +") && c.dataType == StringType =>
         Add(graft.functions.CountRuns(c, ws = false), Literal(1, IntegerType))
 
       case Size(StringSplit(c, sp, Literal(-1, IntegerType)), false)
-          if lit(sp, "\\s+") =>
+          if lit(sp, "\\s+") && c.dataType == StringType =>
         Add(graft.functions.CountRuns(c, ws = true), Literal(1, IntegerType))
 
       // the type-token-ratio idiom: distinct-token count without the

@@ -32,9 +32,12 @@ object IvfRecall {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val rows = for (spec <- specs) yield {
-      val (d, nListSpec) = spec.split(":") match {
-        case Array(dir) => (dir, "16")
-        case Array(dir, nl) => (dir, nl)
+      // split on the LAST ':' only — a dir containing ':' must not
+      // shatter into a MatchError; empty spec fails loudly instead
+      val (d, nListSpec) = spec.lastIndexOf(':') match {
+        case -1 if spec.nonEmpty => (spec, "16")
+        case i if i > 0 => (spec.substring(0, i), spec.substring(i + 1))
+        case _ => sys.error(s"IvfRecall: unusable spec '$spec' (want dir[:nlist])")
       }
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
       val nList =

@@ -104,17 +104,20 @@ object StreamBench {
           .createTempDirectory("sb_snap").toString + "/t"
         val name = "snapshot_commit_batch"
         val t0 = System.nanoTime()
-        var batches = 0
+        // AtomicInteger, not a plain var: foreachBatch mutates from the
+        // micro-batch thread and the main thread polls — a non-volatile
+        // var has no JMM visibility guarantee and the poll could hang.
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = source().toDF().writeStream
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory(s"sb_$name").toString)
           .foreachBatch { (batch: DataFrame, id: Long) =>
             graft.ops.Sinks.Snapshots.commitBatch(batch.sparkSession, batch, snapPath, id)
-            batches += 1
+            batches.incrementAndGet()
             ()
           }
           .start()
-        while (batches < numBatches) Thread.sleep(200)
+        while (batches.get() < numBatches) Thread.sleep(200)
         q.stop()
         val secs = (System.nanoTime() - t0) / 1e9
         val rows = graft.ops.Sinks.Snapshots.readLog(spark, snapPath).count()

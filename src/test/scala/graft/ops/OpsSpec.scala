@@ -522,6 +522,52 @@ class OpsSpec extends AnyFunSuite {
     assert(dropped.agg(sum(col("score"))).head().getDouble(0) == 10.5 + 30.25 + 50.0)
   }
 
+  test("avro round-trip preserves schema and values (Hadoop container-file path)") {
+    val avro = Sources.q_source_avro(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    assert(avro.schema == Sources.nationSchema)
+    assert(avro.except(nat).isEmpty && nat.except(avro).isEmpty)
+    // the files on disk must be real Avro containers: magic bytes "Obj\1"
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_sources", s"avro_${math.abs(sf.hashCode).toHexString}")
+    val part = java.nio.file.Files.list(out).toArray.map(_.toString)
+      .filter(p => p.endsWith(".avro") && !p.split('/').last.startsWith(".")).head
+    val magic = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(part)).take(4)
+    assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+      s"expected Avro container magic in $part, got ${magic.toSeq}")
+  }
+
+  test("jdbc round-trip: predicates push into the database, read is stride-partitioned") {
+    val jdbc = Sources.q_source_jdbc(spark, sf)
+    val expected = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0 && col("c_mktsegment") === "BUILDING")
+    assert(jdbc.except(expected).isEmpty && expected.except(jdbc).isEmpty)
+    // formatted mode: the one-line tree truncates long PushedFilters lists
+    val plan = jdbc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both predicates must reach Derby as SQL (CLOB default would break
+    // the string comparison — createTableColumnTypes makes it VARCHAR)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)")
+        && plan.contains("GreaterThan(c_acctbal,0.0)"),
+      s"expected JDBC pushdown in:\n$plan")
+    assert(plan.contains("numPartitions=4"),
+      s"expected a 4-stripe parallel JDBC read in:\n$plan")
+  }
+
+  test("q_last_n: batch ring is the newest 3 per user in event-time order") {
+    import spark.implicits._
+    val got = Relational.q_last_n(spark, sf)
+      .as[(Long, String)].collect()
+      .map { case (u, csv) => u -> csv.split(',').map(_.toLong).toSeq }.toMap
+    val ref = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_ns")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(e => (e._3, e._2)).takeRight(3).map(_._2).toSeq).toMap
+    assert(got == ref)
+  }
+
   test("orc round-trip preserves values; predicates push into the ORC scan") {
     val orc = Sources.q_source_orc(spark, sf)
     val sup = Tables.supplier(spark, sf)

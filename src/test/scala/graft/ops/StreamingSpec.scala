@@ -467,6 +467,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("ListState ring end-state equals the batch lastNPerKey on the same events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(
+        Ev(11, 1, "click", 1, ts(1)), Ev(12, 1, "view", 1, ts(2)),
+        Ev(21, 2, "click", 1, ts(1)), Ev(13, 1, "click", 1, ts(3)),
+        Ev(14, 1, "view", 1, ts(4)), Ev(22, 2, "view", 1, ts(5)),
+        Ev(15, 1, "click", 1, ts(5)))
+      val in = MemoryStream[Ev]
+      val q = startQuery(Streaming.lastN(in.toDS(), n = 3)
+        .toDF("user_id", "last_event_ids"), "lastn_parity")
+      in.addData(evs.take(4)); q.processAllAvailable()
+      in.addData(evs.drop(4)); q.processAllAvailable()
+      // last emission per key IS the converged ring (Update mode
+      // re-emits every touched key each batch)
+      val streamed = spark.table("lastn_parity").as[(Long, Seq[Long])]
+        .collect().zipWithIndex
+        .groupBy(_._1._1).map { case (k, rows) => k -> rows.maxBy(_._2)._1._2 }
+      val batch = Relational.lastNPerKey(
+        evs.toDF().withColumn(
+          "ts_ns",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")) * 1000L), 3)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(streamed == batch,
+        s"streaming ring $streamed must equal batch lastNPerKey $batch")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState MapState: per-(user,type) counts accumulate across micro-batches") {
     val s = spark
     import s.implicits._
