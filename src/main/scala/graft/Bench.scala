@@ -170,6 +170,16 @@ object Bench {
           (-1.0, Vector.empty[(Int, Long)]) // sentinel: excluded from totals
         else measured(measured.length / 2)
       val byStage = medianTasks.groupBy(_._1)
+      // SPARK_GRAFT_BENCH_TASKSTATS=1: stderr per-stage task profile of
+      // the MEDIAN run — the attribution tool for a skew flag (is the
+      // dominant stage's p95/p50 a real long-tail task, or millisecond
+      // scheduling noise across a tiny stage?)
+      if (sys.env.get("SPARK_GRAFT_BENCH_TASKSTATS").contains("1"))
+        byStage.toSeq.sortBy(-_._2.map(_._2).sum).take(8).foreach { case (sid, ts) =>
+          val s = ts.map(_._2).sorted
+          System.err.println(s"[taskstats] $name stage=$sid n=${s.length} " +
+            s"p50=${pct(s, 0.50)}ms p95=${pct(s, 0.95)}ms max=${s.last}ms sum=${s.sum}ms")
+        }
       val skew =
         if (byStage.isEmpty) 1.0
         else {

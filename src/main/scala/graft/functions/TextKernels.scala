@@ -270,4 +270,62 @@ object TextKernels {
     while (it.hasNext) { res(k) = it.next(); k += 1 }
     new GenericArrayData(res)
   }
+
+  /** Per-document character entropy in ONE pass over the decoded string
+    * — the kernel behind `graft_charstats`, replacing the
+    * explode(split(text,"")) → groupBy(doc_id, c) formulation that
+    * fanned every document into one row PER CHARACTER (3 billion
+    * shuffle rows at sf100) with a per-row histogram.
+    *
+    * Bit-parity contract with the explode form (TextExpressionsSpec):
+    *  - Spark's `split(text, "")` cuts into single Unicode CODE POINTS
+    *    (surrogate pairs stay atomic — UNLIKE raw java String.split,
+    *    which cuts inside pairs; verified empirically on the 😀a𐍈
+    *    probe row), plus one trailing empty element which the query's
+    *    `c =!= ""` filter drops. So the unit of counting here is the
+    *    code point: n = codePointCount.
+    *  - the per-distinct-unit term reproduces the Catalyst tree
+    *    `round(-p * log(p) * 1000000 + 1e-9, 0)` EXACTLY, including the
+    *    double association ((-p) * Math.log(p)) * 1000000.0 + 1.0E-9 and
+    *    Spark Round's BigDecimal HALF_UP on DoubleType; the sum of the
+    *    per-unit longs is order-free, so histogram order is irrelevant.
+    *  - empty text → `[""]`, filtered → the doc emits NO row: the kernel
+    *    returns null and the query filters it.
+    */
+  def charStats(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val len = s.length
+    if (len == 0) return null
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[java.lang.Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap
+        val cell = other.get(cp)
+        if (cell == null) other.put(cp, Array(1L)) else cell(0) += 1
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val dn = n.toDouble
+    def term(cnt: Long): Long = {
+      val p = cnt.toDouble / dn
+      val t = ((-p) * math.log(p)) * 1000000.0 + 1.0e-9
+      java.math.BigDecimal.valueOf(t)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    var sum = 0L
+    var b = 0
+    while (b < 128) { if (ascii(b) > 0) sum += term(ascii(b)); b += 1 }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) sum += term(it.next()(0))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum))
+  }
 }

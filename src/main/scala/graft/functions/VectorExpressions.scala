@@ -879,6 +879,38 @@ case class StopCount(child: Expression, stops: Seq[String]) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** `graft_charstats(text)` → struct(n_chars_split, entropy_micro): the
+  * one-byte-pass char-entropy kernel (see [[TextKernels.charStats]] for
+  * the bit-parity contract with the explode formulation). Returns NULL
+  * for the empty string — the explode form emits no rows for it.
+  */
+case class CharStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def prettyName: String = "graft_charstats"
+  override def nullable: Boolean = true // empty input → null struct
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars_split", LongType, nullable = false),
+    StructField("entropy_micro", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.charStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.TextKernels.charStats($a);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
 case class WordStats(child: Expression, stops: Seq[String]) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -976,6 +1008,10 @@ object Vec {
     import org.apache.spark.sql.functions.lit
     call_function("graft_wordstats", text, lit(stops.toArray))
   }
+  def charStats(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_charstats", text)
+  }
   /** `size(split(text, " "))` token count without the regex split or the
     * per-row array: tokens = spaces + 1 (split keeps empty segments, so
     * every single space is a boundary; 0x20 never occurs inside a UTF-8
@@ -1041,6 +1077,9 @@ object Vec {
     (FunctionIdentifier("graft_runs"),
       new ExpressionInfo(classOf[CountRuns].getName, "graft_runs"),
       (es: Seq[Expression]) => CountRuns(es(0), foldToBool(es(1), "ws"))),
+    (FunctionIdentifier("graft_charstats"),
+      new ExpressionInfo(classOf[CharStats].getName, "graft_charstats"),
+      (es: Seq[Expression]) => CharStats(es(0))),
   )
 
   /** n/stride must be literal ints — they are baked into the generated

@@ -1241,12 +1241,34 @@ object Llm {
     * are exact, each −p·ln p term is rounded to a micro-nat INTEGER
     * from identical (cnt, n) inputs in both engines, and the per-doc
     * sum of integers is order-independent (the q_entropy / corpus-card
-    * dsum convention). One explode + one hash agg + one doc-keyed
-    * window — scan-stage linear, high-cardinality partition key.
+    * dsum convention).
+    *
+    * Production path is the ONE-PASS `graft_charstats` codegen kernel:
+    * per-doc entropy is a per-ROW scalar, so exploding every character
+    * into a shuffle row (the [[charEntropyExplodeRef]] reference form —
+    * 3 billion rows and a giant (doc,char) hash agg at sf100, the
+    * largest decade ratio on the r12 board) buys nothing. The kernel
+    * keeps the whole computation inside the scan stage: no shuffle but
+    * the final orderBy. Bit-parity with the explode form is pinned by
+    * TextExpressionsSpec on the corpus + unicode edges (surrogate
+    * halves, combining marks, empty text).
     */
-  def q_char_entropy(s: SparkSession, d: String): DataFrame = {
-    val wd = Window.partitionBy("doc_id")
+  def q_char_entropy(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"), graft.functions.Vec.charStats(col("text")).as("cs"))
+      .filter(col("cs").isNotNull)
+      .select(col("doc_id"),
+        col("cs.n_chars_split").as("n_chars_split"),
+        col("cs.entropy_micro").as("entropy_micro"))
+      .orderBy("doc_id")
+
+  /** Parity REFERENCE for [[q_char_entropy]]: the original
+    * explode(split(text, "")) formulation (kept verbatim — the spec
+    * asserts the kernel path is bit-identical on the gate corpus).
+    */
+  private[graft] def charEntropyExplodeRef(docs: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("doc_id")
+    docs
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .filter(col("c") =!= "")
       .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
@@ -1513,6 +1535,26 @@ object Llm {
     * the only driver materialization is the one-row-per-source card.
     */
   def q_pipeline_release(s: SparkSession, d: String): DataFrame = {
+    val (p, base) = releasePipeline(s, d)
+    // Materialize the read-back NOW (bounded: one row per source) so the
+    // whole scratch tree — corpus snapshot AND card snapshot — can be
+    // deleted before returning; repeated Verify/Bench/smoke runs must not
+    // accumulate directories under java.io.tmpdir. The returned rows
+    // still come from the committed snapshot bytes (the publish stage's
+    // read-back), so the round-trip gate semantics are unchanged.
+    val published = p("result").collect()
+    val schema = p("result").schema
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    s.createDataFrame(s.sparkContext.parallelize(published.toSeq, 1), schema)
+  }
+
+  /** Builds and RUNS the release composition, returning the pipeline
+    * context (every stage slot inspectable — PipelineDataSpec counts
+    * corpus-snapshot rescans in the composed plan) and the scratch base
+    * the caller must delete. [[q_pipeline_release]] is the gate wrapper.
+    */
+  private[graft] def releasePipeline(
+      s: SparkSession, d: String): (graft.pipeline.DPP, java.nio.file.Path) = {
     import graft.pipeline._
     val base = java.nio.file.Files.createTempDirectory("graft_release_")
     val corpusSnap = s"$base/corpus_snapshot"
@@ -1556,16 +1598,7 @@ object Llm {
         Sinks.Snapshots.commit(s, card, cardSnap)
         Sinks.Snapshots.read(s, cardSnap).orderBy("source")
       } >> p.result)
-    // Materialize the read-back NOW (bounded: one row per source) so the
-    // whole scratch tree — corpus snapshot AND card snapshot — can be
-    // deleted before returning; repeated Verify/Bench/smoke runs must not
-    // accumulate directories under java.io.tmpdir. The returned rows
-    // still come from the committed snapshot bytes (the publish stage's
-    // read-back), so the round-trip gate semantics are unchanged.
-    val published = p("result").collect()
-    val schema = p("result").schema
-    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-    s.createDataFrame(s.sparkContext.parallelize(published.toSeq, 1), schema)
+    (p, base)
   }
 
   private val ChunkW = 8 // words per chunk for cross-doc chunk dedup
@@ -3274,7 +3307,7 @@ object Llm {
     (report, () => unpersistCheckpoint(gs))
   }
 
-  private val corpusCardSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[ops] val corpusCardSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("source",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("n_docs",

@@ -331,6 +331,47 @@ class TextExpressionsSpec extends AnyFunSuite {
       s"kernel fell out of codegen:\n$plan")
   }
 
+  test("graft_charstats ≡ the explode(split) entropy form on corpus + unicode edges") {
+    import spark.implicits._
+    // unicode edges: surrogate halves (Java empty-regex split cuts
+    // INSIDE the pair), combining marks (two code units, two rows in
+    // the explode form), BMP multibyte, repeated/degenerate text.
+    // Empty text is covered separately below (explode emits no row).
+    val edges = Seq(
+      "the quick brown fox", "aaaa", "a", "ab\tcd\nef",
+      "café touché", "éclair", // combining acute
+      new java.lang.StringBuilder().appendCodePoint(0x1F600).append('a')
+        .appendCodePoint(0x10348).toString, // supplementary chars
+      "中文 text", "base64==//++")
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges.zipWithIndex
+        .map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text"))
+    val kernel = docs
+      .select(col("doc_id"), Vec.charStats(col("text")).as("cs"))
+      .filter(col("cs").isNotNull)
+      .select(col("doc_id"), col("cs.n_chars_split").as("n_chars_split"),
+        col("cs.entropy_micro").as("entropy_micro"))
+    val ref = graft.ops.Llm.charEntropyExplodeRef(docs)
+    assert(kernel.count() == ref.count())
+    assert(kernel.except(ref).isEmpty && ref.except(kernel).isEmpty)
+    // empty text: explode form emits no row; kernel must return null
+    val emptyOut = Seq((1L, "")).toDF("doc_id", "text")
+      .select(Vec.charStats(col("text")).as("cs")).filter(col("cs").isNotNull)
+    assert(emptyOut.count() == 0)
+  }
+
+  test("graft_charstats runs inside whole-stage codegen") {
+    val df = graft.ops.Llm.q_char_entropy(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString()
+    // codegen'd operators print with the *(id) star — the kernel's
+    // Project must carry one (WholeStageCodegen membership)
+    assert("""\*\(\d+\) Project .*graft_charstats""".r.findFirstIn(plan).isDefined,
+      s"graft_charstats Project not in a codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
   test("graft_bpe_apply ≡ greedy-decode UDF reference on the fixture vocabulary") {
     import org.apache.spark.sql.functions.{array, concat, explode, length, lit, not, split}
     val docs = graft.ops.Tables.documents(spark, sf)
