@@ -61,6 +61,36 @@ class PipelineDataSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf).filter(col("l_quantity") > 40).count())
   }
 
+  test("release pipeline: corpus-snapshot rescans in the composed plan stay bounded") {
+    // Each corpus-snapshot scan is a full corpus read at 100 TB — the
+    // composed release pipeline must never silently regress toward
+    // rescan-per-stage. Measured today (ReleaseStageProbe): pre-LSH
+    // slots read the snapshot once; the near-dup stage's anti-join
+    // peaks at 3 (probe side + the two LSH candidate branches); the
+    // sampling stage's internal localCheckpoint barrier cuts lineage,
+    // so everything downstream (incl. the published card) reads it 0
+    // times. Bounds assert those ceilings.
+    val (p, base) = graft.ops.Llm.releasePipeline(spark, sf)
+    try {
+      def snapScans(slot: String): Int =
+        p(slot).queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+                 org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+               r.relation.asInstanceOf[
+                 org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                 .location.rootPaths.exists(_.toString.contains("corpus_snapshot")) => r
+        }.size
+      assert(snapScans("normed") == 1 && snapScans("kept") == 1
+        && snapScans("uniq") == 1, "pre-LSH stages must read the snapshot once")
+      assert(snapScans("deduped") <= 3,
+        s"near-dup stage rescans regressed: ${snapScans("deduped")} > 3")
+      assert(snapScans("sampled") == 0 && snapScans("result") == 0,
+        "the sampling barrier must cut corpus lineage; the published card reads only the card snapshot")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
   test("laziness: pipeline steps build ONE fused Catalyst plan (no mid-pipeline actions)") {
     val p = DPP("li" -> Tables.lineitem(spark, sf))
     p.sequence(
