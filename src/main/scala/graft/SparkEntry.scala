@@ -201,6 +201,12 @@ object SparkEntry {
     "q_source_evolution" -> (Sources.q_source_evolution _),
     "q_source_from_json" -> (Sources.q_source_from_json _),
     "q_last_n" -> (Relational.q_last_n _),
+    "q_rfm" -> (Relational.q_rfm _),
+    "q_attribution_linear" -> (Relational.q_attribution_linear _),
+    "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
+    "q_event_gaps" -> (Relational.q_event_gaps _),
+    "q_log_odds" -> (Llm.q_log_odds _),
+    "q_quantile_norm" -> (Llm.q_quantile_norm _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
@@ -1741,6 +1747,140 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS recency,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_q
+        |  FROM cust)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns
+        |  FROM events),
+        |c AS (SELECT *,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS cnt_click,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS cnt_view,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS cnt_error,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS cnt_signup
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *, cnt_click + cnt_view + cnt_error + cnt_signup AS n_touch
+        |  FROM c WHERE event_type = 'purchase'),
+        |credits AS (
+        |  SELECT 'click' AS channel, CAST(round(value * CAST(cnt_click AS DOUBLE)
+        |      / CAST(n_touch AS DOUBLE) * 10000 + 1e-9, 0) AS BIGINT) AS credit_4
+        |    FROM p WHERE n_touch > 0 AND cnt_click > 0
+        |  UNION ALL
+        |  SELECT 'view', CAST(round(value * CAST(cnt_view AS DOUBLE)
+        |      / CAST(n_touch AS DOUBLE) * 10000 + 1e-9, 0) AS BIGINT)
+        |    FROM p WHERE n_touch > 0 AND cnt_view > 0
+        |  UNION ALL
+        |  SELECT 'error', CAST(round(value * CAST(cnt_error AS DOUBLE)
+        |      / CAST(n_touch AS DOUBLE) * 10000 + 1e-9, 0) AS BIGINT)
+        |    FROM p WHERE n_touch > 0 AND cnt_error > 0
+        |  UNION ALL
+        |  SELECT 'signup', CAST(round(value * CAST(cnt_signup AS DOUBLE)
+        |      / CAST(n_touch AS DOUBLE) * 10000 + 1e-9, 0) AS BIGINT)
+        |    FROM p WHERE n_touch > 0 AND cnt_signup > 0
+        |  UNION ALL
+        |  SELECT 'direct', CAST(round(value * 10000 + 1e-9, 0) AS BIGINT)
+        |    FROM p WHERE n_touch = 0)
+        |SELECT channel, count(*) AS n_credits,
+        |  CAST(sum(credit_4) AS BIGINT) AS revenue_4
+        |FROM credits GROUP BY channel HAVING sum(credit_4) > 0
+        |ORDER BY channel""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_ns(ts) // 1000 // 604800000000 AS week
+        |  FROM events),
+        |fs AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |weekly AS (
+        |  SELECT cohort_week, e.week - cohort_week AS weeks_since,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS wrev
+        |  FROM e JOIN fs USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_week, weeks_since,
+        |  CAST(wrev AS DOUBLE) AS weekly_revenue,
+        |  CAST(sum(wrev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_ltv
+        |FROM weekly ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id)) // 1000 AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us_floor
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_log_odds" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (
+        |  SELECT word,
+        |    count(CASE WHEN source = 'src0' THEN 1 END) AS y_i,
+        |    count(CASE WHEN source <> 'src0' THEN 1 END) AS y_j
+        |  FROM w GROUP BY word HAVING count(*) >= 20),
+        |tot AS (
+        |  SELECT count(CASE WHEN source = 'src0' THEN 1 END) AS n_i,
+        |    count(CASE WHEN source <> 'src0' THEN 1 END) AS n_j
+        |  FROM w),
+        |m AS (SELECT word, y_i, y_j,
+        |    1000.0 * (CAST(y_i + y_j AS DOUBLE) / CAST(n_i + n_j AS DOUBLE)) AS aw,
+        |    CAST(n_i AS DOUBLE) AS ni, CAST(n_j AS DOUBLE) AS nj
+        |  FROM counts, tot),
+        |z AS (SELECT word, y_i, y_j,
+        |    (ln((CAST(y_i AS DOUBLE) + aw) / (ni + 1000.0 - CAST(y_i AS DOUBLE) - aw))
+        |     - ln((CAST(y_j AS DOUBLE) + aw) / (nj + 1000.0 - CAST(y_j AS DOUBLE) - aw)))
+        |    / sqrt(1.0 / (CAST(y_i AS DOUBLE) + aw) + 1.0 / (CAST(y_j AS DOUBLE) + aw))
+        |      AS zval
+        |  FROM m)
+        |SELECT word, y_i, y_j,
+        |  CAST(round(zval * 1000000 + 1e-9, 0) AS BIGINT) AS z_micro
+        |FROM z ORDER BY word""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH sv AS (
+        |  SELECT source, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |sc AS (SELECT source, n_chars,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS n_src
+        |  FROM sv),
+        |gv AS (SELECT n_chars, count(*) AS gcnt FROM documents GROUP BY 1),
+        |gc AS (SELECT n_chars AS gval,
+        |    sum(gcnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum,
+        |    sum(gcnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - gcnt AS gprev
+        |  FROM gv),
+        |n AS (SELECT count(*) AS n_all FROM documents),
+        |mapped AS (
+        |  SELECT sc.source, sc.n_chars, gc.gval AS norm_chars
+        |  FROM sc CROSS JOIN n
+        |  JOIN gc ON ((sc.cum * n.n_all + sc.n_src - 1) // sc.n_src) > gc.gprev
+        |         AND ((sc.cum * n.n_all + sc.n_src - 1) // sc.n_src) <= gc.gcum)
+        |SELECT d.doc_id, d.source, d.n_chars, m.norm_chars
+        |FROM documents d JOIN mapped m USING (source, n_chars)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_last_n" ->
       """WITH r AS (

@@ -1371,6 +1371,90 @@ object Llm {
       .filter(col("cf") >= 50)
       .orderBy("term")
 
+  /** Differential word usage — log-odds ratio with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words":
+    * Political Analysis 16(4) §3.5): which words distinguish source
+    * 'src0' from the rest of the corpus, variance-stabilized so rare
+    * words don't dominate the way raw log-odds or PMI would. The prior
+    * α_w = a0·(global_w / global_total) shrinks per-word odds toward
+    * the corpus-wide rate. All inputs are exact integer counts; δ, σ²
+    * and z are computed from them with the identical expression tree in
+    * both engines and z is rounded to a micro-integer (the house
+    * convention for transcendental outputs). Shape at 100 TB: the
+    * corpus collapses to the Zipf-bounded vocabulary before any math —
+    * one explode + one word-grain agg, a cf floor bounds the output.
+    */
+  def q_log_odds(s: SparkSession, d: String): DataFrame = {
+    val a0 = 1000.0
+    val words = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val counts = words.groupBy("word").agg(
+      count(when(col("source") === "src0", lit(1))).as("y_i"),
+      count(when(col("source") =!= "src0", lit(1))).as("y_j"))
+      .filter(col("y_i") + col("y_j") >= 20)
+    val tot = words.agg(
+      count(when(col("source") === "src0", lit(1))).as("n_i"),
+      count(when(col("source") =!= "src0", lit(1))).as("n_j"))
+    def dbl(c: Column) = c.cast("double")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("aw",
+        lit(a0) * (dbl(col("y_i") + col("y_j")) / dbl(col("n_i") + col("n_j"))))
+      .withColumn("delta",
+        log((dbl(col("y_i")) + col("aw"))
+            / (dbl(col("n_i")) + lit(a0) - dbl(col("y_i")) - col("aw")))
+          - log((dbl(col("y_j")) + col("aw"))
+            / (dbl(col("n_j")) + lit(a0) - dbl(col("y_j")) - col("aw"))))
+      .withColumn("variance",
+        lit(1.0) / (dbl(col("y_i")) + col("aw"))
+          + lit(1.0) / (dbl(col("y_j")) + col("aw")))
+      .select(col("word"), col("y_i"), col("y_j"),
+        round(col("delta") / sqrt(col("variance")) * 1000000 + lit(1e-9), 0)
+          .cast("long").as("z_micro"))
+      .orderBy("word")
+  }
+
+  /** Quantile normalization across sources — map every source's
+    * `n_chars` distribution onto the POOLED corpus distribution (the
+    * microarray-normalization classic, used in data mixing to strip
+    * per-source length bias while preserving each source's ranking):
+    * a doc at within-source CDF position q is assigned the smallest
+    * global value whose global CDF reaches q (inverse-CDF step
+    * function — EXACT integer cross-multiplied comparisons, no
+    * interpolation, no floats anywhere). Shape at 100 TB: both CDFs
+    * live at VALUE grain (distinct n_chars ≪ docs — the windows sort
+    * thousands of rows, never the corpus); the value→value map
+    * broadcasts back onto the doc-grain relation.
+    */
+  def q_quantile_norm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sv = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val ws = Window.partitionBy("source").orderBy("n_chars")
+    val sc = sv
+      .withColumn("cum", sum("cnt").over(
+        ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_src", sum("cnt").over(
+        Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val gv = docs.groupBy("n_chars").agg(count(lit(1)).as("gcnt"))
+    val wg = Window.orderBy("n_chars")
+    val gc = gv
+      .withColumn("gcum", sum("gcnt").over(
+        wg.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gprev", col("gcum") - col("gcnt"))
+      .select(col("n_chars").as("gval"), col("gcum"), col("gprev"))
+    val n = docs.agg(count(lit(1)).as("n_all"))
+    // target global rank r = ceil(cum * N / n_src), matched to the
+    // unique global value owning cum range (gprev, gcum]
+    val mapped = sc.crossJoin(broadcast(n))
+      .withColumn("r", expr("(cum * n_all + n_src - 1) div n_src"))
+      .join(broadcast(gc), col("r") > col("gprev") && col("r") <= col("gcum"))
+      .select(col("source"), col("n_chars"), col("gval").as("norm_chars"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(mapped), Seq("source", "n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram LM sufficient statistics — the integer count tables a
     * Kneser-Ney/Katz n-gram model trains from: per surviving bigram,
     * `c12` = bigram count, `c1` = left-context count Σc(w1·),

@@ -3639,4 +3639,123 @@ object Relational {
         array_join(transform(col("last_event_ids"), _.cast("string")), ",")
           .as("last_event_ids"))
       .orderBy("user_id")
+
+  /** RFM segmentation — the classic customer-value cube: per customer
+    * Recency (latest order date), Frequency (order count), Monetary
+    * (DECIMAL revenue sum), each quintile-coded with `ntile(5)` under a
+    * DETERMINISTIC order (metric, then custkey — equal metrics must not
+    * shuffle between quintiles run to run), rolled up to segment counts
+    * (≤125 rows). Scale shape: the fact table collapses to CUSTOMER
+    * grain first (one map-side-combined agg), so the three ntile
+    * windows sort the customer relation, not the orders; ntile is a
+    * global window — at extreme customer counts swap it for broadcast
+    * quantile thresholds (the [[q_feature_bins]] path) at the cost of
+    * exact equal-count buckets on ties.
+    */
+  def q_rfm(s: SparkSession, d: String): DataFrame = {
+    val cust = orders(s, d).groupBy("o_custkey").agg(
+      max("o_orderdate").as("recency"),
+      count(lit(1)).as("frequency"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+    val withQ = cust
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("o_custkey"))).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey"))).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+    withQ.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("segment_revenue"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** LINEAR multi-touch attribution — the even-split sibling of
+    * [[q_attribution_last]]: every purchase's value is divided equally
+    * across ALL of the user's preceding non-purchase touches, and each
+    * touch's share accrues to its channel (event type). No per-pair
+    * explosion: with ~6 channel types, one user-keyed window per
+    * channel carries the RUNNING count of that channel's touches, so a
+    * purchase row holds (per-channel count, total count) and credits
+    * close-form — the pair join a naive formulation pays never
+    * materializes. Exact-sum discipline: each per-purchase credit is
+    * rounded to an integer ten-thousandth from identical (value, cnt,
+    * n) inputs in both engines, then integer-summed (order-free).
+    * Purchases with NO preceding touch credit 'direct' in full.
+    */
+  def q_attribution_linear(s: SparkSession, d: String): DataFrame = {
+    val channels = Seq("click", "view", "error", "signup")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counted = channels.foldLeft(
+      events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ns"))) { (df, c) =>
+      df.withColumn(s"cnt_$c",
+        count(when(col("event_type") === c, lit(1))).over(w))
+    }
+    val purchases = counted.filter(col("event_type") === "purchase")
+      .withColumn("n_touch", channels.map(c => col(s"cnt_$c")).reduce(_ + _))
+    val credits = channels.map { c =>
+      purchases.filter(col("n_touch") > 0 && col(s"cnt_$c") > 0)
+        .select(lit(c).as("channel"),
+          round(col("value") * col(s"cnt_$c").cast("double")
+              / col("n_touch").cast("double") * 10000 + lit(1e-9), 0)
+            .cast("long").as("credit_4"))
+    }.reduce(_ unionAll _)
+      .unionAll(purchases.filter(col("n_touch") === 0)
+        .select(lit("direct").as("channel"),
+          round(col("value") * 10000 + lit(1e-9), 0).cast("long").as("credit_4")))
+    credits.groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("credit_4").as("revenue_4"))
+      .filter(col("revenue_4") > 0)
+      .orderBy("channel")
+  }
+
+  /** Cohort LTV curve — cumulative purchase revenue per signup cohort by
+    * weeks-since-signup (the [[q_retention]] grid with money instead of
+    * presence): cohort = the user's first-event week, weekly revenue is
+    * an exact DECIMAL sum at (cohort, week-offset) grain, and the
+    * running LTV is a cumulative window over the TINY cohort×offset
+    * grid (weeks², not users). The broadcastable first-seen join is the
+    * same shape retention already pays.
+    */
+  def q_cohort_ltv(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("week", expr("(ts_ns div 1000) div 604800000000"))
+    val firstSeen = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("wrev"))
+    val wc = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly
+      .select(col("cohort_week"), col("weeks_since"),
+        col("wrev").cast("double").as("weekly_revenue"),
+        sum(col("wrev")).over(wc).cast("double").as("cum_ltv"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** Per-type inter-arrival gap profile: for each user the gap to the
+    * PREVIOUS event of the same type (one user+type-keyed lag window —
+    * high-cardinality composite key, shards evenly), rolled up per type
+    * with exact integer nanosecond arithmetic (min / max / integer-div
+    * mean — no float drift in any engine).
+    */
+  def q_event_gaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ns"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ns"))
+      .withColumn("gap_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+      .withColumn("gap_us", expr("gap_ns div 1000"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        // exact integer mean: µs sums stay < 2^63 at any plausible SF
+        // (ns sums would overflow LongType near sf100×10)
+        expr("sum(gap_us) div count(1)").as("mean_gap_us_floor"))
+      .orderBy("event_type")
+  }
 }

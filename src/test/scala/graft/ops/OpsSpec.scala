@@ -568,6 +568,89 @@ class OpsSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("q_rfm: every customer in exactly one segment, quintiles balanced within 1") {
+    import spark.implicits._
+    val seg = Relational.q_rfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(seg.map(_.getLong(3)).sum == nCust, "segments must partition customers")
+    assert(seg.length <= 125)
+    for (dim <- 0 to 2) {
+      val byQ = seg.groupBy(_.getLong(dim)).view.mapValues(_.map(_.getLong(3)).sum)
+      assert(byQ.values.max - byQ.values.min <= 1,
+        s"ntile quintiles of dim $dim must balance within 1: $byQ")
+    }
+  }
+
+  test("q_attribution_linear conserves purchase revenue within per-credit rounding") {
+    val out = Relational.q_attribution_linear(spark, sf).collect()
+    val credited = out.map(_.getLong(2)).sum
+    val nCredits = out.map(_.getLong(1)).sum
+    val total = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value") * 10000)).head().getDouble(0)
+    assert(math.abs(credited - total) <= nCredits.toDouble,
+      s"credits $credited must equal purchase total $total within rounding (±1 per credit)")
+  }
+
+  test("q_cohort_ltv: cumulative LTV is nondecreasing and ends at the cohort total") {
+    import spark.implicits._
+    val rows = Relational.q_cohort_ltv(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().groupBy(_._1)
+    for ((cohort, curve) <- rows) {
+      val sorted = curve.sortBy(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4 - 1e-9; case _ => true
+      }, s"cohort $cohort LTV must be nondecreasing")
+      assert(math.abs(sorted.map(_._3).sum - sorted.last._4) < 1e-6)
+    }
+  }
+
+  test("q_event_gaps: gaps positive, mean bracketed by min and max") {
+    val rows = Relational.q_event_gaps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn >= 0 && mn <= mean && mean <= mx, s"bad gap bracket: $r")
+    }
+  }
+
+  test("q_log_odds: z re-derives from exact counts for the extreme word") {
+    import spark.implicits._
+    val out = Llm.q_log_odds(spark, sf).as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.exists(_._4 != 0))
+    val (ni, nj) = {
+      val t = Tables.documents(spark, sf)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .agg(count(when(col("source") === "src0", 1)),
+          count(when(col("source") =!= "src0", 1))).head()
+      (t.getLong(0), t.getLong(1))
+    }
+    val (w, yi, yj, zMicro) = out.maxBy(r => math.abs(r._4))
+    val aw = 1000.0 * ((yi + yj).toDouble / (ni + nj).toDouble)
+    val delta = math.log((yi + aw) / (ni + 1000.0 - yi - aw)) -
+      math.log((yj + aw) / (nj + 1000.0 - yj - aw))
+    val z = delta / math.sqrt(1.0 / (yi + aw) + 1.0 / (yj + aw))
+    assert(math.abs(z * 1000000 - zMicro) <= 1, s"driver re-derivation of '$w' off: $z vs $zMicro")
+  }
+
+  test("q_quantile_norm: monotone per source, values drawn from the global support") {
+    import spark.implicits._
+    val out = Llm.q_quantile_norm(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val globalVals = Tables.documents(spark, sf)
+      .select("n_chars").as[Long].collect().toSet
+    assert(out.forall(r => globalVals.contains(r._4)),
+      "normalized values must come from the pooled support")
+    for ((_, rows) <- out.groupBy(_._2)) {
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 < b._3 || a._4 == b._4; case _ => true
+      }, "same input value must map to the same normalized value")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        "quantile map must be monotone within each source")
+    }
+  }
+
   test("orc round-trip preserves values; predicates push into the ORC scan") {
     val orc = Sources.q_source_orc(spark, sf)
     val sup = Tables.supplier(spark, sf)
