@@ -207,6 +207,8 @@ object SparkEntry {
     "q_event_gaps" -> (Relational.q_event_gaps _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
+    "q_weighted_median" -> (Llm.q_weighted_median _),
+    "q_drift_wasserstein" -> (Llm.q_drift_wasserstein _),
     // LLM: dedup
     "q_dedup_exact" -> (Llm.q_dedup_exact _),
     "q_dedup_minhash" -> (Llm.q_dedup_minhash _),
@@ -1856,6 +1858,40 @@ object SparkEntry {
         |SELECT word, y_i, y_j,
         |  CAST(round(zval * 1000000 + 1e-9, 0) AS BIGINT) AS z_micro
         |FROM z ORDER BY word""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH v AS (
+        |  SELECT source, n_chars,
+        |    sum(len(string_split(text, ' '))) AS wsum
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars,
+        |    sum(wsum) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wsum) OVER (PARTITION BY source) AS w_total
+        |  FROM v)
+        |SELECT source, min(n_chars) AS weighted_median_chars,
+        |  CAST(max(w_total) AS BIGINT) AS total_tokens
+        |FROM c WHERE cum * 2 >= w_total
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_drift_wasserstein" ->
+      """WITH bv AS (
+        |  SELECT n_chars,
+        |    count(CASE WHEN source = 'src0' THEN 1 END) AS ca,
+        |    count(CASE WHEN source <> 'src0' THEN 1 END) AS cb
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(CASE WHEN source = 'src0' THEN 1 END) AS na,
+        |    count(CASE WHEN source <> 'src0' THEN 1 END) AS nb
+        |  FROM documents),
+        |c AS (SELECT n_chars,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    lead(n_chars, 1) OVER (ORDER BY n_chars) - n_chars AS gap
+        |  FROM bv
+        |  WINDOW w AS (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(sum(abs(cuma * nb - cumb * na) * gap) AS BIGINT) AS w1_numer,
+        |  CAST(max(na * nb) AS BIGINT) AS w1_denom
+        |FROM c CROSS JOIN t WHERE gap IS NOT NULL""".stripMargin,
 
     "q_quantile_norm" ->
       """WITH sv AS (

@@ -1413,6 +1413,67 @@ object Llm {
       .orderBy("word")
   }
 
+  /** Exact WEIGHTED median per group — the percentile family's missing
+    * member: each document weighs by its token count, so the statistic
+    * answers "the length at which half the corpus TOKENS sit in shorter
+    * docs" (the curriculum/packing planner's question; the unweighted
+    * median over-represents short docs). Exact integer selection at
+    * VALUE grain: per (source, value) weight sums, a cumulative window
+    * over the tiny distinct-value relation, then the smallest value
+    * whose doubled cumulative weight reaches the total — no floats, no
+    * interpolation, cross-engine exact.
+    */
+  def q_weighted_median(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("source"), col("n_chars"),
+        graft.functions.Vec.wordCount(col("text")).as("w"))
+    val vals = docs.groupBy("source", "n_chars").agg(sum("w").as("wsum"))
+    val win = Window.partitionBy("source").orderBy("n_chars")
+    val tot = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vals
+      .withColumn("cum", sum("wsum").over(
+        win.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("w_total", sum("wsum").over(tot))
+      .filter(col("cum") * 2 >= col("w_total"))
+      .groupBy("source")
+      .agg(min("n_chars").as("weighted_median_chars"),
+        max("w_total").as("total_tokens"))
+      .orderBy("source")
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between the benchmark
+    * source's length distribution and the rest of the corpus — the
+    * drift family's metric with UNITS (expected chars a doc must move),
+    * complementing PSI/JS (bin-relative) and KS (sup-norm). W₁ =
+    * ∫|F_a − F_b| over the value axis, computed EXACTLY in integers by
+    * cross-multiplying the two CDFs to the common denominator n_a·n_b:
+    * Σ |cumA·n_b − cumB·n_a| · (v_{i+1} − v_i), emitted as that integer
+    * numerator plus the denominator (the rational IS the statistic).
+    * Value-grain everything: two counts, one merged cumulative window
+    * over distinct lengths, one lead().
+    */
+  def q_drift_wasserstein(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val byVal = docs.groupBy("n_chars").agg(
+      count(when(col("source") === "src0", lit(1))).as("ca"),
+      count(when(col("source") =!= "src0", lit(1))).as("cb"))
+    val w = Window.orderBy("n_chars")
+    val tot = docs.agg(
+      count(when(col("source") === "src0", lit(1))).as("na"),
+      count(when(col("source") =!= "src0", lit(1))).as("nb"))
+    byVal
+      .withColumn("cuma", sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumb", sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead("n_chars", 1).over(w) - col("n_chars"))
+      .filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(abs(col("cuma") * col("nb") - col("cumb") * col("na")) * col("gap"))
+          .cast("long").as("w1_numer"),
+        max(col("na") * col("nb")).as("w1_denom"))
+  }
+
   /** Quantile normalization across sources — map every source's
     * `n_chars` distribution onto the POOLED corpus distribution (the
     * microarray-normalization classic, used in data mixing to strip

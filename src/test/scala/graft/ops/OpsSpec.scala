@@ -651,6 +651,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_weighted_median re-derives from a driver-side weighted selection") {
+    import spark.implicits._
+    val got = Llm.q_weighted_median(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("w"))
+      .as[(String, Long, Long)].collect()
+    for ((src, docs) <- rows.groupBy(_._1)) {
+      val total = docs.map(_._3).sum
+      val sorted = docs.sortBy(_._2)
+      var cum = 0L
+      val med = sorted.find { d => cum += d._3; cum * 2 >= total }.get._2
+      assert(got(src) == (med, total), s"$src: got ${got(src)}, want ($med, $total)")
+    }
+  }
+
+  test("q_drift_wasserstein: exact rational W1 matches a driver replay; bounds hold") {
+    val row = Llm.q_drift_wasserstein(spark, sf).head()
+    val (numer, denom) = (row.getLong(0), row.getLong(1))
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("source") === "src0").as("isA"))
+      .as[(Long, Boolean)].collect()
+    val na = docs.count(_._2).toLong
+    val nb = docs.size - na
+    val vals = docs.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2).toLong, g.count(!_._2).toLong))
+      .toSeq.sortBy(_._1)
+    var (cuma, cumb, acc) = (0L, 0L, 0L)
+    for (Seq((v1, (a, b)), (v2, _)) <- vals.sliding(2).map(_.toSeq)) {
+      cuma += a; cumb += b
+      acc += math.abs(cuma * nb - cumb * na) * (v2 - v1)
+    }
+    assert((numer, denom) == (acc, na * nb), s"got ($numer,$denom), want ($acc,${na * nb})")
+    val range = vals.last._1 - vals.head._1
+    assert(numer >= 0 && numer <= denom * range, "W1 must sit in [0, range]")
+  }
+
   test("orc round-trip preserves values; predicates push into the ORC scan") {
     val orc = Sources.q_source_orc(spark, sf)
     val sup = Tables.supplier(spark, sf)
