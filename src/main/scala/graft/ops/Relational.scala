@@ -3642,28 +3642,42 @@ object Relational {
 
   /** RFM segmentation — the classic customer-value cube: per customer
     * Recency (latest order date), Frequency (order count), Monetary
-    * (DECIMAL revenue sum), each quintile-coded with `ntile(5)` under a
-    * DETERMINISTIC order (metric, then custkey — equal metrics must not
-    * shuffle between quintiles run to run), rolled up to segment counts
-    * (≤125 rows). Scale shape: the fact table collapses to CUSTOMER
-    * grain first (one map-side-combined agg), so the three ntile
-    * windows sort the customer relation, not the orders; ntile is a
-    * global window — at extreme customer counts swap it for broadcast
-    * quantile thresholds (the [[q_feature_bins]] path) at the cost of
-    * exact equal-count buckets on ties.
+    * (DECIMAL revenue sum), each quintile-coded under a DETERMINISTIC
+    * total order (metric, then custkey — equal metrics must not shuffle
+    * between quintiles run to run), rolled up to segment counts (≤125
+    * rows). Scale shape: the fact table collapses to CUSTOMER grain
+    * first (one map-side-combined agg); each quintile code comes from
+    * [[Scale.globalSequence]] (range-partitioned terasort ranking — the
+    * r13 sf100 spot measured the naive global `ntile(5)` window at
+    * 87 s in ONE task on 15M customers; three distributed sorts replace
+    * it) plus the exact ntile(5) CLOSED FORM over the global rank, so
+    * the output is bit-identical to the window formulation the DuckDB
+    * oracle runs (first N mod 5 buckets take the extra row).
     */
   def q_rfm(s: SparkSession, d: String): DataFrame = {
     val cust = orders(s, d).groupBy("o_custkey").agg(
       max("o_orderdate").as("recency"),
       count(lit(1)).as("frequency"),
       sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
-    val withQ = cust
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy(col("recency").desc, col("o_custkey"))).cast("long"))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("o_custkey"))).cast("long"))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+      .localCheckpoint() // 3 rank passes + count read ONE materialization
+    val n = cust.count()
+    val (q5, rem) = (n / 5, n % 5)
+    val t = rem * (q5 + 1)
+    // ntile(5) closed form for rank r in 1..n (when-branch division by
+    // q5=0 at n<5 is dead: rem=n makes r<=t always true)
+    def quintile(df: DataFrame, order: Seq[Column], name: String): DataFrame =
+      Scale.globalSequence(df, order, "__pos")
+        .withColumn(name,
+          if (rem == 0) expr(s"(__pos - 1) div $q5 + 1")
+          else when(col("__pos") <= t, expr(s"(__pos - 1) div ${q5 + 1} + 1"))
+            .otherwise(expr(s"$rem + (__pos - $t - 1) div $q5 + 1")))
+        .drop("__pos")
+    val withQ = quintile(
+      quintile(
+        quintile(cust,
+          Seq(col("recency").desc, col("o_custkey")), "r_q"),
+        Seq(col("frequency").desc, col("o_custkey")), "f_q"),
+      Seq(col("monetary").desc, col("o_custkey")), "m_q")
     withQ.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary")).cast("double").as("segment_revenue"))
