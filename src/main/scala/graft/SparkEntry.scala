@@ -202,6 +202,7 @@ object SparkEntry {
     "q_source_from_json" -> (Sources.q_source_from_json _),
     "q_last_n" -> (Relational.q_last_n _),
     "q_rfm" -> (Relational.q_rfm _),
+    "q_cdc_apply" -> (Relational.q_cdc_apply _),
     "q_attribution_linear" -> (Relational.q_attribution_linear _),
     "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
     "q_event_gaps" -> (Relational.q_event_gaps _),
@@ -1749,6 +1750,28 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS value
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |log AS (
+        |  SELECT event_id % 4000 AS key,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D'
+        |         WHEN event_id % 11 < 6 THEN 'U' ELSE 'I' END AS op,
+        |    value AS new_value, epoch_ns(ts) AS seq, event_id
+        |  FROM events),
+        |last_op AS (
+        |  SELECT key, op, new_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY seq DESC, event_id DESC) AS rn FROM log)
+        |  WHERE rn = 1)
+        |SELECT key,
+        |  CASE WHEN op IS NOT NULL THEN new_value ELSE value END AS value,
+        |  coalesce(op, 'base') AS last_op
+        |FROM base FULL OUTER JOIN last_op USING (key)
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "q_rfm" ->
       """WITH cust AS (

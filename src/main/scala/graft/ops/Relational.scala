@@ -855,6 +855,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** CDC changelog apply — the Debezium/stream-ingest pattern
+    * [[q_upsert]] does NOT cover: a log of keyed I/U/D operations with
+    * sequence numbers folds onto a base table, LAST-writer-wins per key
+    * (op order matters — an update after a delete re-inserts; a delete
+    * after ten updates removes). One rank-filter window over the
+    * changelog (key-partitioned, high cardinality) picks each key's
+    * final op, then a single full-outer join applies it: base rows
+    * without log entries survive, final 'D' drops the key even if it
+    * was never in the base, final I/U wins over the base value. The
+    * changelog is synthesized from events (op by modulo, seq = event
+    * time) so the oracle replays it exactly.
+    */
+  def q_cdc_apply(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("value"))
+    val log = events(s, d).select(
+      (col("event_id") % 4000).as("key"),
+      when(col("event_id") % 11 === 0, "D")
+        .when(col("event_id") % 11 < 6, "U").otherwise("I").as("op"),
+      col("value").as("new_value"),
+      col("ts_ns").as("seq"), col("event_id"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("seq").desc, col("event_id").desc)
+    val lastOp = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "seq", "event_id")
+    base.join(lastOp, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op").isNotNull, col("new_value")).otherwise(col("value"))
+          .as("value"),
+        coalesce(col("op"), lit("base")).as("last_op"))
+      .orderBy("key")
+  }
+
   /** Funnel analysis over the events stream: users who signed up, then
     * clicked AFTER signup, then purchased AFTER that click. One
     * aggregation pass: conditional min-timestamps per user, then stage

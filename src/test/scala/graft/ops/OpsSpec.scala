@@ -651,6 +651,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cdc_apply: last-writer-wins fold matches a driver replay of the changelog") {
+    import spark.implicits._
+    val got = Relational.q_cdc_apply(spark, sf)
+      .as[(Long, Double, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val base = Tables.orders(spark, sf).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect().toMap
+    val log = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"), col("ts_ns"))
+      .as[(Long, Double, Long)].collect()
+    val lastOp = log.groupBy(_._1 % 4000).view.mapValues { ops =>
+      val (id, v, _) = ops.maxBy(e => (e._3, e._1))
+      val op = if (id % 11 == 0) "D" else if (id % 11 < 6) "U" else "I"
+      (op, v)
+    }.toMap
+    val expect = (base.keySet ++ lastOp.keySet).flatMap { k =>
+      lastOp.get(k) match {
+        case Some(("D", _)) => None
+        case Some((op, v)) => Some(k -> (v, op))
+        case None => Some(k -> (base(k), "base"))
+      }
+    }.toMap
+    assert(got == expect)
+    // the interesting CDC cases must be NON-VACUOUS on the fixture:
+    assert(got.exists(_._2._2 == "I"), "re-insert/new-key inserts present")
+    assert(got.exists(_._2._2 == "U"), "updates present")
+    assert(lastOp.exists(_._2._1 == "D"), "deletes present in the log")
+    assert(got.exists(_._2._2 == "base"), "untouched base rows survive")
+  }
+
   test("q_weighted_median re-derives from a driver-side weighted selection") {
     import spark.implicits._
     val got = Llm.q_weighted_median(spark, sf)
