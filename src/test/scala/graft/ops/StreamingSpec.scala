@@ -467,6 +467,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("ValueState TTL: expired running totals restart; TTLConfig.NONE accumulates forever") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ProcessingTime time mode constructs micro-batches CONTINUOUSLY
+      // (TTL/timer semantics need batches without new data), so
+      // processAllAvailable never settles — poll the sink instead.
+      def awaitRows(name: String, want: Int, timeoutMs: Long = 60000): Seq[(Long, Long, Double)] = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        var rows = Seq.empty[(Long, Long, Double)]
+        while (rows.length < want && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          rows = spark.table(name).as[(Long, Long, Double)].collect().toSeq
+        }
+        assert(rows.length >= want, s"$name: expected $want emissions, got $rows")
+        rows
+      }
+      def run(ttl: org.apache.spark.sql.streaming.TTLConfig, name: String): Seq[(Long, Long, Double)] = {
+        val in = MemoryStream[Ev]
+        val q = in.toDS().groupByKey(_.user_id)
+          .transformWithState(new Streaming.RunningTotalsProcessor(ttl),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n", "sum")
+          .writeStream.format("memory").queryName(name).outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+          .start()
+        queries = q :: queries
+        in.addData(Ev(1, 1, "click", 10.0, ts(1)))
+        awaitRows(name, 1)
+        Thread.sleep(2500) // >> the 1 s TTL — expiry is the SAFE direction
+        in.addData(Ev(2, 1, "click", 5.0, ts(2)))
+        val rows = awaitRows(name, 2)
+        q.stop() // continuous empty batches otherwise — stop before the next run
+        rows
+      }
+      val expired = run(org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(1)), "ttl_expired")
+      // batch-2 emission restarts from zero: (1, 5.0), not (2, 15.0)
+      assert(expired.contains((1L, 1L, 5.0)) && !expired.contains((1L, 2L, 15.0)),
+        s"TTL'd state must expire across the sleep: $expired")
+      val forever = run(org.apache.spark.sql.streaming.TTLConfig.NONE, "ttl_none")
+      assert(forever.contains((1L, 2L, 15.0)),
+        s"TTLConfig.NONE state must survive the same sleep: $forever")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ListState ring end-state equals the batch lastNPerKey on the same events") {
     val s = spark
     import s.implicits._
