@@ -203,6 +203,7 @@ object SparkEntry {
     "q_last_n" -> (Relational.q_last_n _),
     "q_rfm" -> (Relational.q_rfm _),
     "q_cdc_apply" -> (Relational.q_cdc_apply _),
+    "q_key_skew" -> (Relational.q_key_skew _),
     "q_attribution_linear" -> (Relational.q_attribution_linear _),
     "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
     "q_event_gaps" -> (Relational.q_event_gaps _),
@@ -1750,6 +1751,19 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH kc AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  max(cnt) AS max_key_rows,
+        |  round(quantile_cont(cnt, 0.50), 4) AS p50_key_rows,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99_key_rows,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS max_share_ppm
+        |FROM kc GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH base AS (

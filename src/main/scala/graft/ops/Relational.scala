@@ -855,6 +855,30 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Key-skew diagnostic profile — the pre-flight a 100 TB job runs
+    * BEFORE keying a shuffle on a column: per event type, the key
+    * cardinality, the heaviest key's share (ppm, exact integer
+    * cross-multiplication), and the p99/p50 key-frequency percentiles —
+    * the numbers that decide between a plain shuffle, salting, and
+    * AQE skew splits. Two aggregations: key-grain counts (map-side
+    * combined), then a type-grain rollup over the key-count relation.
+    */
+  def q_key_skew(s: SparkSession, d: String): DataFrame = {
+    val keyCounts = events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val pcts = percentile(col("cnt"), lit(Array(0.5, 0.99)))
+    keyCounts.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_key_rows"),
+        round(element_at(pcts, 1), 4).as("p50_key_rows"),
+        round(element_at(pcts, 2), 4).as("p99_key_rows"))
+      .withColumn("max_share_ppm",
+        expr("max_key_rows * 1000000 div n_rows"))
+      .orderBy("event_type")
+  }
+
   /** CDC changelog apply — the Debezium/stream-ingest pattern
     * [[q_upsert]] does NOT cover: a log of keyed I/U/D operations with
     * sequence numbers folds onto a base table, LAST-writer-wins per key

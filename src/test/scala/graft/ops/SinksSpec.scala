@@ -444,6 +444,25 @@ class SinksSpec extends AnyFunSuite {
       s"compression must shrink files: $sizes")
   }
 
+  test("file-size governance: maxRecordsPerFile bounds every output file") {
+    // the write-side sibling of small-file compaction: a 100 TB table
+    // must bound file sizes at WRITE time (downstream split planning,
+    // object-store part limits) — maxRecordsPerFile rolls a partition's
+    // writer to a new file every N records without an extra shuffle
+    val li = Tables.lineitem(spark, sf).coalesce(2)
+    val total = li.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxrec").toString
+    val cap = 500L
+    li.write.mode("overwrite").option("maxRecordsPerFile", cap).parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= math.ceil(total.toDouble / cap).toInt,
+      s"expected at least ${total / cap} files, got ${files.length}")
+    for (f <- files)
+      assert(spark.read.parquet(f).count() <= cap, s"$f exceeds the record cap")
+    assert(spark.read.parquet(dir).count() == total, "governed write loses nothing")
+  }
+
   test("CBO: ANALYZE statistics drive static broadcast selection (no AQE, no hints)") {
     // catalog stats are the PRE-RUNTIME half of the size story: with
     // AQE off and no broadcast hint, the planner can only pick a
