@@ -3759,24 +3759,35 @@ object Relational {
     val channels = Seq("click", "view", "error", "signup")
     val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val counted = channels.foldLeft(
-      events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), col("ts_ns"))) { (df, c) =>
-      df.withColumn(s"cnt_$c",
-        count(when(col("event_type") === c, lit(1))).over(w))
-    }
+    // ALL counters in one select → CollapseWindow keeps them in ONE
+    // Window node over ONE sort. A per-counter withColumn fold
+    // interleaves Projects that block the merge (measured: 4 Window
+    // nodes, and a per-channel Union replicated the subtree 5× —
+    // 21 Window nodes; PlanSpec pins the single-node shape now).
+    val counted = events(s, d).select(
+      Seq(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ns")) ++
+        channels.map(c =>
+          count(when(col("event_type") === c, lit(1))).over(w).as(s"cnt_$c")): _*)
     val purchases = counted.filter(col("event_type") === "purchase")
       .withColumn("n_touch", channels.map(c => col(s"cnt_$c")).reduce(_ + _))
-    val credits = channels.map { c =>
-      purchases.filter(col("n_touch") > 0 && col(s"cnt_$c") > 0)
-        .select(lit(c).as("channel"),
-          round(col("value") * col(s"cnt_$c").cast("double")
-              / col("n_touch").cast("double") * 10000 + lit(1e-9), 0)
-            .cast("long").as("credit_4"))
-    }.reduce(_ unionAll _)
-      .unionAll(purchases.filter(col("n_touch") === 0)
-        .select(lit("direct").as("channel"),
-          round(col("value") * 10000 + lit(1e-9), 0).cast("long").as("credit_4")))
+    // per-purchase credits as an ARRAY exploded in the same stage — no
+    // Union branch per channel, the window output is consumed once
+    val credits = purchases.select(explode(
+      when(col("n_touch") > 0,
+        filter(
+          array(channels.map(c => struct(
+            lit(c).as("channel"),
+            round(col("value") * col(s"cnt_$c").cast("double")
+                / col("n_touch").cast("double") * 10000 + lit(1e-9), 0)
+              .cast("long").as("credit_4"),
+            col(s"cnt_$c").as("cnt"))): _*),
+          x => x.getField("cnt") > 0))
+        .otherwise(array(struct(
+          lit("direct").as("channel"),
+          round(col("value") * 10000 + lit(1e-9), 0).cast("long").as("credit_4"),
+          lit(1L).as("cnt"))))).as("x"))
+      .select(col("x.channel").as("channel"), col("x.credit_4").as("credit_4"))
     credits.groupBy("channel")
       .agg(count(lit(1)).as("n_credits"), sum("credit_4").as("revenue_4"))
       .filter(col("revenue_4") > 0)

@@ -16,6 +16,22 @@ class PlanSpec extends AnyFunSuite {
   def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString()
   def optimizedOf(df: DataFrame): String = df.queryExecution.optimizedPlan.toString()
 
+  test("q_attribution_linear: all five channel counters ride ONE window (one sort)") {
+    // the whole point of the running-count formulation: no per-pair
+    // explosion AND no window-per-channel — a single user-keyed sort
+    // carries every counter. A regression to N Window nodes would
+    // multiply the dominant sf100 cost by N.
+    val plan = optimizedOf(Relational.q_attribution_linear(spark, sf))
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node:\n$plan")
+  }
+
+  test("q_quantile_norm: the value->value map broadcasts back onto the doc relation") {
+    val plan = planOf(Llm.q_quantile_norm(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the doc-grain join to broadcast the value map:\n$plan")
+  }
+
   test("projection is pruned into the parquet scan (ReadSchema)") {
     val plan = planOf(Relational.q_project_cast(spark, sf))
     // the part table has 6 columns; the scan must read only the 4 used
