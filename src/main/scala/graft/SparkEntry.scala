@@ -235,6 +235,7 @@ object SparkEntry {
     "q_readability" -> (Llm.q_readability _),
     "q_blocklist_phrases" -> (Llm.q_blocklist_phrases _),
     "q_c4_filters" -> (Llm.q_c4_filters _),
+    "q_filter_waterfall" -> (Llm.q_filter_waterfall _),
     "q_token_count" -> (Llm.q_token_count _),
     "q_fingerprint" -> (Llm.q_fingerprint _),
     "q_winnow" -> (Llm.q_winnow _),
@@ -3029,6 +3030,33 @@ object SparkEntry {
         |SELECT doc_id, n_tok, avg_wlen, stop_hits, r_len, r_wlen, r_stop, r_block,
         |  (r_len AND r_wlen AND r_stop AND r_block) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_filter_waterfall" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS stop_hits,
+        |    list_contains(string_split(text, ' '), 'slow') AS has_block
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_tok, stop_hits, has_block,
+        |    round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok + 1e-9, 4) AS avg_wlen
+        |  FROM t),
+        |k AS (SELECT n_tok,
+        |    CASE WHEN NOT (n_tok >= 30 AND n_tok <= 5000) THEN '1_len'
+        |         WHEN NOT (avg_wlen >= 3.0 AND avg_wlen <= 12.0) THEN '2_wlen'
+        |         WHEN NOT (stop_hits >= 2) THEN '3_stop'
+        |         WHEN has_block THEN '4_block'
+        |         ELSE '5_kept' END AS killed_by
+        |  FROM f),
+        |st AS (SELECT killed_by, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tokens FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_in FROM k)
+        |SELECT killed_by, n_docs, tokens,
+        |  CAST(n_in - sum(CASE WHEN killed_by <> '5_kept' THEN n_docs ELSE 0 END)
+        |    OVER (ORDER BY killed_by
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS survivors_after
+        |FROM st CROSS JOIN tot ORDER BY killed_by""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -2379,6 +2379,44 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Filter WATERFALL attribution — the pipeline-ops report next to
+    * [[q_c4_filters]]'s per-rule flags: rules apply in a declared ORDER
+    * and each doc is attributed to the FIRST rule that kills it, so the
+    * report reads as the survival waterfall an ablation writeup quotes
+    * (n in → −len → −wlen → −stop → −block → n out). Emits one row per
+    * stage with docs killed there, cumulative survivors, and the
+    * docs-killed token mass (what the filter actually costs the token
+    * budget). Same single-scan stage predicates as the cascade; the
+    * rollup is stage-grain (5 rows).
+    */
+  def q_filter_waterfall(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val flagged = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_tok"),
+        stopHits(col("text"), EnStops).as("stop_hits"),
+        array_contains(words, "slow").as("has_block"))
+      .withColumn("avg_wlen",
+        round((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok") + 1e-9, 4))
+      .withColumn("killed_by",
+        when(!(col("n_tok") >= 30 && col("n_tok") <= 5000), "1_len")
+          .when(!(col("avg_wlen") >= 3.0 && col("avg_wlen") <= 12.0), "2_wlen")
+          .when(!(col("stop_hits") >= 2), "3_stop")
+          .when(col("has_block"), "4_block")
+          .otherwise("5_kept"))
+    val stages = flagged.groupBy("killed_by")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val w = Window.orderBy("killed_by")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = flagged.agg(count(lit(1)).as("n_in"))
+    stages.crossJoin(broadcast(tot))
+      .withColumn("survivors_after",
+        col("n_in") - sum(when(col("killed_by") =!= "5_kept", col("n_docs"))
+          .otherwise(0L)).over(w))
+      .select("killed_by", "n_docs", "tokens", "survivors_after")
+      .orderBy("killed_by")
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def q_token_count(s: SparkSession, d: String): DataFrame =
     documents(s, d)

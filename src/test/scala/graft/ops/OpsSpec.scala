@@ -681,6 +681,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._2._2 == "base"), "untouched base rows survive")
   }
 
+  test("q_filter_waterfall: stages partition the corpus; waterfall agrees with the flag cascade") {
+    import spark.implicits._
+    val wf = Llm.q_filter_waterfall(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nIn = Tables.documents(spark, sf).count()
+    assert(wf.values.map(_._2).sum == nIn, "stages must partition the corpus")
+    // survivors after the last kill stage == the cascade's keep count
+    val kept = Llm.q_c4_filters(spark, sf).filter(col("keep")).count()
+    assert(wf("5_kept")._2 == kept, "first-kill attribution must agree with the flag cascade")
+    assert(wf("5_kept")._4 == kept, "final survivors == kept docs")
+    // waterfall is nonincreasing in stage order
+    val sorted = wf.values.toSeq.sortBy(_._1).map(_._4)
+    assert(sorted.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+  }
+
   test("q_weighted_median re-derives from a driver-side weighted selection") {
     import spark.implicits._
     val got = Llm.q_weighted_median(spark, sf)
