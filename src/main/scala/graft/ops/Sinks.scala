@@ -456,6 +456,38 @@ object Sinks {
     def merge(spark: SparkSession, path: String, delta: DataFrame,
               keys: Seq[String]): Int =
       commit(spark, Scale.upsert(read(spark, path), delta, keys), path)
+
+    /** CDC changelog fold as an EXACTLY-ONCE streaming sink — the
+      * Debezium-consumer composition [[merge]] (no deletes) and
+      * [[commitBatch]] (append-only) don't cover: one micro-batch of
+      * keyed I/U/D changes collapses to each key's LAST op within the
+      * batch (by `seqCols`, descending, which must totally order —
+      * shuffle arrival order must not decide), deletes anti-join the
+      * current snapshot, inserts/updates upsert, and the result commits
+      * under the micro-batch id so a replayed batch is a NO-OP (None).
+      * The batch-side fold semantics are the oracled
+      * [[graft.ops.Relational.q_cdc_apply]]; StreamingSpec pins the
+      * streamed fold equal to the batch fold on the same changes.
+      */
+    def applyChangelogBatch(spark: SparkSession, path: String,
+                            changes: DataFrame, keys: Seq[String],
+                            opCol: String, seqCols: Seq[String],
+                            batchId: Long): Option[Int] =
+      if (latestBatchId(spark, path).exists(_ >= batchId)) None
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(seqCols.map(col(_).desc): _*)
+        val last = changes
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn").drop(seqCols: _*)
+        val dels = last.filter(col(opCol) === "D").select(keys.map(col): _*)
+        val ups = last.filter(col(opCol) =!= "D").drop(opCol)
+        val next = Scale.upsert(
+          read(spark, path).join(dels, keys, "left_anti"), ups, keys)
+        Some(commit(spark, next, path, maxAttempts = 5, batchId = Some(batchId)))
+      }
   }
 
   /** Z-order (Morton-curve) clustered write: interleave the bits of TWO

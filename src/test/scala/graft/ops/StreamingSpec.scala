@@ -467,6 +467,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("streaming CDC sink: I/U/D changelog folds into the snapshot exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString + "/t"
+    Sinks.Snapshots.commit(s,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "value"), path)
+
+    val in = MemoryStream[(Long, String, Double, Long)]
+    val q = in.toDF().toDF("key", "op", "value", "seq").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sinks.Snapshots.applyChangelogBatch(batch.sparkSession, path, batch,
+          Seq("key"), "op", Seq("seq"), id)
+        ()
+      }.start()
+    queries = q :: queries
+    // batch 0: update 1, delete 2, insert 4; within-batch LWW on key 5
+    in.addData((1L, "U", 11.0, 1L), (2L, "D", 0.0, 2L), (4L, "I", 40.0, 3L),
+      (5L, "I", 50.0, 4L), (5L, "U", 55.0, 5L))
+    q.processAllAvailable()
+    // batch 1: re-insert the deleted key 2, delete 3
+    in.addData((2L, "I", 22.0, 6L), (3L, "D", 0.0, 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = Sinks.Snapshots.read(s, path).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 11.0, 2L -> 22.0, 4L -> 40.0, 5L -> 55.0),
+      s"streamed CDC fold diverged: $got")
+    // exactly-once: replaying an already-committed batch id is a no-op
+    val versionsBefore = Sinks.Snapshots.versions(s, path).size
+    val replay = Seq((9L, "I", 99.0, 8L)).toDF("key", "op", "value", "seq")
+    assert(Sinks.Snapshots.applyChangelogBatch(s, path, replay,
+      Seq("key"), "op", Seq("seq"), 0L).isEmpty, "replayed batchId must no-op")
+    assert(Sinks.Snapshots.versions(s, path).size == versionsBefore)
+    assert(!Sinks.Snapshots.read(s, path).as[(Long, Double)].collect()
+      .toMap.contains(9L))
+  }
+
   test("ValueState TTL: expired running totals restart; TTLConfig.NONE accumulates forever") {
     val s = spark
     import s.implicits._
