@@ -204,6 +204,7 @@ object SparkEntry {
     "q_rfm" -> (Relational.q_rfm _),
     "q_cdc_apply" -> (Relational.q_cdc_apply _),
     "q_key_skew" -> (Relational.q_key_skew _),
+    "q_interval_prorate" -> (Relational.q_interval_prorate _),
     "q_attribution_linear" -> (Relational.q_attribution_linear _),
     "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
     "q_event_gaps" -> (Relational.q_event_gaps _),
@@ -1752,6 +1753,30 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_interval_prorate" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    min(epoch_ns(ts)) // 1000 AS a_us,
+        |    max(epoch_ns(ts)) // 1000 AS b_us,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS value
+        |  FROM events GROUP BY user_id
+        |  HAVING max(epoch_ns(ts)) > min(epoch_ns(ts))),
+        |days AS (
+        |  SELECT user_id, value, a_us, b_us,
+        |    unnest(generate_series(a_us // 86400000000, b_us // 86400000000)) AS day
+        |  FROM spans),
+        |ol AS (
+        |  SELECT day, value, a_us, b_us,
+        |    least(b_us, (day + 1) * 86400000000) -
+        |    greatest(a_us, day * 86400000000) AS overlap_us
+        |  FROM days)
+        |SELECT day, count(*) AS n_user_days,
+        |  CAST(sum(CAST(round(value * CAST(overlap_us AS DOUBLE)
+        |      / CAST(b_us - a_us AS DOUBLE) * 10000 + 1e-9, 0) AS BIGINT))
+        |    AS BIGINT) AS revenue_4
+        |FROM ol WHERE overlap_us > 0
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q_key_skew" ->
       """WITH kc AS (

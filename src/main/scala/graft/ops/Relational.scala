@@ -855,6 +855,45 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Interval PRORATION — the allocation op the interval family
+    * ([[q_interval_union]] coverage, [[q_twap]] weighting) doesn't
+    * cover: each user's activity span [first event, last event] carries
+    * that user's total purchase value, and the value is prorated across
+    * the UTC calendar days the span touches by time-in-day share — the
+    * billing/revenue-recognition split ("a session crossing midnight
+    * books to both days"). All integer µs arithmetic: per-day overlap =
+    * min(span_end, day_end) − max(span_start, day_start); each user-day
+    * share rounds to an integer ten-thousandth from identical inputs in
+    * both engines and integer-sums to day grain. Day fanout per user is
+    * bounded by the span's day count (`sequence` explode — never a
+    * cross join against the calendar).
+    */
+  def q_interval_prorate(s: SparkSession, d: String): DataFrame = {
+    val spans = events(s, d)
+      .groupBy("user_id")
+      .agg(min("ts_ns").as("a_ns"), max("ts_ns").as("b_ns"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)).as("value"))
+      .filter(col("b_ns") > col("a_ns"))
+      .select(col("user_id"), col("value"),
+        expr("a_ns div 1000").as("a_us"), expr("b_ns div 1000").as("b_us"))
+    val dayUs = 86400000000L
+    spans
+      .withColumn("day", explode(sequence(
+        expr(s"a_us div $dayUs"), expr(s"b_us div $dayUs"))))
+      .withColumn("overlap_us",
+        least(col("b_us"), (col("day") + 1) * dayUs)
+          - greatest(col("a_us"), col("day") * dayUs))
+      .filter(col("overlap_us") > 0)
+      .withColumn("share_4",
+        round(col("value") * col("overlap_us").cast("double")
+            / (col("b_us") - col("a_us")).cast("double") * 10000 + lit(1e-9), 0)
+          .cast("long"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_user_days"), sum("share_4").as("revenue_4"))
+      .orderBy("day")
+  }
+
   /** Key-skew diagnostic profile — the pre-flight a 100 TB job runs
     * BEFORE keying a shuffle on a column: per event type, the key
     * cardinality, the heaviest key's share (ppm, exact integer

@@ -681,6 +681,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(_._2._2 == "base"), "untouched base rows survive")
   }
 
+  test("q_interval_prorate conserves each user's value within per-day rounding") {
+    val out = Relational.q_interval_prorate(spark, sf).collect()
+    val prorated = out.map(_.getLong(2)).sum
+    val nUserDays = out.map(_.getLong(1)).sum
+    val r = Tables.events(spark, sf).groupBy("user_id")
+      .agg(min("ts_ns").as("a"), max("ts_ns").as("b"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("v"))
+      .filter(col("b") > col("a"))
+      .agg(sum(col("v") * 10000)).head().getDouble(0)
+    assert(math.abs(prorated - r) <= nUserDays.toDouble,
+      s"prorated $prorated must equal span total $r within ±1 per user-day")
+    // multi-day spans must actually occur (non-vacuous split)
+    assert(out.length > 1 && nUserDays > Tables.events(spark, sf)
+      .select("user_id").distinct().count(), "spans must cross days")
+  }
+
   test("q_filter_waterfall: stages partition the corpus; waterfall agrees with the flag cascade") {
     import spark.implicits._
     val wf = Llm.q_filter_waterfall(spark, sf)
