@@ -180,13 +180,13 @@ object Bench {
           System.err.println(s"[taskstats] $name stage=$sid n=${s.length} " +
             s"p50=${pct(s, 0.50)}ms p95=${pct(s, 0.95)}ms max=${s.last}ms sum=${s.sum}ms")
         }
-      val skew =
-        if (byStage.isEmpty) 1.0
+      val (skew, suppressed) =
+        if (byStage.isEmpty) (1.0, false)
         else {
           // dominant stage = where the query's work actually is; within
           // it all tasks run identical work over one partition each
           val ts = byStage.values.maxBy(_.map(_._2).sum).map(_._2).sorted
-          if (ts.length < 8) 1.0 // too few partitions for a meaningful ratio
+          if (ts.length < 8) (1.0, false) // too few partitions for a meaningful ratio
           // noise floor: a ratio of two scheduler-granularity numbers is
           // not data skew — the r13 ladder measured q_recursive_cte (6 ms
           // median tasks, p95==max==p50±2ms in 15 dedicated runs)
@@ -194,11 +194,14 @@ object Bench {
           // (SPOT_r13_recursive_cte.json). Suppress only when the WHOLE
           // stage is in noise territory (p95 < 200 ms); a genuine
           // straggler over a small median stays visible via the 50 ms
-          // denominator floor.
-          else if (pct(ts, 0.95) < 200L) 1.0
-          else pct(ts, 0.95).toDouble / math.max(pct(ts, 0.50), 50L)
+          // denominator floor. At small SFs most stages sit under the
+          // floor, so the gate reader must be able to tell "no skew"
+          // from "check inactive": suppressed queries are COUNTED and
+          // the count rides the JSON line (`skew_suppressed`).
+          else if (pct(ts, 0.95) < 200L) (1.0, true)
+          else (pct(ts, 0.95).toDouble / math.max(pct(ts, 0.50), 50L), false)
         }
-      (name, median, skew, lastErr)
+      (name, median, skew, suppressed, lastErr)
     }
 
     // Millisecond precision keeps the whole line compact (~2.5KB for 100+
@@ -211,12 +214,24 @@ object Bench {
     // failed queries (median sentinel -1) are EXCLUDED from queries/total
     // and listed under "errors" — a crash must never read as a fast run
     val (bad, good) = results.partition(_._2 < 0)
-    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
+    val qs = good.map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val offenders = good.filter(_._3 > 2.0)
-    val skewJson = offenders.map { case (k, _, s, _) => "\"" + k + "\":" + r1(s) }
+    val skewJson = offenders.map { case (k, _, s, _, _) => "\"" + k + "\":" + r1(s) }
       .mkString("{", ",", "}")
     val maxSkew = if (good.isEmpty) 1.0 else good.map(_._3).max
+    val skewSuppressed = good.count(_._4)
+    // drift index: summed median of pinned, never-touched scalar-fn
+    // queries. Same-box totals drift ±20% within hours (PERF.md r13 —
+    // four same-tree runs rose 127.8 → 154.7 s), so raw round-over-round
+    // totals are uninterpretable; dividing two benches' totals by their
+    // drift_control load-normalizes them. The pin set is code frozen
+    // since r4-r7 — any change to these queries invalidates the index
+    // and must rotate the set (note it in PERF.md).
+    val driftPins = Seq("q_string_funcs", "q_string_funcs2", "q_url_funcs",
+      "q_window_lag", "q_window_moving", "q_math_funcs", "q_date_funcs",
+      "q_cond_funcs", "q_array_funcs", "q_bit_funcs")
+    val driftControl = good.filter(r => driftPins.contains(r._1)).map(_._2).sum
     val total = good.map(_._2).sum
     val profJson = if (profName.isEmpty) "" else s""","profile":"$profName""""
     val errJson = if (bad.isEmpty) ""
@@ -231,18 +246,18 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val errMsgJson = {
-      val withMsg = bad.flatMap { case (k, _, _, m) => m.map(k -> _) }
+      val withMsg = bad.flatMap { case (k, _, _, _, m) => m.map(k -> _) }
       if (withMsg.isEmpty) ""
       else withMsg.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
         .mkString(""","error_msgs":{""", ",", "}")
     }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
     println(line)
     // The driver captures a BOUNDED stdout tail; the per-query map above
     // can push the total-first head out of it (every BENCH_r*.json shows
     // "parsed": null). Echo a compact TRAILER after the query map so the
     // headline numbers always survive tail truncation.
-    println(s"""{"metric":"total_echo","value":${ms(total)},"unit":"sec","n":${good.size},"n_errors":${bad.size},"max_skew":${r1(maxSkew)},"runs":$runs,"sf":"$sfDir"$profJson}""")
+    println(s"""{"metric":"total_echo","value":${ms(total)},"unit":"sec","n":${good.size},"n_errors":${bad.size},"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"runs":$runs,"sf":"$sfDir"$profJson}""")
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

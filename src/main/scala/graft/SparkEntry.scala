@@ -107,6 +107,7 @@ object SparkEntry {
     "q_skyline" -> (Relational.q_skyline _),
     "q_mutual_info" -> (Relational.q_mutual_info _),
     "q_winsorize" -> (Relational.q_winsorize _),
+    "q_winsorize_approx" -> (Relational.q_winsorize_approx _),
     "q_sample_group" -> (Relational.q_sample_group _),
     "q_sample_neyman" -> (Relational.q_sample_neyman _),
     "q_sample_weights" -> (Relational.q_sample_weights _),
@@ -1759,7 +1760,8 @@ object SparkEntry {
         |  SELECT user_id,
         |    min(epoch_ns(ts)) // 1000 AS a_us,
         |    max(epoch_ns(ts)) // 1000 AS b_us,
-        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS value
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS value
         |  FROM events GROUP BY user_id
         |  HAVING max(epoch_ns(ts)) > min(epoch_ns(ts))),
         |days AS (

@@ -864,7 +864,11 @@ object Relational {
     * books to both days"). All integer µs arithmetic: per-day overlap =
     * min(span_end, day_end) − max(span_start, day_start); each user-day
     * share rounds to an integer ten-thousandth from identical inputs in
-    * both engines and integer-sums to day grain. Day fanout per user is
+    * both engines and integer-sums to day grain. The per-user value is
+    * summed as DECIMAL(18,4) (house discipline, as [[q_cohort_ltv]]) so
+    * the rounding input is bit-identical in both engines — a DOUBLE sum
+    * here is order-dependent and its ULP jitter is the same magnitude
+    * as the +1e-9 nudge. Day fanout per user is
     * bounded by the span's day count (`sequence` explode — never a
     * cross join against the calendar).
     */
@@ -873,9 +877,9 @@ object Relational {
       .groupBy("user_id")
       .agg(min("ts_ns").as("a_ns"), max("ts_ns").as("b_ns"),
         sum(when(col("event_type") === "purchase", col("value"))
-          .otherwise(0.0)).as("value"))
+          .otherwise(0.0).cast(DecimalType(18, 4))).as("value_dec"))
       .filter(col("b_ns") > col("a_ns"))
-      .select(col("user_id"), col("value"),
+      .select(col("user_id"), col("value_dec").cast("double").as("value"),
         expr("a_ns div 1000").as("a_us"), expr("b_ns div 1000").as("b_us"))
     val dayUs = 86400000000L
     spans
@@ -3540,6 +3544,41 @@ object Relational {
     */
   def q_winsorize(s: SparkSession, d: String): DataFrame = {
     val pcts = percentile(col("o_totalprice"), lit(Array(0.05, 0.95)))
+    val bounds = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(element_at(pcts, 1) + lit(1e-9), 2).as("lo"),
+        round(element_at(pcts, 2) + lit(1e-9), 2).as("hi"))
+    orders(s, d)
+      .join(broadcast(bounds), "o_orderpriority")
+      .withColumn("clamped",
+        least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+          .cast(DecimalType(18, 2)))
+      .groupBy("o_orderpriority", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)) + lit(1e-9), 6).as("mean_raw"),
+        round(sum(col("clamped")).cast("double") / count(lit(1)) + lit(1e-9), 6)
+          .as("mean_winsor"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The 100 TB form of [[q_winsorize]], made EXECUTABLE rather than
+    * prose: identical plan shape (bounds agg → broadcast join back →
+    * clamp → group agg) with the exact per-group `percentile` (a full
+    * sort of every group's values) swapped for the mergeable
+    * `approx_percentile` (KLL-style) sketch — fixed-size per-partition
+    * state, partial+final merge, no sort, which is what survives a
+    * 1000-executor run where a group's values don't fit one task.
+    * Rows-only gate by design (sketch boundaries are
+    * accuracy-dependent); OpsSpec bounds it against the exact gate:
+    * clamp boundaries within 1% of each group's exact [lo, hi] range
+    * and winsorized means within 0.1%.
+    */
+  def q_winsorize_approx(s: SparkSession, d: String): DataFrame = {
+    val pcts = expr(
+      "approx_percentile(o_totalprice, array(0.05d, 0.95d), 10000)")
     val bounds = orders(s, d)
       .groupBy("o_orderpriority")
       .agg(

@@ -457,6 +457,98 @@ object Sinks {
               keys: Seq[String]): Int =
       commit(spark, Scale.upsert(read(spark, path), delta, keys), path)
 
+    /** name → snapshot path bindings for the SQL MERGE text form. */
+    private val sqlTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Bind a SQL-addressable name to a snapshot-table path, so a
+      * migrating user's `MERGE INTO name ...` statement works verbatim
+      * through [[mergeSql]].
+      */
+    def registerTable(name: String, path: String): Unit =
+      sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), path)
+
+    /** SQL `MERGE INTO` text form over the snapshot tier. Spark's
+      * parser accepts MERGE syntax for any statement but executes it
+      * only against v2 catalog tables; this routes the statement the
+      * migrating user actually types to [[merge]] instead — a
+      * parse-level rewrite using Spark's OWN parser (no regex SQL
+      * mangling), so aliasing/quoting/case behave exactly as Spark's
+      * grammar defines. Supported spelling — the upsert MERGE every
+      * warehouse migration guide shows:
+      *
+      * {{{
+      * MERGE INTO tgt [AS] t USING src_view [AS] s
+      * ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
+      * WHEN MATCHED THEN UPDATE SET *
+      * WHEN NOT MATCHED THEN INSERT *
+      * }}}
+      *
+      * `tgt` must be bound via [[registerTable]]; the source must be a
+      * (temp) view name — the standard staging-table pattern. Anything
+      * else (clause conditions, column-level SET lists, DELETE clauses,
+      * NOT MATCHED BY SOURCE) fails loudly with the supported form in
+      * the message — deletes belong to [[applyChangelogBatch]] /
+      * [[graft.ops.Relational.q_cdc_apply]] changelog semantics, and a
+      * silent partial MERGE would be worse than none. Returns the
+      * committed snapshot version.
+      */
+    def mergeSql(spark: SparkSession, sql: String): Int = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+      import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+      val supported = "supported form: MERGE INTO t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+      val m = spark.sessionState.sqlParser.parsePlan(sql) match {
+        case m: MergeIntoTable => m
+        case other => throw new IllegalArgumentException(
+          s"not a MERGE statement (parsed ${other.nodeName}); $supported")
+      }
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case SubqueryAlias(_, child) => strip(child)
+        case other => other
+      }
+      val targetName = strip(m.targetTable) match {
+        case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+        case other => throw new IllegalArgumentException(
+          s"MERGE target must be a table name, got ${other.nodeName}; $supported")
+      }
+      val path = Option(sqlTables.get(targetName.toLowerCase(java.util.Locale.ROOT)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$targetName' is not a registered snapshot table — bind it first " +
+            s"with Snapshots.registerTable(\"$targetName\", path)"))
+      val source = strip(m.sourceTable) match {
+        case r: UnresolvedRelation => spark.table(r.multipartIdentifier.mkString("."))
+        case other => throw new IllegalArgumentException(
+          "MERGE source must be a (temp) view name — stage a subquery as " +
+            s"a view first (got ${other.nodeName}); $supported")
+      }
+      m.matchedActions match {
+        case scala.collection.immutable.Seq(UpdateStarAction(None)) => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHEN MATCHED clause(s) $other; $supported")
+      }
+      m.notMatchedActions match {
+        case scala.collection.immutable.Seq(InsertStarAction(None)) => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED clause(s) $other; $supported")
+      }
+      if (m.notMatchedBySourceActions.nonEmpty)
+        throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED BY SOURCE is not supported; $supported")
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val keys = conjuncts(m.mergeCondition).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+          a.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"ON must be a conjunction of t.k = s.k equi-predicates, got $other; $supported")
+      }
+      merge(spark, path, source, keys)
+    }
+
     /** CDC changelog fold as an EXACTLY-ONCE streaming sink — the
       * Debezium-consumer composition [[merge]] (no deletes) and
       * [[commitBatch]] (append-only) don't cover: one micro-batch of

@@ -221,10 +221,16 @@ object Sources {
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
         readJob.getConfiguration)
       .map { case (k, _) =>
-        val rec = k.datum() // copy NOW: Hadoop reuses the record
-        Row(rec.get("n_nationkey").asInstanceOf[Int],
-          rec.get("n_name").toString,
-          rec.get("n_regionkey").asInstanceOf[Int])
+        // k.datum() is the SAME GenericRecord reused by the Hadoop
+        // reader across next() calls — no copy happens here. Extract
+        // every field into locals BEFORE this map call returns, so a
+        // later buffering step (grouped/toSeq/cache of the raw pairs)
+        // can never observe an overwritten record.
+        val rec = k.datum()
+        val key = rec.get("n_nationkey").asInstanceOf[Int]
+        val name = rec.get("n_name").toString
+        val regionKey = rec.get("n_regionkey").asInstanceOf[Int]
+        Row(key, name, regionKey)
       }
     s.createDataFrame(back, nationSchema).orderBy("n_nationkey")
   }

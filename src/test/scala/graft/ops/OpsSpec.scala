@@ -943,6 +943,24 @@ class OpsSpec extends AnyFunSuite {
     assert(whole == halves, s"merged sketch estimate $halves != whole $whole")
   }
 
+  test("q_winsorize_approx: sketch clamp bounds within 1% of exact range, means within 0.1%") {
+    val exact = Relational.q_winsorize(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.q_winsorize_approx(spark, "/root/testdata/sf0.01").collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getString(0))
+      assert(a.getLong(3) == e.getLong(3), s"${a.getString(0)}: group size differs")
+      val range = e.getDouble(2) - e.getDouble(1) // exact hi - lo
+      assert(math.abs(a.getDouble(1) - e.getDouble(1)) <= 0.01 * range,
+        s"${a.getString(0)}: lo ${a.getDouble(1)} vs exact ${e.getDouble(1)} (range $range)")
+      assert(math.abs(a.getDouble(2) - e.getDouble(2)) <= 0.01 * range,
+        s"${a.getString(0)}: hi ${a.getDouble(2)} vs exact ${e.getDouble(2)} (range $range)")
+      assert(math.abs(a.getDouble(5) - e.getDouble(5)) <= 0.001 * e.getDouble(5),
+        s"${a.getString(0)}: mean_winsor ${a.getDouble(5)} vs exact ${e.getDouble(5)}")
+    }
+  }
+
   test("q_variant_funcs: VARIANT extraction agrees with from_json on every row") {
     val v = Relational.q_variant_funcs(spark, sf).select("event_id", "k_val")
     val j = Tables.events(spark, sf)

@@ -77,4 +77,52 @@ class SqlSpec extends AnyFunSuite {
     Tables.nation(spark, sf).createOrReplaceTempView("local_nation")
     intercept[Exception] { s2.sql("SELECT count(*) FROM local_nation").collect() }
   }
+
+  test("MERGE INTO text form routes to the snapshot tier (upsert + time travel)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_mergesql_").toString + "/t"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    assert(Sinks.Snapshots.commit(spark, base, path) == 1)
+    Sinks.Snapshots.registerTable("accounts", path)
+    Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("staged_accounts")
+
+    // the statement a migrating user types, verbatim
+    val v = Sinks.Snapshots.mergeSql(spark,
+      """MERGE INTO accounts AS t USING staged_accounts AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(v == 2)
+    val after = Sinks.Snapshots.read(spark, path)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // history stays immutable: the pre-merge version still time-travels
+    assert(Sinks.Snapshots.read(spark, path, Some(1)).count() == 3)
+
+    // unsupported shapes fail LOUDLY with the supported form in the message
+    val del = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts t USING staged_accounts s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(del.getMessage.contains("supported form"))
+    val unreg = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO nowhere t USING staged_accounts s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(unreg.getMessage.contains("registerTable"))
+    val nonEqui = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts t USING staged_accounts s ON t.k > s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(nonEqui.getMessage.contains("equi-predicates"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+  }
 }
