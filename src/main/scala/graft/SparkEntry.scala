@@ -209,6 +209,12 @@ object SparkEntry {
     "q_attribution_linear" -> (Relational.q_attribution_linear _),
     "q_cohort_ltv" -> (Relational.q_cohort_ltv _),
     "q_event_gaps" -> (Relational.q_event_gaps _),
+    // r14: trend/changepoint/concurrency/windowed-funnel/rerank
+    "q_trend_robust" -> (Relational.q_trend_robust _),
+    "q_changepoint" -> (Relational.q_changepoint _),
+    "q_peak_concurrency" -> (Relational.q_peak_concurrency _),
+    "q_funnel_window" -> (Relational.q_funnel_window _),
+    "q_sim_rerank" -> (Llm.q_sim_rerank _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -544,6 +550,130 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_trend_robust" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, v,
+        |         day - DATE '1970-01-01' AS di FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type AS event_type,
+        |    CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS BIGINT) AS sgn,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope
+        |  FROM d2 a JOIN d2 b ON a.event_type = b.event_type AND a.di < b.di),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+        |ag AS (
+        |  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |    count(*) AS n_pairs,
+        |    round(quantile_cont(slope, 0.5) + 1e-9, 6) AS theil_sen_slope
+        |  FROM pairs GROUP BY 1)
+        |SELECT ag.event_type, CAST(n_days AS BIGINT) AS n_days, s_stat,
+        |  round(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) + 1e-9, 6) AS kendall_tau,
+        |  theil_sen_slope,
+        |  CASE WHEN s_stat > 0 THEN 'rising' WHEN s_stat < 0 THEN 'falling'
+        |       ELSE 'flat' END AS trend
+        |FROM ag JOIN nd USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS vu
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    CAST(sum(vu) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        |  FROM daily),
+        |tot AS (SELECT event_type, CAST(sum(vu) AS BIGINT) AS total,
+        |          CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT c.event_type AS event_type, n_days, day,
+        |    abs(n_days * cum - i * total) AS dev,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |      ORDER BY abs(n_days * cum - i * total) DESC, day) AS rn
+        |  FROM cum c JOIN tot USING (event_type))
+        |SELECT event_type, n_days, day AS cp_day,
+        |  CAST(dev AS BIGINT) AS max_dev_n_micro
+        |FROM dev WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |se AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM se GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT user_id, session_id, start_us AS ts_us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, end_us + 1 AS ts_us, -1 AS delta FROM sess),
+        |cum AS (
+        |  SELECT ts_us, delta,
+        |    CAST(sum(delta) OVER (ORDER BY ts_us, delta, user_id, session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+        |  FROM sweep)
+        |SELECT ts_us // 86400000000 AS day,
+        |  CAST(max(open) AS BIGINT) AS peak_concurrency,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_session_starts
+        |FROM cum GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS s_us FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT DISTINCT e.user_id
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase'
+        |        AND e.ts_us >= s.s_us AND e.ts_us <= s.s_us + 604800000000)
+        |SELECT s_us // 604800000000 AS cohort_week,
+        |  CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_7d,
+        |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS cvr_ppm
+        |FROM s LEFT JOIN c USING (user_id)
+        |GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+
+    "q_sim_rerank" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT qid, cid, qe, ce,
+        |        round(list_reduce(list_transform(range(1, 33), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe[1:32], x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce[1:32], x -> x * x), (a, b) -> a + b))), 9) AS cos32_raw
+        |      FROM q, c WHERE cid <> qid),
+        |r AS (SELECT qid, cid, qe, ce,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos32_raw DESC, cid) AS rn32
+        |      FROM s),
+        |f AS (SELECT qid, cid, rn32,
+        |        round(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+        |                          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(ce, x -> x * x), (a, b) -> a + b))), 9) AS cos_full_raw
+        |      FROM r WHERE rn32 <= 20),
+        |rr AS (SELECT qid, cid, rn32, cos_full_raw,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_full_raw DESC, cid) AS rk
+        |      FROM f)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, cid,
+        |  CAST(rn32 AS BIGINT) AS shortlist_pos,
+        |  round(cos_full_raw, 6) AS cos_full
+        |FROM rr WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "q_stat_ttest" ->
       """WITH st AS (

@@ -740,6 +740,42 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** Two-stage retrieval — the SERVING shape every vector store runs:
+    * a cheap coarse pass over the whole corpus (prefix-32 cosine, the
+    * [[q_sim_truncated]] Matryoshka trick — ¼ the FLOPs and memory
+    * bandwidth of full-dim) shortlists 20 candidates per query, and
+    * only the shortlist pays full-dimension exact rerank for the final
+    * top-5. Deterministic end to end (exact shortlist, exact rerank,
+    * id tiebreaks), so the gate is hash-exact — unlike IVF, whose
+    * probe-miss nondeterminism is recall-gated instead. 100 TB shape:
+    * stage 1 is the broadcast-query × corpus scan with the codegen dot
+    * kernel over 32 of 64 dims; stage 2 touches 20·|Q| rows — the
+    * corpus is never scanned at full dimension.
+    */
+  def q_sim_rerank(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("e32", slice(col("e"), 1, 32))
+    val q = emb.select(col("vec_id").as("qid"), col("e32").as("qe"), l2norm(col("e32")).as("qn"),
+      col("e").as("qfull"), l2norm(col("e")).as("qfn")).filter(col("qid") < 20)
+    val c = emb.select(col("vec_id").as("cid"), col("e32").as("ce"), l2norm(col("e32")).as("cn"),
+      col("e").as("cfull"), l2norm(col("e")).as("cfn"))
+    val wShort = Window.partitionBy("qid").orderBy(col("cos32_raw").desc, col("cid"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos32_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .withColumn("rn32", row_number().over(wShort).cast("long"))
+      .filter(col("rn32") <= 20)
+    val wRerank = Window.partitionBy("qid").orderBy(col("cos_full_raw").desc, col("cid"))
+    shortlist
+      .withColumn("cos_full_raw",
+        round(dot(col("qfull"), col("cfull")) / (col("qfn") * col("cfn")), 9))
+      .withColumn("rank", row_number().over(wRerank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("rn32").as("shortlist_pos"),
+        round(col("cos_full_raw"), 6).as("cos_full"))
+      .orderBy("qid", "rank")
+  }
+
   /** Edit-distance probe between consecutive docs (built-in levenshtein,
     * capped to the first 80 chars to bound the O(len²) DP). Linear pair
     * count via the doc_id+1 equi-join — an all-pairs edit-distance sweep

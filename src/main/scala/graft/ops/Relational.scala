@@ -3919,4 +3919,151 @@ object Relational {
         expr("sum(gap_us) div count(1)").as("mean_gap_us_floor"))
       .orderBy("event_type")
   }
+
+  /** Robust trend screen per event type — Mann–Kendall S / Kendall tau
+    * (sign-based: is the daily series monotonically drifting?) plus the
+    * Theil–Sen slope (median of pairwise slopes: by how much per day,
+    * outlier-proof where OLS from [[q_agg_regr]] is not). The pairwise
+    * relation is built on the DAY-grain aggregate — bounded by the
+    * calendar (n·(n−1)/2 over #days), never by corpus size, so the
+    * one corpus scan is the only thing that grows at 100 TB. Signs
+    * compare exact DECIMAL day sums; slopes are identical IEEE ratios
+    * of (exact decimal diff) / (integer day diff) in both engines, and
+    * the median is the same interpolated percentile both engines
+    * define.
+    */
+  def q_trend_robust(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("v"))
+      .withColumn("di",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.di") < col("b.di"))
+      .select(col("a.event_type").as("event_type"),
+        signum((col("b.v") - col("a.v")).cast("double")).cast("long").as("sgn"),
+        ((col("b.v") - col("a.v")).cast("double")
+          / (col("b.di") - col("a.di")).cast("double")).as("slope"))
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    pairs.groupBy("event_type")
+      .agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)) + lit(1e-9), 6)
+          .as("theil_sen_slope"))
+      .join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        round(col("s_stat").cast("double") / col("n_pairs").cast("double")
+          + lit(1e-9), 6).as("kendall_tau"),
+        col("theil_sen_slope"),
+        when(col("s_stat") > 0, "rising").when(col("s_stat") < 0, "falling")
+          .otherwise("flat").as("trend"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM changepoint locator per event type: the day where the
+    * cumulative deviation from the series mean peaks — the level-shift
+    * detector run AFTER a drift alarm fires ("WHEN did the mix move?").
+    * All-integer discipline: daily sums carry as exact micro-units, and
+    * the deviation is the cross-multiplied |n·cum_i − i·total| (the
+    * [[q_key_skew]] ppm trick), so the argmax is bit-identical in both
+    * engines with no float mean anywhere. The scan collapses to day
+    * grain first; windows run over #days-per-type rows (calendar-
+    * bounded — the partition-less-window concern does not apply).
+    * Magnitude bound: n·cum stays under 2⁶³ through sf100×10.
+    */
+  def q_changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("v"))
+      .withColumn("vu", expr("cast(v * 10000 as bigint)"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val cum = daily
+      .withColumn("cum",
+        sum("vu").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("vu").as("total"), count(lit(1)).as("n_days"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dev").desc, col("day"))
+    cum.join(broadcast(tot), "event_type")
+      .withColumn("dev", abs(col("n_days") * col("cum") - col("i") * col("total")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("cp_day"),
+        col("dev").as("max_dev_n_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Peak concurrency per day — "how many sessions were open at once":
+    * the interval-sweep classic (+1 at session start, −1 after session
+    * end, running sum, max per day). The running sum is GLOBAL over
+    * event time, which is exactly the partition-less-window trap
+    * ([[q_rfm]]'s lesson), so it rides [[Scale.globalCumSum]]: range-
+    * partition on the total order, per-partition running sums, P-row
+    * driver offset pass — no single-task stage at any scale. Sessions
+    * are the [[q_sessionize_batch]] 30-minute-gap definition (µs
+    * quantized); the −1 lands at end+1µs (half-open), and the sweep
+    * order (ts, delta) releases before it occupies at a shared
+    * timestamp. Both engines run the IDENTICAL total order
+    * (ts, delta, user, session), so per-row cums — not just the
+    * per-day max — agree exactly. Days with no session boundary
+    * events carry no row (documented: the sweep reports at event
+    * days).
+    */
+  def q_peak_concurrency(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val sweep = sessions.select(col("user_id"), col("session_id"),
+        col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("user_id"), col("session_id"),
+        (col("end_us") + 1).as("ts_us"), lit(-1L).as("delta")))
+    Scale.globalCumSum(sweep,
+        Seq(col("ts_us"), col("delta"), col("user_id"), col("session_id")),
+        col("delta"), "open")
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(max("open").as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_session_starts"))
+      .orderBy("day")
+  }
+
+  /** Windowed funnel conversion — signup → purchase WITHIN 7 days, by
+    * signup cohort week: the bounded-horizon conversion rate every
+    * growth dashboard quotes (unbounded [[q_funnel]] counts a
+    * conversion years later; [[q_funnel_latency]] profiles the delay —
+    * this one gates it). One user-keyed equi-join between the signup
+    * and purchase projections of a single scan with the horizon as a
+    * join-time range filter, then a week-grain rollup; the conversion
+    * rate is an exact integer ppm (cross-multiplied, no float
+    * division).
+    */
+  def q_funnel_window(s: SparkSession, d: String): DataFrame = {
+    val horizonUs = 7L * 86400000000L
+    val ev = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("s_us"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(signups, "user_id")
+      .filter(col("ts_us") >= col("s_us") &&
+        col("ts_us") <= col("s_us") + lit(horizonUs))
+      .select("user_id").distinct()
+      .withColumn("conv", lit(1L))
+    signups.join(converted, Seq("user_id"), "left")
+      .groupBy(expr("s_us div 604800000000").as("cohort_week"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_conv_7d"))
+      .withColumn("cvr_ppm", expr("n_conv_7d * 1000000 div n_signups"))
+      .orderBy("cohort_week")
+  }
 }
