@@ -215,6 +215,10 @@ object SparkEntry {
     "q_peak_concurrency" -> (Relational.q_peak_concurrency _),
     "q_funnel_window" -> (Relational.q_funnel_window _),
     "q_sim_rerank" -> (Llm.q_sim_rerank _),
+    "q_rank_movers" -> (Relational.q_rank_movers _),
+    "q_seasonality_dow" -> (Relational.q_seasonality_dow _),
+    "q_audience_overlap" -> (Relational.q_audience_overlap _),
+    "q_dq_freshness" -> (Relational.q_dq_freshness _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -550,6 +554,87 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rank_movers" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    c_mktsegment AS segment,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT month, segment, rev,
+        |    CAST(row_number() OVER (PARTITION BY month
+        |      ORDER BY rev DESC, segment) AS BIGINT) AS rnk
+        |  FROM monthly)
+        |SELECT c.month AS month, c.segment AS segment, c.rnk AS rnk,
+        |  p.rnk AS prev_rnk, p.rnk - c.rnk AS rank_delta,
+        |  CAST(c.rev AS DOUBLE) AS revenue
+        |FROM ranked c JOIN ranked p
+        |  ON c.segment = p.segment AND c.month = p.month + INTERVAL 1 MONTH
+        |ORDER BY month, rnk""".stripMargin,
+
+    "q_seasonality_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS vu
+        |  FROM events GROUP BY 1, 2),
+        |bydow AS (
+        |  SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+        |    CAST(sum(vu) AS BIGINT) AS sum_dow, count(*) AS n_days_dow
+        |  FROM daily GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(vu) AS BIGINT) AS sum_tot,
+        |    count(*) AS n_days_tot
+        |  FROM daily GROUP BY 1)
+        |SELECT b.event_type AS event_type, dow,
+        |  CAST(n_days_dow AS BIGINT) AS n_days_dow, sum_dow AS sum_micro,
+        |  CAST(CAST(sum_dow AS HUGEINT) * n_days_tot * 1000000
+        |    // (CAST(sum_tot AS HUGEINT) * n_days_dow) AS BIGINT) AS dow_index_ppm
+        |FROM bydow b JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  CAST(sa.n_users AS BIGINT) AS n_a, CAST(sb.n_users AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_both * 1000000 // (sa.n_users + sb.n_users - n_both) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_dq_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |wm AS (SELECT max(ts_us) AS corpus_max_us FROM e),
+        |g AS (
+        |  SELECT event_type,
+        |    count(*) AS n_rows,
+        |    (max(corpus_max_us) - max(ts_us)) // 60000000 AS staleness_min,
+        |    sum(CASE WHEN ts_us > corpus_max_us - 604800000000
+        |             THEN 1 ELSE 0 END) AS n_last_week,
+        |    sum(CASE WHEN ts_us > corpus_max_us - 1209600000000
+        |              AND ts_us <= corpus_max_us - 604800000000
+        |             THEN 1 ELSE 0 END) AS n_prior_week
+        |  FROM e CROSS JOIN wm GROUP BY 1)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(staleness_min AS BIGINT) AS staleness_min,
+        |  CAST(n_last_week AS BIGINT) AS n_last_week,
+        |  CAST(n_prior_week AS BIGINT) AS n_prior_week,
+        |  CASE WHEN n_prior_week = 0 THEN NULL
+        |       ELSE CAST(n_last_week * 1000000 // n_prior_week AS BIGINT)
+        |  END AS wow_ratio_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q_trend_robust" ->
       """WITH daily AS (

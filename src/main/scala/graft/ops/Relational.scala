@@ -4066,4 +4066,118 @@ object Relational {
       .withColumn("cvr_ppm", expr("n_conv_7d * 1000000 div n_signups"))
       .orderBy("cohort_week")
   }
+
+  /** Month-over-month rank movers — which market segments GAINED or
+    * LOST revenue rank between consecutive months (the leaderboard-
+    * delta report behind every "top movers" dashboard). Revenue ranks
+    * live on the month×segment grain (calendar-bounded), so the
+    * windows and the consecutive-month self-join are over a tiny
+    * aggregate — the one fact scan is the only corpus-sized work.
+    * DECIMAL revenue sums make the rank order exact; rank ties break
+    * on segment name in both engines.
+    */
+  def q_rank_movers(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("c_mktsegment").as("segment"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val wm = Window.partitionBy("month").orderBy(col("rev").desc, col("segment"))
+    val ranked = monthly.withColumn("rnk", row_number().over(wm).cast("long"))
+    ranked.as("cur")
+      .join(ranked.as("prev"),
+        col("cur.segment") === col("prev.segment") &&
+          col("cur.month") === add_months(col("prev.month"), 1))
+      .select(col("cur.month").as("month"), col("cur.segment").as("segment"),
+        col("cur.rnk").as("rnk"), col("prev.rnk").as("prev_rnk"),
+        (col("prev.rnk") - col("cur.rnk")).as("rank_delta"),
+        col("cur.rev").cast("double").as("revenue"))
+      .orderBy("month", "rnk")
+  }
+
+  /** Day-of-week seasonality profile per event type: the DOW index
+    * (average daily value that weekday ÷ overall average daily value,
+    * in exact ppm) — the traffic-shaping profile capacity planning and
+    * anomaly baselines start from. The ratio is the cross-multiplied
+    * exact integer (Σ_dow · n_days_total) / (n_days_dow · Σ_total) in
+    * micro-units, carried through DECIMAL(38,0) (the χ² overflow
+    * lesson: micro-sums × day counts × 10⁶ pass 2⁶³ by sf10), so both
+    * engines emit the identical integer. Monday-based weekday
+    * (Spark `weekday` ≡ DuckDB `isodow − 1`).
+    */
+  def q_seasonality_dow(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day").agg(expr("cast(sum(v) * 10000 as bigint)").as("vu"))
+    val byDow = daily
+      .groupBy(col("event_type"), expr("weekday(day)").cast("long").as("dow"))
+      .agg(sum("vu").as("sum_dow"), count(lit(1)).as("n_days_dow"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("vu").as("sum_tot"), count(lit(1)).as("n_days_tot"))
+    byDow.join(broadcast(tot), "event_type")
+      .withColumn("dow_index_ppm",
+        expr("cast(cast(sum_dow as decimal(38,0)) * n_days_tot * 1000000" +
+          " div (cast(sum_tot as decimal(38,0)) * n_days_dow) as bigint)"))
+      .select(col("event_type"), col("dow"), col("n_days_dow"),
+        col("sum_dow").as("sum_micro"), col("dow_index_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** EXACT audience overlap between event types — per unordered type
+    * pair, |A∩B| / |A∪B| of the user sets (the exact sibling of the
+    * theta-sketch set algebra in [[q_agg_theta]]: run it where the
+    * pair grid is small and the answer must be a fact, not an
+    * estimate). The corpus collapses to DISTINCT (user, type) rows
+    * first; the pair fan-out is per-user over that deduped relation
+    * (≤ k·(k−1)/2 rows per user for k types — bounded by the type
+    * vocabulary, not event volume), and Jaccard is exact integer ppm.
+    */
+  def q_audience_overlap(s: SparkSession, d: String): DataFrame = {
+    val ut = events(s, d).select("user_id", "event_type").distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val both = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), "type_b")
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Ingestion freshness & volume audit per event type — the data-ops
+    * pre-flight next to [[q_dq_report]]'s value expectations: how far
+    * behind the corpus watermark is each type's latest event (staleness
+    * in exact whole minutes), and did last-week volume move against the
+    * prior week (exact ppm ratio — the silent-upstream-death detector;
+    * a type missing from the final week reads as ratio 0, loudly).
+    * One scan → type grain; the corpus watermark is a broadcast
+    * one-row aggregate.
+    */
+  def q_dq_freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val wm = ev.agg(max("ts_us").as("corpus_max_us"))
+    val weekUs = 7L * 86400000000L
+    ev.crossJoin(broadcast(wm))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("(max(corpus_max_us) - max(ts_us)) div 60000000").as("staleness_min"),
+        sum(when(col("ts_us") > col("corpus_max_us") - weekUs, 1L)
+          .otherwise(0L)).as("n_last_week"),
+        sum(when(col("ts_us") > col("corpus_max_us") - 2 * weekUs &&
+            col("ts_us") <= col("corpus_max_us") - weekUs, 1L)
+          .otherwise(0L)).as("n_prior_week"))
+      .withColumn("wow_ratio_ppm",
+        when(col("n_prior_week") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_last_week * 1000000 div n_prior_week")))
+      .orderBy("event_type")
+  }
 }
