@@ -755,18 +755,31 @@ object Llm {
   def q_sim_rerank(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
       .withColumn("e32", slice(col("e"), 1, 32))
-    val q = emb.select(col("vec_id").as("qid"), col("e32").as("qe"), l2norm(col("e32")).as("qn"),
-      col("e").as("qfull"), l2norm(col("e")).as("qfn")).filter(col("qid") < 20)
-    val c = emb.select(col("vec_id").as("cid"), col("e32").as("ce"), l2norm(col("e32")).as("cn"),
-      col("e").as("cfull"), l2norm(col("e")).as("cfn"))
+    val q32 = emb.select(col("vec_id").as("qid"), col("e32").as("qe"),
+      l2norm(col("e32")).as("qn")).filter(col("qid") < 20)
+    val c32 = emb.select(col("vec_id").as("cid"), col("e32").as("ce"),
+      l2norm(col("e32")).as("cn"))
+    // The shortlist sort carries ONLY (qid, cid, cos32): the first
+    // formulation dragged both full 64-dim vectors through the window
+    // shuffle (~1.5 KB/row over |Q|·n candidate rows) and the sf100
+    // spot caught its dominant stage spilling — task-time 31× on
+    // 10.8× rows/task. Full vectors join back AFTER the cut, against
+    // 20·|Q| rows.
     val wShort = Window.partitionBy("qid").orderBy(col("cos32_raw").desc, col("cid"))
-    val shortlist = c.crossJoin(broadcast(q))
+    val shortlist = c32.crossJoin(broadcast(q32))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos32_raw", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 9))
+      .select(col("qid"), col("cid"), col("cos32_raw"))
       .withColumn("rn32", row_number().over(wShort).cast("long"))
       .filter(col("rn32") <= 20)
+    val qFull = emb.select(col("vec_id").as("qid"), col("e").as("qfull"),
+      l2norm(col("e")).as("qfn")).filter(col("qid") < 20)
+    val cFull = emb.select(col("vec_id").as("cid"), col("e").as("cfull"),
+      l2norm(col("e")).as("cfn"))
     val wRerank = Window.partitionBy("qid").orderBy(col("cos_full_raw").desc, col("cid"))
-    shortlist
+    broadcast(shortlist)
+      .join(cFull, "cid")
+      .join(broadcast(qFull), "qid")
       .withColumn("cos_full_raw",
         round(dot(col("qfull"), col("cfull")) / (col("qfn") * col("cfn")), 9))
       .withColumn("rank", row_number().over(wRerank).cast("long"))
