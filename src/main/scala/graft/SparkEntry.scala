@@ -219,6 +219,8 @@ object SparkEntry {
     "q_seasonality_dow" -> (Relational.q_seasonality_dow _),
     "q_audience_overlap" -> (Relational.q_audience_overlap _),
     "q_dq_freshness" -> (Relational.q_dq_freshness _),
+    "q_percentile_bands" -> (Relational.q_percentile_bands _),
+    "q_anomaly_days" -> (Relational.q_anomaly_days _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -554,6 +556,34 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_percentile_bands" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 0.50) + 1e-9, 4) AS p50,
+        |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 0.90) + 1e-9, 4) AS p90,
+        |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 0.99) + 1e-9, 4) AS p99
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS xu
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(xu) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS s2
+        |  FROM daily GROUP BY 1),
+        |z AS (
+        |  SELECT d.event_type AS event_type, day, xu,
+        |    (CAST(n AS DOUBLE) * CAST(xu AS DOUBLE) - CAST(s1 AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS zv
+        |  FROM daily d JOIN st USING (event_type))
+        |SELECT event_type, day, xu AS day_total_micro,
+        |  round(zv + 1e-9, 4) AS z_score
+        |FROM z WHERE abs(zv) > 2.0
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_rank_movers" ->
       """WITH monthly AS (

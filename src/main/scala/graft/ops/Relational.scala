@@ -4180,4 +4180,63 @@ object Relational {
           .otherwise(expr("n_last_week * 1000000 div n_prior_week")))
       .orderBy("event_type")
   }
+
+  /** Daily percentile bands per event type (p50/p90/p99 of event
+    * values by day — the latency/value-band strip every ops dashboard
+    * draws; [[q_agg_percentile]] is the corpus-level form, this is the
+    * time-resolved one). Exact interpolated percentiles at the
+    * day×type grain: the groups are a calendar × small vocabulary, so
+    * per-group sort state is bounded by a day's type volume and the
+    * partial-agg shuffle shards on a high-cardinality composite key.
+    * Values quantize to the data's 4-dp grain before ranking so both
+    * engines interpolate over identical inputs.
+    */
+  def q_percentile_bands(s: SparkSession, d: String): DataFrame = {
+    val pcts = percentile(col("v"), lit(Array(0.5, 0.9, 0.99)))
+    events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        // quantize to the 4-dp grain, then rank as DOUBLE in both
+        // engines (DuckDB's quantile_cont over DECIMAL interpolates in
+        // decimal arithmetic — a cross-engine trap)
+        col("value").cast(DecimalType(18, 4)).cast("double").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        round(element_at(pcts, 1) + lit(1e-9), 4).as("p50"),
+        round(element_at(pcts, 2) + lit(1e-9), 4).as("p90"),
+        round(element_at(pcts, 3) + lit(1e-9), 4).as("p99"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Day-level volume anomalies per event type — days whose daily
+    * value total sits more than 2σ from the type's mean daily total
+    * (the control-chart cousin of [[q_changepoint]]: changepoint finds
+    * the level SHIFT, this flags the individual outlier days; the
+    * streaming EWMA monitor is the online form). Float discipline:
+    * daily totals carry as exact micro-unit integers; z's numerator
+    * (n·x − S1) and variance argument (n·S2 − S1²) are exact BIGINT /
+    * DECIMAL(38,0) cross-products, and both engines evaluate the same
+    * closed form over the same exact integers → identical IEEE
+    * doubles, so the z > 2 cut is deterministic. Day grain throughout
+    * after one scan.
+    */
+  def q_anomaly_days(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type", "day")
+      .agg(expr("cast(sum(v) * 10000 as bigint)").as("xu"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("xu").as("s1"),
+        sum(expr("cast(xu as decimal(38,0)) * xu")).as("s2"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        // z = (x − μ)/σ_pop = (n·x − S1) / sqrt(n·S2 − S1²)
+        expr("(cast(n as double) * cast(xu as double) - cast(s1 as double))" +
+          " / sqrt(cast(n as double) * cast(s2 as double)" +
+          " - cast(s1 as double) * cast(s1 as double))"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("day"), col("xu").as("day_total_micro"),
+        round(col("z") + lit(1e-9), 4).as("z_score"))
+      .orderBy("event_type", "day")
+  }
 }
