@@ -221,6 +221,7 @@ object SparkEntry {
     "q_dq_freshness" -> (Relational.q_dq_freshness _),
     "q_percentile_bands" -> (Relational.q_percentile_bands _),
     "q_anomaly_days" -> (Relational.q_anomaly_days _),
+    "q_cooccur_skipgram" -> (Llm.q_cooccur_skipgram _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -556,6 +557,22 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cooccur_skipgram" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |  FROM toks WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> {'w1': t[i], 'w2': t[i+2]})) AS u
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM p
+        |      WHERE u.w1 <> '' AND u.w2 <> '')
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooccur
+        |FROM c GROUP BY 1, 2
+        |ORDER BY n_cooccur DESC, w1, w2 LIMIT 100""".stripMargin,
 
     "q_percentile_bands" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1606,6 +1606,36 @@ object Llm {
       .limit(1000)
   }
 
+  /** Skip-gram co-occurrence counts (word2vec-style ±2 window): how
+    * often word pairs appear within two positions, in text order — the
+    * sufficient statistics behind embedding training data, collocation
+    * mining, and windowed PMI (the doc-level PMI profile sees bag
+    * co-occurrence; this sees PROXIMITY). Pair generation is pure
+    * array arithmetic inside the scan stage (two slice+zip passes per
+    * doc — distance-1 and distance-2 — no join, no window, fanout
+    * exactly 2n−3 pairs per n-token doc); the count reduces map-side
+    * to the Zipf-bounded pair-type table, and the report is a
+    * distributed TakeOrderedAndProject top-100.
+    */
+  def q_cooccur_skipgram(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """concat(
+          |  zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |           (a, b) -> struct(a AS w1, b AS w2)),
+          |  CASE WHEN size(t) >= 3 THEN
+          |    zip_with(slice(t, 1, size(t) - 2), slice(t, 3, size(t) - 2),
+          |             (a, b) -> struct(a AS w1, b AS w2))
+          |  ELSE array() END)""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(col("n_cooccur").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   /** TF-IDF weights per (document, term): tf from one grouped count,
     * df from a term-level aggregate joined back on the term, N from a
     * 1-row broadcast (no driver action). Smooth idf
