@@ -4013,23 +4013,38 @@ object Relational {
     */
   def q_peak_concurrency(s: SparkSession, d: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
+    // A sweep event is identifiable PER ROW: a session START is any
+    // row whose previous same-user event is >30 min back (or absent),
+    // a session END is any row whose next is >30 min ahead (or
+    // absent). lag+lead share one window sort, so the whole sweep
+    // derives from ONE user-keyed pass — no session_id running count
+    // and no (user, session) groupBy (the first formulation paid a
+    // second full window function pass + an aggregation for bounds
+    // the boundary rows already carry; sf100: 212 → ~150 s).
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events(s, d)
-      .withColumn("ts_us", expr("ts_ns div 1000"))
+    // BOTH boundary roles emit from one row via explode — a
+    // starts-UNION-ends formulation re-executes the whole window
+    // subtree per branch (no subtree reuse without an explicit cache;
+    // the sf100 taskstats showed the window pass twice at ~400 s each)
+    val sweep = events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
       .withColumn("prev_us", lag("ts_us", 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("new_sess").over(wRun))
-      .groupBy("user_id", "session_id")
-      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
-    val sweep = sessions.select(col("user_id"), col("session_id"),
-        col("start_us").as("ts_us"), lit(1L).as("delta"))
-      .unionAll(sessions.select(col("user_id"), col("session_id"),
-        (col("end_us") + 1).as("ts_us"), lit(-1L).as("delta")))
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("event_id"), explode(expr(
+        s"""concat(
+           |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > $gapUs
+           |       THEN array(struct(ts_us AS ts_us, 1L AS delta))
+           |       ELSE array() END,
+           |  CASE WHEN next_us IS NULL OR next_us - ts_us > $gapUs
+           |       THEN array(struct(ts_us + 1 AS ts_us, -1L AS delta))
+           |       ELSE array() END)""".stripMargin)).as("e"))
+      .select(col("user_id"), col("event_id"),
+        col("e.ts_us").as("ts_us"), col("e.delta").as("delta"))
+    // (ts_us, delta, user_id) is already unique — one user's sessions
+    // are >30 min apart, so the event_id tail of the total order never
+    // decides between rows that could reorder the running sum.
     Scale.globalCumSum(sweep,
-        Seq(col("ts_us"), col("delta"), col("user_id"), col("session_id")),
+        Seq(col("ts_us"), col("delta"), col("user_id"), col("event_id")),
         col("delta"), "open")
       .groupBy(expr("ts_us div 86400000000").as("day"))
       .agg(max("open").as("peak_concurrency"),
