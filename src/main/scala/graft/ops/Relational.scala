@@ -3939,6 +3939,10 @@ object Relational {
       .groupBy("event_type", "day").agg(sum("v").as("v"))
       .withColumn("di",
         datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      // day-grain is calendar-tiny; pin it so the pair self-join and
+      // the n_days rollup don't each re-run the corpus scan (ExecProbe
+      // counted 4 FileScans without this)
+      .localCheckpoint()
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.di") < col("b.di"))
       .select(col("a.event_type").as("event_type"),
@@ -3977,6 +3981,7 @@ object Relational {
         col("value").cast(DecimalType(18, 4)).as("v"))
       .groupBy("event_type", "day").agg(sum("v").as("v"))
       .withColumn("vu", expr("cast(v * 10000 as bigint)"))
+      .localCheckpoint() // day-grain pinned: cum + totals, ONE corpus scan
     val w = Window.partitionBy("event_type").orderBy("day")
     val cum = daily
       .withColumn("cum",
@@ -4129,8 +4134,8 @@ object Relational {
     val byDow = daily
       .groupBy(col("event_type"), expr("weekday(day)").cast("long").as("dow"))
       .agg(sum("vu").as("sum_dow"), count(lit(1)).as("n_days_dow"))
-    val tot = daily.groupBy("event_type")
-      .agg(sum("vu").as("sum_tot"), count(lit(1)).as("n_days_tot"))
+    val tot = byDow.groupBy("event_type")
+      .agg(sum("sum_dow").as("sum_tot"), sum("n_days_dow").as("n_days_tot"))
     byDow.join(broadcast(tot), "event_type")
       .withColumn("dow_index_ppm",
         expr("cast(cast(sum_dow as decimal(38,0)) * n_days_tot * 1000000" +
@@ -4240,6 +4245,11 @@ object Relational {
         col("value").cast(DecimalType(18, 4)).as("v"))
       .groupBy("event_type", "day")
       .agg(expr("cast(sum(v) * 10000 as bigint)").as("xu"))
+      // pinned: the stats rollup and the z join-back are DIFFERENT
+      // subtrees over daily, so AQE exchange reuse cannot dedup them
+      // (unlike snaive's identical self-join sides) — A/B at sf100:
+      // 9.4 s re-derived vs 7.8 s pinned
+      .localCheckpoint()
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("xu").as("s1"),
         sum(expr("cast(xu as decimal(38,0)) * xu")).as("s2"))
