@@ -222,6 +222,8 @@ object SparkEntry {
     "q_percentile_bands" -> (Relational.q_percentile_bands _),
     "q_anomaly_days" -> (Relational.q_anomaly_days _),
     "q_cooccur_skipgram" -> (Llm.q_cooccur_skipgram _),
+    "q_pit_grid" -> (Relational.q_pit_grid _),
+    "q_sample_balanced" -> (Relational.q_sample_balanced _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -557,6 +559,49 @@ object SparkEntry {
         |    // (2 * count(*)) AS BIGINT) AS mae_micro,
         |  CAST(CAST(sum(err) * 1000000 AS HUGEINT) AS BIGINT) AS bias_micro_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pit_grid" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_type AS status
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, ts_us, status,
+        |    lag(status) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |iv0 AS (SELECT user_id, event_id, ts_us, status FROM ch
+        |        WHERE prev IS NULL OR prev <> status),
+        |iv AS (
+        |  SELECT user_id, ts_us, status,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS valid_to_us
+        |  FROM iv0),
+        |wm AS (SELECT max(ts_us) AS max_us FROM e),
+        |grid AS (
+        |  SELECT status,
+        |    unnest(generate_series((ts_us + 604799999999) // 604800000000,
+        |      (coalesce(valid_to_us, max_us + 1) - 1) // 604800000000)) AS wk
+        |  FROM iv CROSS JOIN wm
+        |  WHERE (coalesce(valid_to_us, max_us + 1) - 1) // 604800000000
+        |        >= (ts_us + 604799999999) // 604800000000)
+        |SELECT wk, status, CAST(count(*) AS BIGINT) AS n_users
+        |FROM grid GROUP BY 1, 2 ORDER BY wk, status""".stripMargin,
+
+    "q_sample_balanced" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5('bal:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |q AS (SELECT min(n) AS quota FROM
+        |       (SELECT count(*) AS n FROM d GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r CROSS JOIN q WHERE rn <= quota
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_cooccur_skipgram" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),

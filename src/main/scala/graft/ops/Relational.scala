@@ -4264,4 +4264,73 @@ object Relational {
         round(col("z") + lit(1e-9), 4).as("z_score"))
       .orderBy("event_type", "day")
   }
+
+  /** Point-in-time grid over the SCD2 dimension — "how many users were
+    * in each status at every weekly snapshot instant": the as-of
+    * dimension-state report BI tools draw from a type-2 table, and the
+    * query a [[q_scd2]] consumer runs next. Each validity interval
+    * emits only the week boundaries IT covers (`sequence` explode,
+    * fanout = the interval's week span — the [[q_interval_prorate]]
+    * trick; never intervals × grid), open intervals run to the corpus
+    * watermark (a broadcast one-row aggregate). Exact half-open
+    * containment in integer µs: week w is covered iff
+    * valid_from ≤ w·week < valid_to.
+    */
+  def q_pit_grid(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 604800000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val iv = ev
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag("status", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+    val wm = ev.agg(max("ts_us").as("max_us"))
+    iv.crossJoin(broadcast(wm))
+      .withColumn("w_lo", expr(s"(ts_us + ${weekUs - 1}) div $weekUs"))
+      .withColumn("w_hi",
+        expr(s"(coalesce(valid_to_us, max_us + 1) - 1) div $weekUs"))
+      .filter(col("w_hi") >= col("w_lo"))
+      .withColumn("wk", explode(sequence(col("w_lo"), col("w_hi"))))
+      .groupBy("wk", "status")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("wk", "status")
+  }
+
+  /** Class-balanced downsampling — every language represented by
+    * exactly the minority class's count (the classifier-training
+    * rebalance that [[q_temperature_sample]] softens and this one
+    * enforces hard). Deterministic: within each language docs rank by
+    * (md5(doc_id), doc_id) — retry-stable, key-consistent, no rand().
+    * The per-class quota is a broadcast one-row MIN over the tiny
+    * class-count relation; ranking is a lang-partitioned window (class
+    * cardinality = the lang vocabulary, each partition a class's
+    * docs). Output is the per-class audit (count, quota, and an exact
+    * integer checksum of the selected ids) so the gate stays k rows at
+    * any SF while still pinning the exact selected SET.
+    */
+  def q_sample_balanced(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("rk", md5(concat(lit("bal:"), col("doc_id"))))
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n_class"))
+      .agg(min("n_class").as("quota"))
+    // per-class rank WITHOUT a class-partitioned window: a handful of
+    // language classes would cap the sort's parallelism at k tasks
+    // (the q_rfm global-ntile lesson at class grain). Terasort instead:
+    // ONE range-partitioned global sequence over (lang, rk, id) —
+    // parallelism = P — and each class's rank is the offset from the
+    // class's first global position (a k-row broadcast min).
+    val seqd = Scale.globalSequence(docs,
+      Seq(col("lang"), col("rk"), col("doc_id")), "gseq")
+    val base = seqd.groupBy("lang").agg(min("gseq").as("class_start"))
+    seqd.join(broadcast(base), "lang")
+      .crossJoin(broadcast(quota))
+      .filter(col("gseq") - col("class_start") < col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").as("id_checksum"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
 }
