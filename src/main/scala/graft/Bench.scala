@@ -231,6 +231,7 @@ object Bench {
     val driftPins = Seq("q_string_funcs", "q_string_funcs2", "q_url_funcs",
       "q_window_lag", "q_window_moving", "q_math_funcs", "q_date_funcs",
       "q_cond_funcs", "q_array_funcs", "q_bit_funcs")
+    val driftPinsPresent = good.count(r => driftPins.contains(r._1))
     val driftControl = good.filter(r => driftPins.contains(r._1)).map(_._2).sum
     val total = good.map(_._2).sum
     val profJson = if (profName.isEmpty) "" else s""","profile":"$profName""""
@@ -251,13 +252,17 @@ object Bench {
       else withMsg.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
         .mkString(""","error_msgs":{""", ",", "}")
     }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
+    // drift_control_n guards the index: a pin that errors, is filtered
+    // via SPARK_GRAFT_BENCH_QUERIES, or is renamed silently shrinks the
+    // sum — cross-round normalization must compare like sums, so any
+    // reader of drift_control checks n == 10 first (ADVICE r14)
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"skew":$skewJson,"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"drift_control_n":$driftPinsPresent,"sf":"$sfDir"$profJson$errJson$errMsgJson}"""
     println(line)
     // The driver captures a BOUNDED stdout tail; the per-query map above
     // can push the total-first head out of it (every BENCH_r*.json shows
     // "parsed": null). Echo a compact TRAILER after the query map so the
     // headline numbers always survive tail truncation.
-    println(s"""{"metric":"total_echo","value":${ms(total)},"unit":"sec","n":${good.size},"n_errors":${bad.size},"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"runs":$runs,"sf":"$sfDir"$profJson}""")
+    println(s"""{"metric":"total_echo","value":${ms(total)},"unit":"sec","n":${good.size},"n_errors":${bad.size},"max_skew":${r1(maxSkew)},"skew_suppressed":$skewSuppressed,"drift_control":${ms(driftControl)},"drift_control_n":$driftPinsPresent,"runs":$runs,"sf":"$sfDir"$profJson}""")
     // the driver captures a BOUNDED stdout tail — also persist the full
     // per-query map to a file when asked (PERF.md snapshots commit it)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

@@ -641,7 +641,9 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) * CAST(xu AS DOUBLE) - CAST(s1 AS DOUBLE))
         |      / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
         |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS zv
-        |  FROM daily d JOIN st USING (event_type))
+        |  FROM daily d JOIN st USING (event_type)
+        |  WHERE n > 1 AND CAST(n AS HUGEINT) * s2
+        |              - CAST(s1 AS HUGEINT) * s1 > 0)
         |SELECT event_type, day, xu AS day_total_micro,
         |  round(zv + 1e-9, 4) AS z_score
         |FROM z WHERE abs(zv) > 2.0

@@ -3517,7 +3517,7 @@ object Llm {
     * can assert the single-scan shape on the executed plan). Returns the
     * report and a release handle for the grouping-sets cache.
     */
-  private[ops] def corpusCard(docs: DataFrame): (DataFrame, () => Unit) = {
+  private[graft] def corpusCard(docs: DataFrame): (DataFrame, () => Unit) = {
     val norm = graft.functions.Vec.normText(col("text"))
     val g = docs
       .select(col("source"), col("lang"), col("n_chars"),
@@ -3569,7 +3569,7 @@ object Llm {
     (report, () => unpersistCheckpoint(gs))
   }
 
-  private[ops] val corpusCardSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val corpusCardSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("source",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("n_docs",

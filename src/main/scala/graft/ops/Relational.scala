@@ -3096,7 +3096,7 @@ object Relational {
     * optimal sample quota `n_h` (largest-remainder corrected, capped at
     * the stratum size). One stratum-key aggregate; broadcast-sized.
     */
-  private[ops] def neymanAlloc(docs: DataFrame, budget: Long): DataFrame = {
+  private[graft] def neymanAlloc(docs: DataFrame, budget: Long): DataFrame = {
     val st = docs.groupBy("source").agg(
       count(lit(1)).as("n"),
       sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),
@@ -4254,6 +4254,14 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("xu").as("s1"),
         sum(expr("cast(xu as decimal(38,0)) * xu")).as("s2"))
     daily.join(broadcast(stats), "event_type")
+      // degenerate groups (one day, or zero variance) make z = 0/0 =
+      // NaN, and Spark's NaN-is-greatest ordering turns abs(NaN) > 2
+      // TRUE — every day of a constant series would be "anomalous".
+      // Guard on the EXACT integer variance argument (n·S2 − S1² > 0)
+      // so the cut never rides engine-specific NaN comparison rules;
+      // the oracle carries the identical guard in HUGEINT.
+      .filter(expr("n > 1 AND cast(n as decimal(38,0)) * s2" +
+        " - cast(s1 as decimal(38,0)) * s1 > 0"))
       .withColumn("z",
         // z = (x − μ)/σ_pop = (n·x − S1) / sqrt(n·S2 − S1²)
         expr("(cast(n as double) * cast(xu as double) - cast(s1 as double))" +

@@ -470,44 +470,58 @@ object Sinks {
     /** SQL `MERGE INTO` text form over the snapshot tier. Spark's
       * parser accepts MERGE syntax for any statement but executes it
       * only against v2 catalog tables; this routes the statement the
-      * migrating user actually types to [[merge]] instead — a
+      * migrating user actually types to the CDC fold instead — a
       * parse-level rewrite using Spark's OWN parser (no regex SQL
       * mangling), so aliasing/quoting/case behave exactly as Spark's
-      * grammar defines. Supported spelling — the upsert MERGE every
-      * warehouse migration guide shows:
+      * grammar defines. Supported shapes (the statements warehouse
+      * migration guides and Debezium MERGE consumers actually emit):
       *
       * {{{
       * MERGE INTO tgt [AS] t USING src_view [AS] s
       * ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
-      * WHEN MATCHED THEN UPDATE SET *
-      * WHEN NOT MATCHED THEN INSERT *
+      * WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE
+      * WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
       * }}}
       *
-      * `tgt` must be bound via [[registerTable]]; the source must be a
-      * (temp) view name — the standard staging-table pattern. Anything
-      * else (clause conditions, column-level SET lists, DELETE clauses,
-      * NOT MATCHED BY SOURCE) fails loudly with the supported form in
-      * the message — deletes belong to [[applyChangelogBatch]] /
-      * [[graft.ops.Relational.q_cdc_apply]] changelog semantics, and a
-      * silent partial MERGE would be worse than none. Returns the
-      * committed snapshot version.
+      * Any number of WHEN clauses, evaluated in statement order with
+      * first-true-fires semantics (the SQL standard); a matched row
+      * firing no clause is left untouched. Execution routes through
+      * the same fold [[applyChangelogBatch]] /
+      * [[graft.ops.Relational.q_cdc_apply]] own: clauses classify each
+      * source row as U/D/I, deletes anti-join the snapshot, upserts
+      * re-add — one delta-bounded join against the target, never a
+      * rewrite-by-hand of unmatched rows. Standard MERGE cardinality
+      * is enforced: two source rows matching one target row fail
+      * loudly (a silent last-writer pick would hide a bad staging
+      * dedup). `tgt` must be bound via [[registerTable]]; the source
+      * must be a (temp) view name — the standard staging-table
+      * pattern. Still loudly rejected: NOT MATCHED BY SOURCE clauses,
+      * non-equi ON predicates, ON conjuncts that do not span target
+      * and source (`ON t.k = t.k` is a typo, not a key-merge), and
+      * SET assignments to a merge key. Returns the committed snapshot
+      * version.
       */
     def mergeSql(spark: SparkSession, sql: String): Int = {
+      import org.apache.spark.sql.GraftSqlBridge
       import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
       import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-      import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
-      val supported = "supported form: MERGE INTO t USING s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+      import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import org.apache.spark.sql.Column
+      val supported = "supported forms: MERGE INTO t USING s ON t.k = s.k [AND ...] " +
+        "WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE " +
+        "WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)"
       val m = spark.sessionState.sqlParser.parsePlan(sql) match {
         case m: MergeIntoTable => m
         case other => throw new IllegalArgumentException(
           s"not a MERGE statement (parsed ${other.nodeName}); $supported")
       }
-      def strip(p: LogicalPlan): LogicalPlan = p match {
-        case SubqueryAlias(_, child) => strip(child)
-        case other => other
+      def stripAlias(p: LogicalPlan): (Option[String], LogicalPlan) = p match {
+        case SubqueryAlias(id, child) => (Some(id.name), stripAlias(child)._2)
+        case other => (None, other)
       }
-      val targetName = strip(m.targetTable) match {
+      val (targetAlias, targetRel) = stripAlias(m.targetTable)
+      val targetName = targetRel match {
         case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
         case other => throw new IllegalArgumentException(
           s"MERGE target must be a table name, got ${other.nodeName}; $supported")
@@ -516,25 +530,45 @@ object Sinks {
         .getOrElse(throw new IllegalArgumentException(
           s"'$targetName' is not a registered snapshot table — bind it first " +
             s"with Snapshots.registerTable(\"$targetName\", path)"))
-      val source = strip(m.sourceTable) match {
-        case r: UnresolvedRelation => spark.table(r.multipartIdentifier.mkString("."))
+      val (sourceAlias, sourceRel) = stripAlias(m.sourceTable)
+      val sourceName = sourceRel match {
+        case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
         case other => throw new IllegalArgumentException(
           "MERGE source must be a (temp) view name — stage a subquery as " +
             s"a view first (got ${other.nodeName}); $supported")
       }
-      m.matchedActions match {
-        case scala.collection.immutable.Seq(UpdateStarAction(None)) => ()
-        case other => throw new IllegalArgumentException(
-          s"unsupported WHEN MATCHED clause(s) $other; $supported")
-      }
-      m.notMatchedActions match {
-        case scala.collection.immutable.Seq(InsertStarAction(None)) => ()
-        case other => throw new IllegalArgumentException(
-          s"unsupported WHEN NOT MATCHED clause(s) $other; $supported")
-      }
+      val source = spark.table(sourceName)
+      val target = read(spark, path)
       if (m.notMatchedBySourceActions.nonEmpty)
         throw new IllegalArgumentException(
           s"WHEN NOT MATCHED BY SOURCE is not supported; $supported")
+
+      // ---- relation-side resolution ------------------------------------
+      // an explicit alias HIDES the base name (standard SQL scoping)
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val targetQuals: Set[String] = targetAlias.map(a => Set(lc(a)))
+        .getOrElse(Set(lc(targetName), lc(targetName.split('.').last)))
+      val sourceQuals: Set[String] = sourceAlias.map(a => Set(lc(a)))
+        .getOrElse(Set(lc(sourceName), lc(sourceName.split('.').last)))
+      val tCols = target.columns
+      val sCols = source.columns
+      // Some(true) = target side, Some(false) = source side, None = unqualified
+      def sideOf(parts: Seq[String]): Option[Boolean] =
+        if (parts.size <= 1) None
+        else {
+          val q = parts.dropRight(1).map(lc).mkString(".")
+          if (targetQuals(q)) Some(true)
+          else if (sourceQuals(q)) Some(false)
+          else throw new IllegalArgumentException(
+            s"'${parts.mkString(".")}' does not resolve to target " +
+              s"'$targetName' or source '$sourceName'; $supported")
+        }
+      def canonical(cols: Array[String], name: String, rel: String): String =
+        cols.find(_.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$name' not found in $rel; $supported"))
+
+      // ---- ON keys: conjunction of equi-predicates SPANNING relations --
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case x => Seq(x)
@@ -542,11 +576,176 @@ object Sinks {
       val keys = conjuncts(m.mergeCondition).map {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
             if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-          a.nameParts.last
+          // reject ON t.k = t.k / ON s.k = s.k — a same-relation conjunct
+          // is a typo that a last-name-part match would silently
+          // reinterpret as a key-merge, contradicting fail-loudly
+          (sideOf(a.nameParts), sideOf(b.nameParts)) match {
+            case (Some(x), Some(y)) if x == y =>
+              throw new IllegalArgumentException(
+                s"ON conjunct references only one relation " +
+                  s"(${a.nameParts.mkString(".")} = ${b.nameParts.mkString(".")})" +
+                  s" — each equi-predicate must span target and source; $supported")
+            case _ => ()
+          }
+          canonical(tCols, a.nameParts.last, s"target '$targetName'")
         case other => throw new IllegalArgumentException(
           s"ON must be a conjunction of t.k = s.k equi-predicates, got $other; $supported")
+      }.distinct
+      keys.foreach(k => canonical(sCols, k, s"source '$sourceName'"))
+
+      // ---- clause-expression rewrite onto the prefixed join frame ------
+      def rewrite(e: Expression, ctx: String, allowTarget: Boolean): Column = {
+        val r = e.transformUp {
+          case a: UnresolvedAttribute =>
+            val last = a.nameParts.last
+            val side = sideOf(a.nameParts).getOrElse {
+              val inT = tCols.exists(_.equalsIgnoreCase(last))
+              val inS = sCols.exists(_.equalsIgnoreCase(last))
+              if (inT && inS && allowTarget) throw new IllegalArgumentException(
+                s"ambiguous column '$last' in $ctx — qualify it with the " +
+                  s"target or source alias; $supported")
+              else if (inS) false
+              else if (inT) true
+              else throw new IllegalArgumentException(
+                s"unknown column '$last' in $ctx; $supported")
+            }
+            if (side && !allowTarget) throw new IllegalArgumentException(
+              s"$ctx may reference the source only — no target row exists " +
+                s"for NOT MATCHED (got '${a.nameParts.mkString(".")}'); $supported")
+            else if (side)
+              UnresolvedAttribute(Seq("__t_" + canonical(tCols, last, targetName)))
+            else
+              UnresolvedAttribute(Seq("__s_" + canonical(sCols, last, sourceName)))
+        }
+        GraftSqlBridge.column(r)
       }
-      merge(spark, path, source, keys)
+
+      // ---- classify clauses --------------------------------------------
+      // an update's sets map: canonical target column -> value Column
+      sealed trait MAct
+      case class MUpdate(cond: Option[Column], sets: Map[String, Column]) extends MAct
+      case class MDelete(cond: Option[Column]) extends MAct
+      def starSets(ctx: String): Map[String, Column] =
+        tCols.map(c => c -> col("__s_" + canonical(sCols, c,
+          s"source '$sourceName' ($ctx copies every target column by name)"))).toMap
+      val matchedClauses: Seq[MAct] = m.matchedActions.map {
+        case UpdateStarAction(cond) =>
+          MUpdate(cond.map(rewrite(_, "WHEN MATCHED condition", allowTarget = true)),
+            starSets("UPDATE SET *"))
+        case UpdateAction(cond, assignments, _) =>
+          val sets = assignments.map { asg =>
+            val keyName = asg.key match {
+              case a: UnresolvedAttribute => a.nameParts.last
+              case o => throw new IllegalArgumentException(
+                s"SET target must be a column, got $o; $supported")
+            }
+            val ck = canonical(tCols, keyName, s"target '$targetName'")
+            if (keys.exists(_.equalsIgnoreCase(ck)))
+              throw new IllegalArgumentException(
+                s"SET assigns merge key '$ck' — updating a key would re-identify " +
+                  s"the row; merge on the new key instead; $supported")
+            ck -> rewrite(asg.value, s"UPDATE SET $ck value", allowTarget = true)
+          }.toMap
+          MUpdate(cond.map(rewrite(_, "WHEN MATCHED condition", allowTarget = true)), sets)
+        case DeleteAction(cond) =>
+          MDelete(cond.map(rewrite(_, "WHEN MATCHED condition", allowTarget = true)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHEN MATCHED clause $other; $supported")
+      }
+      val insertClauses: Seq[(Option[Column], Map[String, Column])] =
+        m.notMatchedActions.map {
+          case InsertStarAction(cond) =>
+            (cond.map(rewrite(_, "WHEN NOT MATCHED condition", allowTarget = false)),
+              starSets("INSERT *"))
+          case InsertAction(cond, assignments) =>
+            val sets = assignments.map { asg =>
+              val keyName = asg.key match {
+                case a: UnresolvedAttribute => a.nameParts.last
+                case o => throw new IllegalArgumentException(
+                  s"INSERT column must be a plain column, got $o; $supported")
+              }
+              canonical(tCols, keyName, s"target '$targetName'") ->
+                rewrite(asg.value, "INSERT VALUES expression", allowTarget = false)
+            }.toMap
+            keys.foreach(k => if (!sets.contains(k))
+              throw new IllegalArgumentException(
+                s"INSERT column list must include merge key '$k' — a keyless " +
+                  s"row cannot participate in future merges; $supported"))
+            (cond.map(rewrite(_, "WHEN NOT MATCHED condition", allowTarget = false)), sets)
+          case other => throw new IllegalArgumentException(
+            s"unsupported WHEN NOT MATCHED clause $other; $supported")
+        }
+
+      // ---- evaluate: one delta-bounded join, CDC-fold commit ------------
+      val tSchema = target.schema
+      val tPref = target.select(tCols.map(c => col(c).as("__t_" + c)).toSeq: _*)
+      val sPref = source.select(sCols.map(c =>
+        col(canonical(sCols, c, sourceName)).as("__s_" + c)).toSeq: _*)
+      val joinCond = keys.map(k =>
+        col("__t_" + k) === col("__s_" + canonical(sCols, k, sourceName)))
+        .reduce(_ && _)
+      def firstTrue(conds: Seq[Option[Column]]): Column =
+        conds.zipWithIndex.foldLeft(lit(null).cast("int")) {
+          case (acc, (c, i)) =>
+            // fold keeps FIRST-true priority by only filling still-null slots
+            when(acc.isNotNull, acc).otherwise(when(c.getOrElse(lit(true)), lit(i)))
+        }
+      def outRow(df: org.apache.spark.sql.DataFrame,
+                 valueFor: String => Column): org.apache.spark.sql.DataFrame =
+        df.select(tCols.map(c =>
+          valueFor(c).cast(tSchema(c).dataType).as(c)).toSeq: _*)
+
+      val (dels, updates) = if (matchedClauses.isEmpty) (None, None) else {
+        // delta-bounded: at most one row per (matched) source row
+        val joined = tPref.join(sPref, joinCond, "inner").localCheckpoint()
+        // standard MERGE cardinality: >1 source row hitting one target row
+        // is an error, never a silent last-writer pick
+        val dup = joined.groupBy(keys.map(k => col("__t_" + k)).toSeq: _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          "MERGE cardinality violation: multiple source rows match target key " +
+            dup.head.toSeq.dropRight(1).mkString("(", ",", ")") +
+            " — dedup the staging view first")
+        val fired = joined
+          .withColumn("__clause", firstTrue(matchedClauses.map {
+            case MUpdate(c, _) => c
+            case MDelete(c) => c
+          }))
+          .filter(col("__clause").isNotNull)
+        val delIdx = matchedClauses.zipWithIndex.collect { case (_: MDelete, i) => i }
+        val isDel = if (delIdx.isEmpty) lit(false)
+          else col("__clause").isin(delIdx.map(Integer.valueOf): _*)
+        val d = if (delIdx.isEmpty) None
+          else Some(fired.filter(isDel)
+            .select(keys.map(k => col("__t_" + k).as(k)).toSeq: _*))
+        val updIdx = matchedClauses.zipWithIndex.collect { case (_: MUpdate, i) => i }
+        val u = if (updIdx.isEmpty) None else Some(outRow(
+          fired.filter(!isDel),
+          c => matchedClauses.zipWithIndex.foldLeft(col("__t_" + c)) {
+            case (acc, (MUpdate(_, sets), i)) =>
+              when(col("__clause") === i, sets.getOrElse(c, col("__t_" + c)))
+                .otherwise(acc)
+            case (acc, _) => acc
+          }))
+        (d, u)
+      }
+      val inserts = if (insertClauses.isEmpty) None else {
+        val unmatched = sPref.join(
+          tPref.select(keys.map(k => col("__t_" + k)).toSeq: _*),
+          joinCond, "left_anti")
+        val fired = unmatched
+          .withColumn("__clause", firstTrue(insertClauses.map(_._1)))
+          .filter(col("__clause").isNotNull)
+        Some(outRow(fired,
+          c => insertClauses.zipWithIndex.foldLeft(lit(null): Column) {
+            case (acc, ((_, sets), i)) =>
+              when(col("__clause") === i, sets.getOrElse(c, lit(null))).otherwise(acc)
+          }))
+      }
+      val ups = (updates.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
+      val base = dels.map(d => target.join(d, keys, "left_anti")).getOrElse(target)
+      val next = ups.map(u => Scale.upsert(base, u, keys)).getOrElse(base)
+      commit(spark, next, path)
     }
 
     /** CDC changelog fold as an EXACTLY-ONCE streaming sink — the

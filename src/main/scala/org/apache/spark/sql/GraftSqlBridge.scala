@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a catalyst `Expression` as a user-facing `Column` — the
+    * Spark-4 `Column(ColumnNode)` split removed the public
+    * `new Column(expr)` constructor; `classic.ExpressionUtils.column`
+    * is the sanctioned internal equivalent (used by Spark's own
+    * classic DataFrame implementation). Needed by the SQL MERGE
+    * routing, which re-evaluates the statement's parsed clause
+    * conditions / SET values against a prefixed join frame.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -102,13 +102,6 @@ class SqlSpec extends AnyFunSuite {
     assert(Sinks.Snapshots.read(spark, path, Some(1)).count() == 3)
 
     // unsupported shapes fail LOUDLY with the supported form in the message
-    val del = intercept[IllegalArgumentException] {
-      Sinks.Snapshots.mergeSql(spark,
-        """MERGE INTO accounts t USING staged_accounts s ON t.k = s.k
-          |WHEN MATCHED THEN DELETE
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(del.getMessage.contains("supported form"))
     val unreg = intercept[IllegalArgumentException] {
       Sinks.Snapshots.mergeSql(spark,
         """MERGE INTO nowhere t USING staged_accounts s ON t.k = s.k
@@ -123,6 +116,75 @@ class SqlSpec extends AnyFunSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(nonEqui.getMessage.contains("equi-predicates"))
+    // ON t.k = t.k is a typo, not a key-merge: a same-relation conjunct
+    // must be rejected, never silently reinterpreted (ADVICE r14)
+    val oneSided = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts t USING staged_accounts s ON t.k = t.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(oneSided.getMessage.contains("span target and source"))
+    val bySource = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts t USING staged_accounts s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+  }
+
+  test("MERGE INTO: conditional clauses, SET lists, DELETE route through the CDC fold") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_mergesql2_").toString + "/t"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      .toDF("k", "name", "v")
+    assert(Sinks.Snapshots.commit(spark, base, path) == 1)
+    Sinks.Snapshots.registerTable("accounts2", path)
+    // k=1: matched, v_new < 100  -> conditional UPDATE SET list fires
+    // k=2: matched, op='D'       -> DELETE clause fires (first-true order)
+    // k=3: matched, v_new >= 100 AND op<>'D' -> NO clause fires -> untouched
+    // k=4: not matched, op<>'D'  -> INSERT fires
+    // k=6: not matched, op='D'   -> a delete for an absent key inserts nothing
+    Seq((1L, "a2", 11.0, "U"), (2L, "b2", 99.0, "D"), (3L, "c2", 300.0, "U"),
+        (4L, "d", 40.0, "I"), (6L, "f", 60.0, "D"))
+      .toDF("k", "name", "v", "op").createOrReplaceTempView("staged2")
+    val v = Sinks.Snapshots.mergeSql(spark,
+      """MERGE INTO accounts2 AS t USING staged2 AS s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.v < 100 THEN UPDATE SET name = s.name, v = s.v + t.v
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, name, v) VALUES (s.k, upper(s.name), s.v)""".stripMargin)
+    assert(v == 2)
+    val after = Sinks.Snapshots.read(spark, path)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq(
+      (1L, "a2", 21.0),     // SET list: v = s.v + t.v = 11 + 10
+      (3L, "c", 30.0),      // matched, no clause fired -> untouched
+      (4L, "D", 40.0),      // INSERT (cols) VALUES: name = upper('d')
+      (5L, "e", 50.0)))     // never staged -> untouched; k=2 deleted
+    // history stays immutable through the CDC-fold route
+    assert(Sinks.Snapshots.read(spark, path, Some(1)).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == Seq(
+        (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0)))
+
+    // standard MERGE cardinality: two source rows hitting one target key
+    Seq((1L, "x", 1.0, "U"), (1L, "y", 2.0, "U"))
+      .toDF("k", "name", "v", "op").createOrReplaceTempView("staged2_dup")
+    val card = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts2 t USING staged2_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(card.getMessage.contains("cardinality"))
+    // SET on a merge key is rejected (it would re-identify the row)
+    val keySet = intercept[IllegalArgumentException] {
+      Sinks.Snapshots.mergeSql(spark,
+        """MERGE INTO accounts2 t USING staged2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
+    }
+    assert(keySet.getMessage.contains("merge key"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
   }
 }

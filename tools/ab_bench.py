@@ -63,12 +63,28 @@ def prepare_control(ref, skip_compile):
             subprocess.run(["git", "-C", REPO, "worktree", "remove",
                             "--force", wt], check=False)
         sh(["git", "-C", REPO, "worktree", "add", "--force", wt, ref])
-        head = None  # fresh tree -> must compile
     classes = os.path.join(wt, "target/scala-2.13/classes")
-    if not (skip_compile and os.path.isdir(classes)) and head != want:
+    # the marker is written ONLY after a successful compile and keyed on
+    # the commit sha — a worktree left by an interrupted sbt run (classes/
+    # exists but half-built) never passes for a compiled control leg
+    marker = os.path.join(wt, "target", ".graft_ab_compiled")
+    marker_ok = os.path.isdir(classes) and os.path.isfile(marker) and \
+        open(marker).read().strip() == want
+    if marker_ok and skip_compile:
+        pass
+    elif marker_ok:
+        # clean reuse is safe without --skip-compile too: control worktrees
+        # are never edited, so sha-keyed classes are current by definition
+        pass
+    else:
+        if skip_compile:
+            sys.exit(f"--skip-compile: no verified compile marker for {want}"
+                     f" in {wt} — run once without --skip-compile first")
+        if os.path.isfile(marker):
+            os.remove(marker)
         sh(["sbt", "-batch", "compile"], cwd=wt)
-    elif not os.path.isdir(classes):
-        sh(["sbt", "-batch", "compile"], cwd=wt)
+        with open(marker, "w") as f:
+            f.write(want + "\n")
     return classes
 
 
