@@ -224,6 +224,10 @@ object SparkEntry {
     "q_cooccur_skipgram" -> (Llm.q_cooccur_skipgram _),
     "q_pit_grid" -> (Relational.q_pit_grid _),
     "q_sample_balanced" -> (Relational.q_sample_balanced _),
+    // r15: trimmed mean / U-shape attribution / LPA communities
+    "q_trimmed_mean" -> (Relational.q_trimmed_mean _),
+    "q_attribution_ushape" -> (Relational.q_attribution_ushape _),
+    "q_graph_lpa" -> (Llm.q_graph_lpa _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -264,6 +268,7 @@ object SparkEntry {
     "q_contamination_fuzzy" -> (Llm.q_contamination_fuzzy _),
     "q_decontam_semantic" -> (Llm.q_decontam_semantic _),
     "q_dsir_weights" -> (Llm.q_dsir_weights _),
+    "q_dsir_resample" -> (Llm.q_dsir_resample _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_sim_quantized" -> (Llm.q_sim_quantized _),
@@ -2337,6 +2342,32 @@ object SparkEntry {
         |  round(CAST(a.slr AS DOUBLE) / a.n_tok + 1e-9, 6) + 0.0 AS dsir_lr
         |FROM agg a JOIN documents d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
+    // same LR CTEs as q_dsir_weights; the Gumbel key rides the A-Res
+    // sampler's md5-uniform (q_sample_weighted's u52 form)
+    "q_dsir_resample" ->
+      """WITH terms AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt_s,
+        |    count(*) FILTER (WHERE lang = 'en') AS cnt_t
+        |  FROM terms GROUP BY term),
+        |tot AS (SELECT sum(cnt_s) AS tot_s, sum(cnt_t) AS tot_t,
+        |    count(*) AS v FROM vocab),
+        |lr AS (SELECT term,
+        |    CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
+        |             - ln(CAST(cnt_s + 1 AS DOUBLE) / CAST(tot_s + v AS DOUBLE))
+        |             + 1e-9, 6) AS DECIMAL(18,6)) AS lr
+        |  FROM vocab CROSS JOIN tot),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tok, sum(l.lr) AS slr
+        |  FROM terms t JOIN lr l USING (term) GROUP BY t.doc_id),
+        |keyed AS (SELECT a.doc_id, d.lang, a.n_tok,
+        |    CAST(a.slr AS DOUBLE) +
+        |      -ln(-ln((('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |              / 4503599627370497.0)) AS k
+        |  FROM agg a JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(k + 1e-9, 6) AS gkey6
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
+
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -2767,6 +2798,101 @@ object SparkEntry {
         |        / count(*) + 1e-9, 6) AS mean_winsor
         |FROM orders o JOIN b USING (o_orderpriority)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.10) + 1e-9, 2) AS lo,
+        |    round(quantile_cont(o_totalprice, 0.90) + 1e-9, 2) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, b.lo, b.hi, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE o_totalprice >= b.lo AND o_totalprice <= b.hi)
+        |       AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*) + 1e-9, 6) AS mean_raw,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |          FILTER (WHERE o_totalprice >= b.lo AND o_totalprice <= b.hi) AS DOUBLE)
+        |        / (count(*) FILTER (WHERE o_totalprice >= b.lo AND o_totalprice <= b.hi))
+        |        + 1e-9, 6) AS mean_trimmed
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_attribution_ushape" -> {
+      val chans = Seq("click", "view", "error", "signup")
+      def cr(c: String) =
+        s"""SELECT '$c' AS channel,
+           |  CASE WHEN n_touch = 1 THEN vu
+           |       WHEN n_touch = 2 THEN
+           |         (CASE WHEN first_ch = '$c' THEN vu // 2 ELSE 0 END)
+           |       + (CASE WHEN last_ch = '$c' THEN vu - vu // 2 ELSE 0 END)
+           |       ELSE
+           |         (CASE WHEN first_ch = '$c' THEN f40 + mid_rem ELSE 0 END)
+           |       + (CASE WHEN last_ch = '$c' THEN f40 ELSE 0 END)
+           |       + (cnt_$c - (CASE WHEN first_ch = '$c' THEN 1 ELSE 0 END)
+           |                 - (CASE WHEN last_ch = '$c' THEN 1 ELSE 0 END)) * mid_each
+           |  END AS credit_4
+           |FROM p2 WHERE n_touch > 0 AND cnt_$c > 0""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns
+         |  FROM events),
+         |c AS (SELECT *,
+         |${chans.map(c => s"    count(CASE WHEN event_type = '$c' THEN 1 END) OVER w AS cnt_$c,").mkString("\n")}
+         |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |                IGNORE NULLS) OVER w AS first_ch,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |               IGNORE NULLS) OVER w AS last_ch
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT *, ${chans.map(c => s"cnt_$c").mkString(" + ")} AS n_touch,
+         |    CAST(round(value * 10000 + 1e-9, 0) AS BIGINT) AS vu
+         |  FROM c WHERE event_type = 'purchase'),
+         |p2 AS (SELECT *, vu * 2 // 5 AS f40,
+         |    CASE WHEN n_touch >= 3
+         |         THEN (vu - 2 * (vu * 2 // 5)) // (n_touch - 2) ELSE 0 END AS mid_each,
+         |    CASE WHEN n_touch >= 3
+         |         THEN vu - 2 * (vu * 2 // 5)
+         |            - (n_touch - 2) * ((vu - 2 * (vu * 2 // 5)) // (n_touch - 2))
+         |         ELSE 0 END AS mid_rem
+         |  FROM p),
+         |credits AS (
+         |${chans.map(cr).mkString("\n  UNION ALL\n")}
+         |  UNION ALL
+         |  SELECT 'direct', vu FROM p2 WHERE n_touch = 0)
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(credit_4) AS BIGINT) AS revenue_4
+         |FROM credits GROUP BY channel HAVING sum(credit_4) > 0
+         |ORDER BY channel""".stripMargin
+    },
+
+    "q_graph_lpa" ->
+      """WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |ed AS (SELECT x.id AS src, y.id AS dst FROM ids x JOIN ids y ON y.id = x.id + 1
+        |  UNION ALL
+        |  SELECT x.id, y.id FROM ids x JOIN ids y ON x.id % 2 = 0 AND y.id = x.id + 2),
+        |ud AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ud),
+        |c1 AS (SELECT u.src AS id, l.label AS label, count(*) AS c
+        |       FROM ud u JOIN l0 l ON l.id = u.dst GROUP BY 1, 2),
+        |l1 AS (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |       FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT u.src AS id, l.label AS label, count(*) AS c
+        |       FROM ud u JOIN l1 l ON l.id = u.dst GROUP BY 1, 2),
+        |l2 AS (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |       FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT u.src AS id, l.label AS label, count(*) AS c
+        |       FROM ud u JOIN l2 l ON l.id = u.dst GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (SELECT id, label FROM (SELECT id, label,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        |       FROM c3) WHERE rn = 1),
+        |sz AS (SELECT label AS community, count(*) AS community_size FROM l3 GROUP BY 1)
+        |SELECT l3.id, l3.label AS community,
+        |  CAST(sz.community_size AS BIGINT) AS community_size
+        |FROM l3 JOIN sz ON l3.label = sz.community
+        |ORDER BY id""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty

@@ -111,6 +111,48 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Ordinal bucket index of a double key against a PINNED sorted
+  * boundary array: `count of boundaries <= key` via
+  * `java.util.Arrays.binarySearch` over a codegen-referenced `double[]`
+  * — the per-row bucket assignment of the one-shuffle terasort
+  * ([[graft.ops.Scale.globalCumMaxPerGroup]]). The expression exists
+  * because both SQL-level spellings measured badly at 1B+ rows: a
+  * higher-order `aggregate` over an m-element literal array runs its
+  * lambda interpreted per element (sf100 q_peak_concurrency 402 s),
+  * and a nested when-TREE (O(log m) lazily-evaluated branches) pushes
+  * the generated stage past the codegen method limits so the whole
+  * window stage falls back to interpreted (218 s); this kernel is a
+  * 3-line binary search inside whole-stage codegen (~82 s, the
+  * two-exchange profile's floor). Boundaries are distinct and sorted
+  * (the caller dedupes); an exact hit counts as `<=` (index + 1), a
+  * miss takes the insertion point.
+  */
+case class BucketIndex(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bucket"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val i = java.util.Arrays.binarySearch(boundaries, a.asInstanceOf[Double])
+    if (i >= 0) i + 1 else -i - 1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("gmBounds", boundaries, "double[]")
+      val i = ctx.freshName("i")
+      s"""
+         |int $i = java.util.Arrays.binarySearch($b, $a);
+         |${ev.value} = ($i >= 0) ? $i + 1 : -$i - 1;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BucketIndex =
+    copy(child = newChild)
+}
+
 /** Matched-component count of two minhash signature arrays
   * (`array<bigint>`): the per-candidate-pair collision estimator of the
   * LSH tier (`est_jaccard = graft_sigmatch(a, b) / NumHashes`). This is

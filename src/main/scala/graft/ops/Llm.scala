@@ -2796,7 +2796,12 @@ object Llm {
     * summing) so partial-aggregation order can never change a score.
     * Final score is per-token (length-normalized).
     */
-  def q_dsir_weights(s: SparkSession, d: String): DataFrame = {
+  /** Shared DSIR sufficient statistic: per-doc summed target-vs-source
+    * unigram log-likelihood ratio — (doc_id, lang, n_tok, slr DECIMAL).
+    * [[q_dsir_weights]] reports the per-token normalization;
+    * [[q_dsir_resample]] draws the Gumbel-top-k selection from it.
+    */
+  private def dsirDocLr(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
@@ -2821,6 +2826,10 @@ object Llm {
     tf.join(broadcast(termLr), "term")
       .groupBy("doc_id", "lang")
       .agg(sum(col("tf")).as("n_tok"), sum(col("lr") * col("tf")).as("slr"))
+  }
+
+  def q_dsir_weights(s: SparkSession, d: String): DataFrame =
+    dsirDocLr(s, d)
       .select(col("doc_id"), col("lang"), col("n_tok"),
         // + 0.0 normalizes IEEE −0.0 → +0.0 (a near-zero score can round
         // to signed zero; DuckDB keeps the sign, BigDecimal-based round
@@ -2828,7 +2837,33 @@ object Llm {
         (round(col("slr").cast("double") / col("n_tok") + lit(1e-9), 6) + lit(0.0))
           .as("dsir_lr"))
       .orderBy("doc_id")
-  }
+
+  /** DSIR importance RESAMPLING (Xie et al. 2023 §2.2) — the selection
+    * step the weights exist for: keep the k documents whose doc-level
+    * log-likelihood ratio, perturbed by Gumbel noise, ranks highest —
+    * Gumbel-top-k IS sampling without replacement with probability
+    * ∝ exp(slr), and staying in LOG space never materializes exp of a
+    * ±40 log-ratio (no overflow at any corpus scale, where the naive
+    * A-Res key u^(1/w) with w = exp(slr) does). Same deterministic
+    * md5-uniform discipline as the A-Res sampler ([[q_sample_weighted]]):
+    * u = first 13 md5 hex digits of doc_id, gumbel = −ln(−ln((u+1)/2⁵²)),
+    * key = slr + gumbel — one double sum from an exact integer and an
+    * exact DECIMAL, identical in both engines. Map-side key + global
+    * top-k (TakeOrderedAndProject): no shuffle beyond the LR join.
+    */
+  def q_dsir_resample(s: SparkSession, d: String): DataFrame =
+    dsirDocLr(s, d)
+      .withColumn("u52",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("k",
+        col("slr").cast("double") +
+          -log(-log((col("u52") + 1).cast("double") / lit(4503599627370497.0))))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("k") + lit(1e-9), 6).as("gkey6"), col("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(50)
+      .drop("k")
 
   /** CCNet-style perplexity BUCKETING (head/middle/tail): the unigram-LM
     * NLL from [[q_quality_perplexity]] split at its corpus terciles —
@@ -3073,6 +3108,27 @@ object Llm {
       .select(col("id"), col("hub"), col("auth"),
         round(col("hub").cast("double") / col("__mh") + lit(1e-12), 8).as("hub_norm"),
         round(col("auth").cast("double") / col("__ma") + lit(1e-12), 8).as("auth_norm"))
+      .orderBy("id")
+  }
+
+  /** Label-propagation communities ([[Scale.labelPropagation]], 3
+    * synchronous min-tie-break rounds) over the shared deterministic
+    * gate graph — the community detector next to PageRank/HITS/k-core
+    * in the link-curation toolkit (domain clustering / spam-farm
+    * grouping over a web corpus's link graph). Deterministic by
+    * construction (no randomized update order), so the fixed recursion
+    * unrolls into one DuckDB CTE per round — hash-exact, the same
+    * treatment as the k-core peel. Reports each node's community and
+    * the community's size (a broadcast-size rollup of the final
+    * label frame).
+    */
+  def q_graph_lpa(s: SparkSession, d: String): DataFrame = {
+    val labels = Scale.labelPropagation(chainChordEdges(s, d), "src", "dst", iters = 3)
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.select(col("id"), col("label").as("community"))
+      .join(broadcast(sizes), "community")
+      .select(col("id"), col("community"), col("community_size"))
       .orderBy("id")
   }
 

@@ -3599,6 +3599,38 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Two-sided 10% TRIMMED mean per order priority — the winsorizer's
+    * sibling that DROPS the tail observations instead of clamping them
+    * (the robust location estimate when the tails are garbage rather
+    * than censored truth; winsorize when mass must be conserved, trim
+    * when it must be excluded). Identical 100 TB plan shape to
+    * [[q_winsorize]]: exact per-group percentile bounds (p10/p90),
+    * broadcast back, ONE conditional re-aggregation — the kept-mass
+    * sum stays DECIMAL until the final division, and the kept count is
+    * reported next to the raw count so the effective trim rate is
+    * auditable.
+    */
+  def q_trimmed_mean(s: SparkSession, d: String): DataFrame = {
+    val pcts = percentile(col("o_totalprice"), lit(Array(0.10, 0.90)))
+    val bounds = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(element_at(pcts, 1) + lit(1e-9), 2).as("lo"),
+        round(element_at(pcts, 2) + lit(1e-9), 2).as("hi"))
+    val kept = col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi")
+    orders(s, d)
+      .join(broadcast(bounds), "o_orderpriority")
+      .groupBy("o_orderpriority", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)) + lit(1e-9), 6).as("mean_raw"),
+        round(sum(when(kept, col("o_totalprice").cast(DecimalType(18, 2)))).cast("double")
+          / sum(when(kept, 1L).otherwise(0L)) + lit(1e-9), 6).as("mean_trimmed"))
+      .orderBy("o_orderpriority")
+  }
+
   /** 2-D Pareto frontier (skyline) per market segment: customers not
     * dominated on (order count, total spend) — the "best customers"
     * report without collapsing two axes into one score. NOT an
@@ -3872,6 +3904,69 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** U-SHAPED (position-based) multi-touch attribution — 40% of each
+    * purchase's value to the FIRST preceding touch, 40% to the LAST,
+    * 20% split across the middles: the position-aware model between
+    * [[q_attribution_last]] (all-to-last) and [[q_attribution_linear]]
+    * (even split), crediting discovery and closing over drive-by
+    * middles. Exact integer micro-units throughout: 40% = `vu*2 div 5`,
+    * middles get `mid_total div (n−2)` each with the remainder riding
+    * the FIRST touch, n=2 splits `div 2`/remainder, n=1 takes all — so
+    * every purchase's credits sum to EXACTLY its micro-value in both
+    * engines (no float division anywhere). Same single-window plan as
+    * linear: per-channel counts + first/last touch all collapse into
+    * ONE window node over ONE user-keyed sort; credits emit via the
+    * array-explode (never a per-channel Union over the window subtree).
+    */
+  def q_attribution_ushape(s: SparkSession, d: String): DataFrame = {
+    val channels = Seq("click", "view", "error", "signup")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val counted = events(s, d).select(
+      Seq(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ns")) ++
+        channels.map(c =>
+          count(when(col("event_type") === c, lit(1))).over(w).as(s"cnt_$c")) ++
+        Seq(first(touch, ignoreNulls = true).over(w).as("first_ch"),
+          last(touch, ignoreNulls = true).over(w).as("last_ch")): _*)
+    val purchases = counted.filter(col("event_type") === "purchase")
+      .withColumn("vu", round(col("value") * 10000 + lit(1e-9), 0).cast("long"))
+      .withColumn("n_touch", channels.map(c => col(s"cnt_$c")).reduce(_ + _))
+      .withColumn("f40", expr("vu * 2 div 5"))
+      .withColumn("mid_each",
+        expr("CASE WHEN n_touch >= 3 THEN (vu - 2 * (vu * 2 div 5)) div (n_touch - 2) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("mid_rem",
+        expr("CASE WHEN n_touch >= 3 THEN vu - 2 * (vu * 2 div 5) - (n_touch - 2) * mid_each ELSE CAST(0 AS BIGINT) END"))
+    def credit(c: String) = {
+      val isFirst = when(col("first_ch") === c, 1L).otherwise(0L)
+      val isLast = when(col("last_ch") === c, 1L).otherwise(0L)
+      when(col("n_touch") === 1, col("vu"))
+        .when(col("n_touch") === 2,
+          isFirst * expr("vu div 2") + isLast * expr("vu - vu div 2"))
+        .otherwise(
+          isFirst * (col("f40") + col("mid_rem")) + isLast * col("f40") +
+            (col(s"cnt_$c") - isFirst - isLast) * col("mid_each"))
+    }
+    val credits = purchases.select(explode(
+      when(col("n_touch") > 0,
+        filter(
+          array(channels.map(c => struct(
+            lit(c).as("channel"),
+            credit(c).as("credit_4"),
+            col(s"cnt_$c").as("cnt"))): _*),
+          x => x.getField("cnt") > 0))
+        .otherwise(array(struct(
+          lit("direct").as("channel"),
+          col("vu").as("credit_4"),
+          lit(1L).as("cnt"))))).as("x"))
+      .select(col("x.channel").as("channel"), col("x.credit_4").as("credit_4"))
+    credits.groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("credit_4").as("revenue_4"))
+      .filter(col("revenue_4") > 0)
+      .orderBy("channel")
+  }
+
   /** Cohort LTV curve — cumulative purchase revenue per signup cohort by
     * weeks-since-signup (the [[q_retention]] grid with money instead of
     * presence): cohort = the user's first-event week, weekly revenue is
@@ -4031,8 +4126,20 @@ object Relational {
     // starts-UNION-ends formulation re-executes the whole window
     // subtree per branch (no subtree reuse without an explicit cache;
     // the sf100 taskstats showed the window pass twice at ~400 s each)
+    // Both big sorts here (the user window below and the sweep terasort
+    // at the end) must size their partition count by DATA, not cores:
+    // at the conf default (= cpus in the bench harness) an sf100 task
+    // sorts >3 GB and spills — r15 taskstats showed the sort stages'
+    // task-time sums growing 18.5×/decade with perfectly even tasks,
+    // and raising the fan-out 4× removed the spill (sf100 RUNS=1
+    // 125.0 → ~82 s; sort-stage sum 538k → 318k ms). The explicit
+    // repartition below still satisfies the window's ClusteredDistribution
+    // (any hash partitioning on user_id) so no second exchange is added;
+    // AQE never raises a fan-out on its own. Cheap at small SFs.
+    val fanout = 4 * s.sessionState.conf.numShufflePartitions
     val sweep = events(s, d)
       .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .repartition(fanout, col("user_id"))
       .withColumn("prev_us", lag("ts_us", 1).over(w))
       .withColumn("next_us", lead("ts_us", 1).over(w))
       .select(col("user_id"), col("event_id"), explode(expr(
@@ -4048,12 +4155,33 @@ object Relational {
     // (ts_us, delta, user_id) is already unique — one user's sessions
     // are >30 min apart, so the event_id tail of the total order never
     // decides between rows that could reorder the running sum.
-    Scale.globalCumSum(sweep,
+    // The day-grain rollup is FOLDED into the terasort's own pass
+    // ([[Scale.globalCumMaxPerGroup]]): the per-partition running sum
+    // feeds a map-side (pid, day) partial agg in the same stage, and
+    // the partition offsets come from that micro-table — vs the r14
+    // globalCumSum + groupBy form this removes the n-row
+    // localCheckpoint, the separate offset-count scan, the broadcast
+    // join back onto n rows, and the n-row day agg (sf100 A/B:
+    // 135 s -> see PERF.md round 15).
+    // Bucket boundaries for the ONE-SHUFFLE terasort come from the
+    // PRUNED events scan (ts column only — no window recompute, unlike
+    // repartitionByRange's own sampling job which re-runs the sweep
+    // subtree): sweep timestamps are the session-boundary subset of
+    // event timestamps, so event-ts quantiles balance the sweep within
+    // the skew monitor's tolerance. 4 buckets per partition lets the
+    // range packer even out multi-bucket partitions.
+    val boundaries = events(s, d)
+      .select(expr("ts_ns div 1000").cast("double").as("__k"))
+      .stat.approxQuantile("__k",
+        (1 until 4 * fanout).map(_.toDouble / (4 * fanout)).toArray, 0.005)
+    Scale.globalCumMaxPerGroup(sweep,
         Seq(col("ts_us"), col("delta"), col("user_id"), col("event_id")),
-        col("delta"), "open")
-      .groupBy(expr("ts_us div 86400000000").as("day"))
-      .agg(max("open").as("peak_concurrency"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_session_starts"))
+        col("delta"),
+        Seq((expr("ts_us div 86400000000"), "day")),
+        "peak_concurrency",
+        Seq((when(col("delta") === 1L, 1L).otherwise(0L), "n_session_starts")),
+        numPartitions = fanout,
+        keyBoundaries = boundaries)
       .orderBy("day")
   }
 

@@ -344,6 +344,115 @@ object Scale {
       .drop("__mcs_pid" +: values.indices.map(i => s"__mcs_o$i"): _*)
   }
 
+  /** Per-GROUP extremes of a global running sum WITHOUT materializing
+    * the running sum: one terasort, then ONE fused pass (per-partition
+    * window running sum feeding a map-side partial agg in the same
+    * stage) reduces the n input rows to a P×|groups| micro-table. The
+    * partition offsets are recovered from that micro-table itself (the
+    * per-partition `value` totals, summed in pid order, BigDecimal-
+    * exact) — so, unlike [[globalCumSum]] followed by a groupBy, there
+    * is NO second scan of the sorted rows, no n-row localCheckpoint,
+    * and no broadcast join back onto n rows. Correct because the
+    * offset is constant within a partition, so the group's max of the
+    * GLOBAL running sum decomposes exactly:
+    * max_g(cum) = max_p(offset_p + maxLocalCum_{p,g}).
+    *
+    * `groups` are (expression, outputName) pairs; `extraSums` are
+    * (expression, outputName) pairs summed per group (sums re-aggregate
+    * losslessly across the two levels; a non-decomposable agg does
+    * not belong here). `value` and every extraSum must be exact
+    * (long/decimal); `order` must totally order rows or running sums
+    * at ties are nondeterministic. Output: one row per group —
+    * group columns ++ `maxCol` ++ extraSum columns. The micro-table
+    * (P·|groups| rows, localCheckpoint'ed once so the offset pass and
+    * the final rollup read one materialization) is the only driver /
+    * broadcast footprint — the same class as [[globalCumSum]]'s P-row
+    * offset pass.
+    */
+  def globalCumMaxPerGroup(df: DataFrame, order: Seq[Column], value: Column,
+                           groups: Seq[(Column, String)], maxCol: String,
+                           extraSums: Seq[(Column, String)] = Nil,
+                           numPartitions: Int = 0,
+                           keyBoundaries: Array[Double] = null): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val groupNames = groups.map(_._2)
+    // ONE-SHUFFLE terasort: a `spark_partition_id()` column after
+    // `repartitionByRange` does NOT satisfy the pid window's
+    // ClusteredDistribution (the planner cannot know pid is constant
+    // per partition), so that spelling pays a hidden SECOND full
+    // exchange + re-sort on hashpartitioning(pid) — the r15 taskstats
+    // found it as the skewed 294k-ms stage behind q_peak_concurrency.
+    // With caller-provided quantile `keyBoundaries` of the LEADING
+    // order key (plain ascending numeric; cheap to sample from the
+    // pruned source scan) the rows carry an ORDINAL bucket id instead:
+    // `repartitionByRange` on that id is a RangePartitioning that DOES
+    // satisfy the window's distribution, and the (bucket, order)
+    // partition sort is its required ordering — so the window and the
+    // micro-agg ride the terasort's own exchange, nothing re-shuffles.
+    // Boundaries should be ≥4× the partition count so the range
+    // packer balances multi-bucket partitions (same-bucket ties never
+    // split — a bucket is a function of the key). Pass null to take
+    // the original range-partition path (correct for any order,
+    // one planner-inserted pid exchange + sort extra).
+    val bucketed = if (keyBoundaries != null && keyBoundaries.nonEmpty) {
+      val bounds = keyBoundaries.distinct.sorted
+      // bucket assignment is a codegen binary-search kernel — both
+      // SQL-level spellings (interpreted higher-order aggregate; a
+      // when-tree that blows the stage past codegen method limits)
+      // measured 2-4× slower end to end at sf100 (see BucketIndex)
+      val bucket = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.BucketIndex(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            order.head.cast("double")), bounds))
+      df.withColumn("__gm_pid", bucket)
+        .repartitionByRange(parts, col("__gm_pid"))
+        .sortWithinPartitions(col("__gm_pid") +: order: _*)
+    } else
+      df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__gm_pid", spark_partition_id())
+    val w = Window.partitionBy("__gm_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prepared = groups.foldLeft(
+      bucketed
+        .withColumn("__gm_cum", sum(value).over(w))
+        .withColumn("__gm_v", value)) { case (d, (c, n)) => d.withColumn(n, c) }
+    val microAggs = Seq(max("__gm_cum").as("__gm_max"),
+      sum("__gm_v").as("__gm_sum")) ++
+      extraSums.map { case (c, n) => sum(c).as(n) }
+    val micro = prepared
+      .groupBy(("__gm_pid" +: groupNames).map(col): _*)
+      .agg(microAggs.head, microAggs.tail: _*)
+      .localCheckpoint()
+    val sumType = micro.schema("__gm_sum").dataType
+    val perPart = micro.groupBy("__gm_pid").agg(sum("__gm_sum").as("__gm_t"))
+      .collect()
+      .map { r =>
+        val s = r.get(1) match {
+          case null                    => java.math.BigDecimal.ZERO
+          case b: java.math.BigDecimal => b
+          case n: Number               => new java.math.BigDecimal(n.toString)
+        }
+        (r.getInt(0), s)
+      }
+      .sortBy(_._1)
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = perPart.map { case (pid, sm) =>
+      val o = acc; acc = acc.add(sm); (pid, o.toPlainString)
+    }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__gm_pid", "__gm_off_s")
+      .select(col("__gm_pid"), col("__gm_off_s").cast(sumType).as("__gm_off"))
+    val finalAggs = Seq(
+      max((col("__gm_off") + col("__gm_max")).cast(sumType)).as(maxCol)) ++
+      extraSums.map { case (_, n) => sum(col(n)).as(n) }
+    micro.join(broadcast(offsetsDf), Seq("__gm_pid"))
+      .groupBy(groupNames.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Generic as-of join: append to every left row the payload of the most
     * recent right row with the same key and `rightTs <= leftTs` (inclusive).
     *
@@ -947,6 +1056,49 @@ object Scale {
     * [[graft.ops.Relational.dsum]]). Dangling nodes contribute nothing
     * (standard per-node formulation: `(1-d) + d·Σ contrib`).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E
+    * 76) with a DETERMINISTIC tie-break: every node starts labeled by
+    * its own id; each round every node adopts the most frequent label
+    * among its neighbors' PREVIOUS-round labels, ties broken by MIN
+    * label (the randomized original is useless as a gate — and at
+    * 100 TB a retry-stable community assignment is the point). A FIXED
+    * iteration count keeps the recursion oracle-unrollable; callers
+    * wanting convergence loop until the label frame reaches a fixed
+    * point. Per round: one equi-join of the m-row symmetrized edge
+    * list against the n-row label frame, one (node, label) count agg,
+    * one degree-bounded top-1 window — never node × node. Same
+    * checkpoint-release loop discipline as [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    // symmetrize + dedupe: neighbors see each other in both directions
+    val ud = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .distinct().localCheckpoint()
+    val nodes = ud.select(col("__src").as("id")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("id"))
+    var prevCkpt: Option[DataFrame] = None
+    val w = Window.partitionBy("__src").orderBy(col("__c").desc, col("__nl").asc)
+    for (_ <- 1 to iters) {
+      val counted = ud
+        .join(labels.select(col("id"), col("label").as("__nl")),
+          col("__dst") === col("id"))
+        .groupBy(col("__src"), col("__nl")).agg(count(lit(1)).as("__c"))
+      labels = counted
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__src").as("id"), col("__nl").as("label"))
+        .localCheckpoint() // bound lineage growth across iterations
+      prevCkpt.foreach(Llm.unpersistCheckpoint)
+      prevCkpt = Some(labels)
+    }
+    if (iters > 0) { // final labels are materialized — loop tables are dead
+      Llm.unpersistCheckpoint(ud)
+      Llm.unpersistCheckpoint(nodes)
+    }
+    labels
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col(srcCol).as("__s")).agg(count(lit(1)).as("__outdeg"))

@@ -67,6 +67,40 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("p50"))
   }
 
+  /** Daily percentile bands (time-resolved p50/p90/p99 per event type)
+    * over an event stream — the streaming twin of the oracled batch
+    * gate [[Relational.q_percentile_bands]], EXACT rather than sketch:
+    * per (type, day) window the day's values accumulate in the window's
+    * aggregation state (bounded by one day's per-type volume — the same
+    * bound the batch gate's percentile sort pays per group) and the
+    * gate's interpolation formula `a[⌊i⌋] + (i−⌊i⌋)·(a[⌈i⌉]−a[⌊i⌋])`,
+    * i = (n−1)·p, runs at emission over the sorted array — so finalized
+    * stream rows are BIT-EQUAL to the batch gate on the same inputs
+    * (StreamingSpec pins stream == gate; the same function applied to a
+    * batch frame is the gate's formulation modulo `window()` vs
+    * `to_date()`). For unbounded per-day volume swap the collect for
+    * the t-digest form ([[tumblingMedian]]) — the trade is exactness,
+    * same plan shape.
+    */
+  def dailyPercentileBands(events: DataFrame,
+                           watermark: String = "1 day"): DataFrame = {
+    def pct(p: Double) = {
+      val idx = lit(1.0) + (size(col("vs")) - 1).cast("double") * lit(p)
+      val vlo = element_at(col("vs"), floor(idx).cast("int"))
+      val vhi = element_at(col("vs"), ceil(idx).cast("int"))
+      round(vlo + (idx - floor(idx)) * (vhi - vlo) + lit(1e-9), 4)
+    }
+    events
+      .withColumn("v", col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), collect_list(col("v")).as("vs0"))
+      .withColumn("vs", sort_array(col("vs0")))
+      .select(col("event_type"), to_date(col("w.start")).as("day"), col("n"),
+        pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"))
+  }
+
   /** Watermarked session windows (built-in `session_window`): a session
     * closes when the watermark passes last-event-ts + gap.
     */

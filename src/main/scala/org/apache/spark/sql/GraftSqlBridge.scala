@@ -21,4 +21,11 @@ object GraftSqlBridge {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: unwrap a `Column` to its catalyst
+    * `Expression` (Spark 4 removed the public `.expr`). Used to detect
+    * SortOrder-wrapped sort keys in the terasort helpers.
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -1302,6 +1302,49 @@ class OpsSpec extends AnyFunSuite {
     assert(gotDesc == wantDesc)
   }
 
+  test("globalCumMaxPerGroup ≡ partition-less running sum + per-group max, one fused pass") {
+    import spark.implicits._
+    // signed values so the per-group max of the RUNNING sum differs from
+    // both the group total and the grand total — a wrong offset or a
+    // partition-local max would not survive this
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("v", (pmod(col("id") * 37, lit(19)) - 9).cast("long"))
+      .withColumn("g", pmod(col("id"), lit(7)))
+      .repartition(6) // deliberately scrambled input partitioning
+    val got = Scale.globalCumMaxPerGroup(df, Seq(col("k"), col("id")), col("v"),
+        Seq((col("g") * 2, "g2")), "mx",
+        Seq((when(col("v") > 0, 1L).otherwise(0L), "n_pos")),
+        numPartitions = 5)
+      .select("g2", "mx", "n_pos").as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .groupBy((col("g") * 2).as("g2"))
+      .agg(max("cum").as("mx"),
+        sum(when(col("v") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .select("g2", "mx", "n_pos").as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 7)
+    // explicit keyBoundaries → the ONE-SHUFFLE ordinal-bucket path (the
+    // md5 head above takes the range-partition fallback); same totals
+    // law against a naive running sum ordered by (id). Boundaries are
+    // deliberately UNEVEN and include an exact key value (ties must
+    // stay whole) and an out-of-range bound (empty bucket).
+    val got2 = Scale.globalCumMaxPerGroup(df, Seq(col("id")), col("v"),
+        Seq((col("g"), "g")), "mx", Seq((lit(1L), "n_rows")), numPartitions = 5,
+        keyBoundaries = Array(17.0, 100.0, 250.0, 250.0, 490.0, 9999.0))
+      .select("g", "mx", "n_rows").as[(Long, Long, Long)].collect().toSet
+    val w2 = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want2 = df.withColumn("cum", sum(col("v")).over(w2))
+      .groupBy("g")
+      .agg(max("cum").as("mx"), count(lit(1)).as("n_rows"))
+      .select("g", "mx", "n_rows").as[(Long, Long, Long)].collect().toSet
+    assert(got2 == want2 && got2.size == 7)
+  }
+
   test("globalCumSums: N synchronized counters ≡ N single-column runs, one sort") {
     import spark.implicits._
     val df = spark.range(1, 401).toDF("id")

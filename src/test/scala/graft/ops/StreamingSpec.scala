@@ -203,6 +203,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got.count() > 0)
   }
 
+  test("streaming daily percentile bands == the oracled batch gate on the same events") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbands_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("part-0.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamedRaw = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val streamed = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamedRaw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("CAST(ts AS LONG) div 1000")))
+      case _ =>
+        streamedRaw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val q = Streaming.dailyPercentileBands(streamed)
+      .writeStream.format("memory").queryName("pbands")
+      .outputMode("complete") // bounded replay: every window, watermark or not
+      .trigger(Trigger.AvailableNow())
+      .start()
+    queries = q :: queries
+    q.awaitTermination(60000)
+    val got = spark.table("pbands")
+    // the oracled gate IS the expectation — stream rows must be
+    // bit-equal (same decimal quantize, same interpolation, same round)
+    val want = Relational.q_percentile_bands(spark, sf)
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stream-stream join: purchases within the window match; state stays bounded by watermark") {
     val s = spark
     import s.implicits._
