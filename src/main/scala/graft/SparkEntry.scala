@@ -269,6 +269,7 @@ object SparkEntry {
     "q_decontam_semantic" -> (Llm.q_decontam_semantic _),
     "q_dsir_weights" -> (Llm.q_dsir_weights _),
     "q_dsir_resample" -> (Llm.q_dsir_resample _),
+    "q_eval_bootstrap" -> (Llm.q_eval_bootstrap _),
     "q_cluster_kmeans" -> (Llm.q_cluster_kmeans _),
     "q_dedup_semantic" -> (Llm.q_dedup_semantic _),
     "q_sim_quantized" -> (Llm.q_sim_quantized _),
@@ -2367,6 +2368,35 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
         |  round(k + 1e-9, 6) AS gkey6
         |FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
+
+    // deterministic Poisson(1) replicate weights from md5(doc_id:b);
+    // CDF thresholds are pinned literals shared with the Spark gate
+    "q_eval_bootstrap" ->
+      """WITH reps AS (
+        |  SELECT d.source, d.n_chars, g.b,
+        |    ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |     / 4503599627370497.0) AS u
+        |  FROM documents d, (SELECT unnest(generate_series(0, 31)) AS b) g),
+        |wk AS (SELECT source, b, n_chars,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.73575888234288466 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033254 THEN 7
+        |         ELSE 8 END AS k
+        |  FROM reps),
+        |m AS (SELECT source, b,
+        |    CAST(round(CAST(sum(k * n_chars) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+        |               + 1e-9, 6) AS DECIMAL(18,6)) AS m6
+        |  FROM wk GROUP BY 1, 2 HAVING sum(k) > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_reps,
+        |  round(CAST(sum(m6) AS DOUBLE) / count(*) + 1e-9, 4) AS boot_mean,
+        |  round(quantile_cont(CAST(m6 AS DOUBLE), 0.05) + 1e-9, 4) AS ci_lo,
+        |  round(quantile_cont(CAST(m6 AS DOUBLE), 0.95) + 1e-9, 4) AS ci_hi
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_orders,

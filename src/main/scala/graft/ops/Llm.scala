@@ -3562,6 +3562,56 @@ object Llm {
     * stratification key BY DESIGN — so [[q_corpus_card]] computes it
     * eagerly and returns a local relation.
     */
+  /** Bootstrap confidence intervals for a corpus metric WITHOUT
+    * resampling the corpus — the online/Poisson bootstrap (Oza &
+    * Russell 2001; Kleiner et al.'s little-bootstrap lineage): each of
+    * B=32 replicates reweights every doc by a Poisson(1) count drawn
+    * DETERMINISTICALLY from md5(doc_id:b) through the Poisson inverse
+    * CDF (fixed literal thresholds — both engines compare the same
+    * doubles), so a replicate's weighted mean is one map-side multiply
+    * per doc and the whole error bar costs ONE scan + a (source, b)
+    * agg — no B corpus copies, retry-stable, embarrassingly parallel
+    * at 100 TB. Reports per source the replicate count, the bootstrap
+    * mean of mean-doc-length, and the percentile CI (replicate means
+    * quantized to DECIMAL(18,6) before any cross-replicate sum — the
+    * float-order discipline — then ranked as DOUBLE in both engines).
+    * Zero-total replicates (P ≈ e^-n per source) are dropped by the
+    * same sum(k) > 0 guard in both engines.
+    */
+  def q_eval_bootstrap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val B = 32
+    // Poisson(1) CDF thresholds, pinned literals (never engine-computed)
+    val cdf = Seq(0.36787944117144233, 0.73575888234288466, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.999916758850712, 0.9999897508033254)
+    val k = cdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), acc) => when(col("u") < t, lit(i)).otherwise(acc)
+    }
+    val reps = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("u52",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("b"))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("u", (col("u52") + 1).cast("double") / lit(4503599627370497.0))
+      .withColumn("k", k)
+    val ms = reps.groupBy("source", "b")
+      .agg(sum(col("k") * col("n_chars")).as("skx"), sum("k").as("sk"))
+      .filter(col("sk") > 0)
+      .withColumn("m6",
+        round(col("skx").cast("double") / col("sk").cast("double") + lit(1e-9), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("m6d", col("m6").cast("double"))
+    val pcts = percentile(col("m6d"), lit(Array(0.05, 0.95)))
+    ms.groupBy("source")
+      .agg(count(lit(1)).as("n_reps"),
+        round(sum("m6").cast("double") / count(lit(1)) + lit(1e-9), 4).as("boot_mean"),
+        round(element_at(pcts, 1) + lit(1e-9), 4).as("ci_lo"),
+        round(element_at(pcts, 2) + lit(1e-9), 4).as("ci_hi"))
+      .orderBy("source")
+  }
+
   def q_corpus_card(s: SparkSession, d: String): DataFrame = {
     val (report, release) = corpusCard(documents(s, d))
     val rows = report.collect()
