@@ -228,6 +228,11 @@ object SparkEntry {
     "q_trimmed_mean" -> (Relational.q_trimmed_mean _),
     "q_attribution_ushape" -> (Relational.q_attribution_ushape _),
     "q_graph_lpa" -> (Llm.q_graph_lpa _),
+    // r15b: KM survival / time-decay attribution / CUPED / STL-lite
+    "q_survival_km" -> (Relational.q_survival_km _),
+    "q_attribution_decay" -> (Relational.q_attribution_decay _),
+    "q_cuped" -> (Relational.q_cuped _),
+    "q_seasonal_decompose" -> (Relational.q_seasonal_decompose _),
     "q_log_odds" -> (Llm.q_log_odds _),
     "q_quantile_norm" -> (Llm.q_quantile_norm _),
     "q_weighted_median" -> (Llm.q_weighted_median _),
@@ -2894,6 +2899,140 @@ object SparkEntry {
          |FROM credits GROUP BY channel HAVING sum(credit_4) > 0
          |ORDER BY channel""".stripMargin
     },
+
+    "q_survival_km" ->
+      """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |             max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT max(ld) AS ed FROM u),
+        |lt AS (SELECT CASE WHEN date_diff('day', ld, ed) >= 14
+        |         THEN date_diff('day', fd, ld)
+        |         ELSE date_diff('day', fd, ed) END AS t,
+        |       date_diff('day', ld, ed) >= 14 AS dead
+        |       FROM u, h),
+        |g AS (SELECT t, sum(CASE WHEN dead THEN 1 ELSE 0 END) AS d,
+        |        sum(CASE WHEN dead THEN 0 ELSE 1 END) AS c FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(d + c) AS n_total FROM g),
+        |r AS (SELECT t, d, c,
+        |        n_total - coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |      FROM g, tot),
+        |r2 AS (SELECT *,
+        |        max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER cum AS zeroed,
+        |        sum(CASE WHEN d < n_at_risk
+        |            THEN ln(1 - CAST(d AS DOUBLE) / n_at_risk) END)
+        |          OVER cum AS lnsum
+        |       FROM r WINDOW cum AS (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(d AS BIGINT) AS n_deaths, CAST(c AS BIGINT) AS n_censored,
+        |  CASE WHEN zeroed = 1 THEN 0.0
+        |       ELSE round(exp(lnsum) + 1e-9, 6) END AS survival
+        |FROM r2 ORDER BY duration_days""".stripMargin,
+
+    "q_attribution_decay" -> {
+      val chans = Seq("click", "view", "error", "signup")
+      def cr(c: String) =
+        s"""SELECT '$c' AS channel,
+           |  vu * wq_$c // W + (CASE WHEN rem_ch = '$c'
+           |    THEN vu - (${chans.map(ch => s"vu * wq_$ch // W").mkString(" + ")})
+           |    ELSE 0 END) AS credit_4
+           |FROM p3 WHERE W > 0 AND wq_$c > 0""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+         |    CAST(ts AS DATE) AS day
+         |  FROM events),
+         |b AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS base_day FROM e),
+         |c AS (SELECT *,
+         |${chans.map(ch => s"    sum(CASE WHEN event_type = '$ch' THEN pow(2.0, CAST(date_diff('day', base_day, day) AS DOUBLE) / 7.0) END) OVER w AS s_$ch,").mkString("\n")}
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |               IGNORE NULLS) OVER w AS last_ch
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT *, CAST(round(value * 10000 + 1e-9, 0) AS BIGINT) AS vu,
+         |    pow(2.0, -CAST(date_diff('day', base_day, day) AS DOUBLE) / 7.0) AS pfac
+         |  FROM c WHERE event_type = 'purchase'),
+         |p2 AS (SELECT *,
+         |${chans.map(ch => s"    coalesce(CAST(round(pfac * s_$ch * 1e6 + 1e-9, 0) AS BIGINT), 0) AS wq_$ch,").mkString("\n").dropRight(1)}
+         |  FROM p),
+         |p3 AS (SELECT *, ${chans.map(ch => s"wq_$ch").mkString(" + ")} AS W,
+         |    substr(greatest(${chans.map(ch => s"lpad(CAST(wq_$ch AS VARCHAR), 20, '0') || '$ch'").mkString(", ")}), 21, 10) AS rem_ch
+         |  FROM p2),
+         |credits AS (
+         |${chans.map(cr).mkString("\n  UNION ALL\n")}
+         |  UNION ALL
+         |  SELECT last_ch, vu FROM p3 WHERE W = 0 AND last_ch IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'direct', vu FROM p3 WHERE W = 0 AND last_ch IS NULL)
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(credit_4) AS BIGINT) AS revenue_4
+         |FROM credits GROUP BY channel HAVING sum(credit_4) > 0
+         |ORDER BY channel""".stripMargin
+    },
+
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+        |           FROM events),
+        |sp AS (SELECT min(day) + CAST((date_diff('day', min(day), max(day)) // 2)
+        |         AS INT) AS cut FROM e),
+        |pu AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' AND day < cut
+        |            THEN CAST(value AS DECIMAL(18,2))
+        |            ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |        sum(CASE WHEN event_type = 'purchase' AND day >= cut
+        |            THEN CAST(value AS DECIMAL(18,2))
+        |            ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |       FROM e, sp GROUP BY 1),
+        |pa AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'A' ELSE 'B' END AS arm, x, y FROM pu),
+        |std AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+        |        sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+        |        sum(CAST(y * y AS DECIMAL(38,4))) AS syy
+        |       FROM pa GROUP BY 1),
+        |st AS (SELECT arm, n, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |        CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |        CAST(syy AS DOUBLE) AS syy FROM std),
+        |po AS (SELECT CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0.0 THEN 0.0
+        |         ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS theta,
+        |        sx / CAST(n AS DOUBLE) AS mean_x
+        |       FROM (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |               sum(sxy) AS sxy, sum(sxx) AS sxx FROM st))
+        |SELECT arm, CAST(n AS BIGINT) AS n_users,
+        |  round(sy / CAST(n AS DOUBLE) + 1e-9, 6) AS mean_y,
+        |  round(sy / CAST(n AS DOUBLE)
+        |    - theta * (sx / CAST(n AS DOUBLE) - mean_x) + 1e-9, 6) AS mean_y_cuped,
+        |  CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy = 0.0 THEN 0.0
+        |       ELSE round(1.0 - ((CAST(n AS DOUBLE) * syy - sy * sy)
+        |            - 2.0 * theta * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            + theta * theta * (CAST(n AS DOUBLE) * sxx - sx * sx))
+        |            / (CAST(n AS DOUBLE) * syy - sy * sy) + 1e-9, 6)
+        |  END AS var_reduction
+        |FROM st, po ORDER BY arm""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(round(value * 10000 + 1e-9, 0) AS BIGINT)) AS r
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT *, count(*) OVER wma AS n7, sum(r) OVER wma AS sum7
+        |      FROM daily
+        |      WINDOW wma AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, CASE WHEN n7 = 7 THEN r * 7 - sum7 END AS det7 FROM t),
+        |s AS (SELECT *, sum(det7) OVER (PARTITION BY dayofweek(day)) AS seas_num,
+        |       count(det7) OVER (PARTITION BY dayofweek(day)) AS seas_den FROM t2)
+        |SELECT day, round(CAST(r AS DOUBLE) / 10000 + 1e-9, 4) AS revenue,
+        |  CASE WHEN n7 = 7
+        |       THEN round(CAST(sum7 AS DOUBLE) / 7 / 10000 + 1e-9, 4) END AS trend_ma7,
+        |  CASE WHEN seas_den > 0
+        |       THEN round(CAST(seas_num AS DOUBLE) / seas_den / 7 / 10000 + 1e-9, 4)
+        |  END AS seasonal_dow,
+        |  CASE WHEN seas_den > 0
+        |       THEN round((CAST(det7 AS DOUBLE) / 7
+        |            - CAST(seas_num AS DOUBLE) / seas_den / 7) / 10000 + 1e-9, 4)
+        |  END AS residual
+        |FROM s ORDER BY day""".stripMargin,
 
     "q_graph_lpa" ->
       """WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),

@@ -2966,7 +2966,8 @@ object Llm {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    Scale.globalSequence(freqs, Seq(col("freq").desc, col("w")), "rank")
+    Scale.globalSequence(freqs, Seq(col("freq").desc, col("w")), "rank",
+        bucketKey = -col("freq").cast("double") + Scale.strFrac(col("w")))
       .withColumn("rank", col("rank").cast("long"))
       .agg(
         count(lit(1)).as("n_vocab"),
@@ -3291,7 +3292,8 @@ object Llm {
     Scale.globalSequence(
       documents(s, d)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__k")),
-      Seq(col("__k"), col("doc_id")), "position")
+      Seq(col("__k"), col("doc_id")), "position",
+      bucketKey = Scale.hexKeyProxy(col("__k")))
       .withColumn("position", col("position").cast("long"))
       .withColumn("shard", col("position") % 8)
       .select(col("doc_id"), col("position"), col("shard"))

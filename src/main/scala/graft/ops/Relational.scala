@@ -664,7 +664,8 @@ object Relational {
     Scale.globalSequence(
         orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .withColumn("h", md5(col("o_orderkey").cast("string"))),
-        Seq(col("h"), col("o_orderkey")), "pos")
+        Seq(col("h"), col("o_orderkey")), "pos",
+        bucketKey = Scale.hexKeyProxy(col("h")))
       .filter(pmod(col("pos"), lit(k)) === 0)
       .select(col("pos"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("pos")
@@ -2536,7 +2537,8 @@ object Relational {
     val cust = orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot_dec"))
-    Scale.globalSequence(cust, Seq(col("tot_dec"), col("o_custkey")), "i")
+    Scale.globalSequence(cust, Seq(col("tot_dec"), col("o_custkey")), "i",
+        bucketKey = col("tot_dec"))
       .withColumn("i", col("i").cast("long"))
       .agg(
         count(lit(1)).as("n_cust"),
@@ -2933,7 +2935,8 @@ object Relational {
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
     Scale.globalCumSum(rev, Seq(col("rev_dec").desc, col("l_partkey")),
-        col("rev_dec"), "cum_dec", totalCol = "tot_dec")
+        col("rev_dec"), "cum_dec", totalCol = "tot_dec",
+        bucketKey = -col("rev_dec"))
       .withColumn("cum_share",
         round((col("cum_dec").cast("double") / col("tot_dec").cast("double")) + lit(1e-9), 6))
       .withColumn("abc",
@@ -3392,7 +3395,8 @@ object Relational {
       types.map(t =>
         sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")): _*)
     val cum = Scale.globalCumSums(byVal, Seq(col("value")),
-      (col("c_all"), "f_all") +: types.map(t => (col(s"c_$t"), s"f_$t")))
+      (col("c_all"), "f_all") +: types.map(t => (col(s"c_$t"), s"f_$t")),
+      bucketKey = col("value"))
     // totals reduce the distinct-value grid, not the corpus — one scan
     val totals = byVal.groupBy().agg(
       sum(col("c_all")).as("n_tot"),
@@ -3833,8 +3837,16 @@ object Relational {
     val t = rem * (q5 + 1)
     // ntile(5) closed form for rank r in 1..n (when-branch division by
     // q5=0 at n<5 is dead: rem=n makes r<=t always true)
-    def quintile(df: DataFrame, order: Seq[Column], name: String): DataFrame =
-      Scale.globalSequence(df, order, "__pos")
+    // one-shuffle bucket proxies: exact-in-double bases (epoch day,
+    // order count) refine their heavy ties with an exact custkey
+    // fraction; the decimal monetary base is rounded by the double
+    // cast so it takes NO fraction — a rounded base can collapse
+    // DISTINCT keys, and a tiebreak fraction would reorder rows inside
+    // the collapse class (ties that merely share a bucket are fine)
+    val custFrac = col("o_custkey").cast("double") * lit(math.pow(2.0, -63))
+    def quintile(df: DataFrame, order: Seq[Column], bk: Column,
+                 name: String): DataFrame =
+      Scale.globalSequence(df, order, "__pos", bucketKey = bk)
         .withColumn(name,
           if (rem == 0) expr(s"(__pos - 1) div $q5 + 1")
           else when(col("__pos") <= t, expr(s"(__pos - 1) div ${q5 + 1} + 1"))
@@ -3843,9 +3855,13 @@ object Relational {
     val withQ = quintile(
       quintile(
         quintile(cust,
-          Seq(col("recency").desc, col("o_custkey")), "r_q"),
-        Seq(col("frequency").desc, col("o_custkey")), "f_q"),
-      Seq(col("monetary").desc, col("o_custkey")), "m_q")
+          Seq(col("recency").desc, col("o_custkey")),
+          -datediff(col("recency"), to_date(lit("1970-01-01"))).cast("double")
+            + custFrac, "r_q"),
+        Seq(col("frequency").desc, col("o_custkey")),
+        -col("frequency").cast("double") + custFrac, "f_q"),
+      Seq(col("monetary").desc, col("o_custkey")),
+      -col("monetary").cast("double"), "m_q")
     withQ.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary")).cast("double").as("segment_revenue"))
@@ -4449,16 +4465,24 @@ object Relational {
   def q_sample_balanced(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
       .withColumn("rk", md5(concat(lit("bal:"), col("doc_id"))))
-    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n_class"))
-      .agg(min("n_class").as("quota"))
+    val classCounts = docs.groupBy("lang").agg(count(lit(1)).as("n_class"))
+      .localCheckpoint() // k rows: quota + the bucket-proxy lang index
+    val quota = classCounts.agg(min("n_class").as("quota"))
     // per-class rank WITHOUT a class-partitioned window: a handful of
     // language classes would cap the sort's parallelism at k tasks
     // (the q_rfm global-ntile lesson at class grain). Terasort instead:
     // ONE range-partitioned global sequence over (lang, rk, id) —
     // parallelism = P — and each class's rank is the offset from the
-    // class's first global position (a k-row broadcast min).
+    // class's first global position (a k-row broadcast min). The
+    // one-shuffle bucket proxy needs an exact integer for the string
+    // leading key: the class's ordinal in the sorted k-row lang list
+    // (codegen array_position over a k literal), refined by the md5
+    // tiebreak's exact 48-bit fraction.
+    val langs = classCounts.select("lang").collect().map(_.getString(0)).sorted
     val seqd = Scale.globalSequence(docs,
-      Seq(col("lang"), col("rk"), col("doc_id")), "gseq")
+      Seq(col("lang"), col("rk"), col("doc_id")), "gseq",
+      bucketKey = array_position(typedLit(langs.toSeq), col("lang"))
+        .cast("double") + Scale.hexFrac(col("rk")))
     val base = seqd.groupBy("lang").agg(min("gseq").as("class_start"))
     seqd.join(broadcast(base), "lang")
       .crossJoin(broadcast(quota))
@@ -4468,5 +4492,273 @@ object Relational {
         sum("doc_id").as("id_checksum"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("lang")
+  }
+
+  /** Kaplan–Meier survival curve of user LIFETIME (day grain, right-
+    * censored) — the product-limit estimator every churn analysis
+    * should use instead of a naive churn rate, because users still
+    * active at the observation end are CENSORED, not alive-forever:
+    * dropping them (or counting them as survivors) biases the curve.
+    * Churn rule: ≥14 days inactive before the global last-seen day =
+    * death at the user's last event; otherwise censored at the
+    * horizon. S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}).
+    *
+    * Scale shape: users collapse to one row via the user-keyed agg
+    * (the only data-sized shuffle); the duration grid is CALENDAR-
+    * bounded (O(days in the dataset) — identical at sf0.01 and
+    * sf100k), so the cumulative at-risk / product windows over it are
+    * micro-table work, not a data funnel. d and n stay exact BIGINT;
+    * the product is exp(Σ ln(1 − d/n)) over identical exact ratios in
+    * identical order → cross-engine-identical doubles (the zipf-fit
+    * ln convention, rounded at 6 dp + the house epsilon).
+    */
+  def q_survival_km(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val horizon = users.agg(max("last_day").as("end_day"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .withColumn("dead", datediff(col("end_day"), col("last_day")) >= 14)
+      .withColumn("t",
+        when(col("dead"), datediff(col("last_day"), col("first_day")))
+          .otherwise(datediff(col("end_day"), col("first_day"))).cast("long"))
+    val grid = lt.groupBy("t").agg(
+      sum(when(col("dead"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("dead"), 0L).otherwise(1L)).as("c"))
+    val tot = grid.agg(sum(col("d") + col("c")).as("n_total"))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      // ln(1 − d/n) only for d < n: Spark's ln(0) is NULL while
+      // DuckDB's is −inf — the d = n row (everyone at risk dies) is
+      // carried as an explicit absorbing zero flag instead, identical
+      // CASE in the oracle
+      .withColumn("zeroed",
+        max(when(col("d") === col("n_at_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("survival",
+        when(col("zeroed") === 1, lit(0.0)).otherwise(round(
+          exp(sum(when(col("d") < col("n_at_risk"),
+              log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))))
+            .over(wCum)) + lit(1e-9), 6)))
+      .select(col("t").as("duration_days"), col("n_at_risk"),
+        col("d").as("n_deaths"), col("c").as("n_censored"), col("survival"))
+      .orderBy("duration_days")
+  }
+
+  /** Time-decay attribution — the fourth classic multi-touch model
+    * next to [[q_attribution_last]]/[[q_attribution_linear]]/
+    * [[q_attribution_ushape]]: each prior touch earns weight
+    * 2^(−Δdays/7) (7-day half-life), shares are normalized per
+    * purchase. The per-touch pair explosion is avoided by the
+    * SEPARABLE form 2^(−(P−T)/7) = 2^(−(P−b)/7)·2^((T−b)/7): one
+    * user-keyed window carries a per-channel running sum of
+    * 2^((T−b)/7) (b = the user's first prior day, keeping the
+    * exponent < ~130 so nothing overflows), and each purchase closes
+    * the model with O(channels) arithmetic — the whole gate is ONE
+    * Window node over the one user shuffle, same as the linear gate.
+    * Exactness: raw channel weights are quantized to integer
+    * micro-weights (round(w·1e6 + ε)); credits are integer division
+    * of the micro-unit value with the REMAINDER routed to the most
+    * recent touch's channel, so credits sum to exactly vu per
+    * purchase and every engine agrees bit-for-bit (running double
+    * sums add in the same window order in both engines).
+    */
+  def q_attribution_decay(s: SparkSession, d: String): DataFrame = {
+    val channels = Seq("click", "view", "error", "signup")
+    val wAll = Window.partitionBy("user_id") // full frame, no order
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    // base = the user's first day, constant per user (full-frame min —
+    // a second Window node that RIDES the same user shuffle; an
+    // ordered-frame base would vary per row and break separability)
+    val based = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ns"), to_date(col("ts")).as("day"))
+      .withColumn("base_day", min("day").over(wAll))
+    val counted = based.select(
+      Seq(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("day"), col("base_day")) ++
+        channels.map(c => sum(when(col("event_type") === c,
+            pow(lit(2.0),
+              datediff(col("day"), col("base_day")).cast("double") / 7.0)))
+          .over(w).as(s"s_$c")) ++
+        Seq(last(touch, ignoreNulls = true).over(w).as("last_ch")): _*)
+    val purchases = counted.filter(col("event_type") === "purchase")
+      .withColumn("vu", round(col("value") * 10000 + lit(1e-9), 0).cast("long"))
+      .withColumn("pfac",
+        pow(lit(2.0), -datediff(col("day"), col("base_day")).cast("double") / 7.0))
+    val wq = channels.map(c =>
+      coalesce(round(col("pfac") * col(s"s_$c") * 1e6 + lit(1e-9), 0).cast("long"),
+        lit(0L)).as(s"wq_$c"))
+    val p2 = purchases.select(
+      (Seq(col("vu"), col("last_ch")) ++ wq): _*)
+      .withColumn("W", channels.map(c => col(s"wq_$c")).reduce(_ + _))
+      // the integer-division remainder routes to the HEAVIEST channel
+      // (name-desc tiebreak) — unlike the most-recent touch's channel,
+      // it is guaranteed to survive the wq > 0 emission filter, so
+      // credits always sum to exactly vu (string max of
+      // zero-padded(wq)·channel is engine-portable argmax)
+      .withColumn("rem_ch", substring(
+        greatest(channels.map(c =>
+          concat(lpad(col(s"wq_$c").cast("string"), 20, "0"), lit(c))): _*),
+        21, 10))
+    def credit(c: String) =
+      expr(s"vu * wq_$c div W") +
+        when(col("rem_ch") === c,
+          col("vu") - channels.map(ch => expr(s"vu * wq_$ch div W")).reduce(_ + _))
+          .otherwise(lit(0L))
+    val credits = p2.select(explode(
+      when(col("W") > 0,
+        filter(
+          array(channels.map(c => struct(
+            lit(c).as("channel"),
+            credit(c).as("credit_4"),
+            col(s"wq_$c").as("wq"))): _*),
+          x => x.getField("wq") > 0))
+        .when(col("last_ch").isNotNull, // touches exist but all decayed to 0
+          array(struct(col("last_ch").as("channel"), col("vu").as("credit_4"),
+            lit(1L).as("wq"))))
+        .otherwise(array(struct(lit("direct").as("channel"),
+          col("vu").as("credit_4"), lit(1L).as("wq"))))).as("x"))
+      .select(col("x.channel").as("channel"), col("x.credit_4").as("credit_4"))
+    credits.groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("credit_4").as("revenue_4"))
+      .filter(col("revenue_4") > 0)
+      .orderBy("channel")
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    * the standard online-experimentation estimator: adjust each
+    * user's post-period metric by the pre-period covariate,
+    * y' = y − θ(x − E[x]), θ = cov(x,y)/var(x), cutting variance by
+    * the squared pre/post correlation at zero bias. Arms are a
+    * deterministic md5 coin on user_id; the period boundary splits
+    * the observed date range in half (1-row broadcast).
+    *
+    * Everything reduces to per-arm EXACT sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² — DECIMAL sums of 2-dp revenues and
+    * their 4-dp cross products), so θ, the adjusted means
+    * (mean_y − θ(mean_x_arm − mean_x)) and the variance reduction
+    * 1 − var(y−θx)/var(y) are closed forms over identical exact
+    * decimals in both engines — no per-user float accumulates
+    * anywhere. One user shuffle; the arm rollup is k=2 rows.
+    */
+  def q_cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    // integer-div split (DuckDB rounds on double→INT casts, Spark
+    // truncates — `div` sidesteps the divergence)
+    val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr("date_add(d0, CAST((datediff(d1, d0) div 2) AS INT))").as("cut"))
+    val pu = ev.crossJoin(broadcast(span))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("day") < col("cut"),
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .as("x"),
+        sum(when(col("event_type") === "purchase" && col("day") >= col("cut"),
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .as("y"))
+      .withColumn("arm", // md5 first-hex coin: '0'..'7' vs '8'..'f'
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    // sufficient statistics: DECIMAL sums (associative-exact, so the
+    // partial-agg merge order cannot perturb them), then ONE cast of
+    // each statistic to double — every closed form below runs on
+    // bit-identical doubles through an identical expression tree in
+    // both engines (decimal cross-products like n·Σxy − Σx·Σy would
+    // blow the 38-digit cap and round engine-specifically)
+    val statsDec = pu.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 4))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"))
+    val stats = statsDec.select(col("arm"), col("n"),
+      col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+      col("sxy").cast("double").as("sxy"), col("sxx").cast("double").as("sxx"),
+      col("syy").cast("double").as("syy"))
+      .localCheckpoint() // 2 rows: pooled θ + per-arm readout reuse it
+    def nd = col("n").cast("double")
+    val pooled = stats.agg(
+      sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+      .select(
+        // degenerate pre-period (var(x) = 0) → θ = 0, plain readout —
+        // guarded identically in the oracle (0/0 is NaN in Spark but
+        // NULL in DuckDB)
+        when(nd * col("sxx") - col("sx") * col("sx") === 0.0, lit(0.0))
+          .otherwise((nd * col("sxy") - col("sx") * col("sy")) /
+            (nd * col("sxx") - col("sx") * col("sx")))
+          .as("theta"),
+        (col("sx") / nd).as("mean_x"))
+    stats.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n").as("n_users"),
+        round(col("sy") / nd + lit(1e-9), 6).as("mean_y"),
+        round(col("sy") / nd
+          - col("theta") * (col("sx") / nd - col("mean_x"))
+          + lit(1e-9), 6).as("mean_y_cuped"),
+        when(nd * col("syy") - col("sy") * col("sy") === 0.0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            ((nd * col("syy") - col("sy") * col("sy"))
+              - lit(2.0) * col("theta") * (nd * col("sxy") - col("sx") * col("sy"))
+              + col("theta") * col("theta")
+                * (nd * col("sxx") - col("sx") * col("sx"))) /
+            (nd * col("syy") - col("sy") * col("sy"))
+            + lit(1e-9), 6)).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  /** Additive seasonal decomposition of the daily revenue series
+    * (STL-lite): trend = centered 7-day moving average (full windows
+    * only), seasonal = the day-of-week mean of the detrended series,
+    * residual = the rest. The classic first look at any business
+    * metric — "is Monday really down, or is that the trend?".
+    *
+    * The series collapses from the fact table in ONE day-grain
+    * aggregation (exact micro-unit integers); every window after that
+    * runs on the CALENDAR-bounded day grid (O(days) rows at any SF —
+    * a micro-table, so the partition-less ordered window is not a
+    * data funnel). Exactness: trend keeps the 7-day sum as BIGINT and
+    * divides only at the end; seasonal means are ratios of exact
+    * integer sums (Σ(7·r − sum7) over 7·n) — identical doubles in
+    * both engines, rounded at 4 dp + the house epsilon.
+    */
+  def q_seasonal_decompose(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 10000 + lit(1e-9), 0).cast("long")).as("r"))
+    val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n7", count(lit(1)).over(wMa))
+      .withColumn("sum7", sum("r").over(wMa))
+      .withColumn("det7", when(col("n7") === 7, col("r") * 7 - col("sum7")))
+    val dowW = Window.partitionBy(dayofweek(col("day")))
+    val seasoned = trended
+      .withColumn("seas_num", sum("det7").over(dowW))
+      .withColumn("seas_den", count("det7").over(dowW))
+    // edge days (< 7-day window) carry NULL trend/seasonal/residual —
+    // the classic centered-MA convention; seas_den = 0 is guarded
+    // because double x/0 is NULL-vs-inf territory across engines
+    seasoned
+      .select(col("day"),
+        round(col("r").cast("double") / 10000 + lit(1e-9), 4).as("revenue"),
+        when(col("n7") === 7,
+          round(col("sum7").cast("double") / 7 / 10000 + lit(1e-9), 4))
+          .as("trend_ma7"),
+        when(col("seas_den") > 0,
+          round(col("seas_num").cast("double") / col("seas_den") / 7 / 10000
+            + lit(1e-9), 4)).as("seasonal_dow"),
+        when(col("seas_den") > 0,
+          round((col("det7").cast("double") / 7
+            - col("seas_num").cast("double") / col("seas_den") / 7) / 10000
+            + lit(1e-9), 4)).as("residual"))
+      .orderBy("day")
   }
 }

@@ -152,6 +152,112 @@ object Scale {
     out.drop("__grp_n", "__needed", "__thresh")
   }
 
+  /** Monotone double proxy of a fixed-width lowercase/uppercase HEX
+    * string key (md5 output): the numeric value of the first `digits`
+    * hex characters. Lexicographic order over equal-length hex strings
+    * equals numeric order of their value, and 12 hex digits = 48 bits
+    * fit a double exactly, so the proxy is provably monotone
+    * (non-strict: keys sharing the 12-char prefix collapse — a 2^-48
+    * event for hashes, harmless: collapse only costs bucket balance,
+    * never order). NULL → 0.0 (callers with null keys must pre-handle
+    * their sort position themselves).
+    */
+  def hexKeyProxy(c: Column, digits: Int = 12): Column =
+    coalesce(conv(substring(c, 1, digits), 16, 10).cast("double"), lit(0.0))
+
+  /** [[hexKeyProxy]] scaled into [0,1) — the FRACTION form for
+    * composite bucket keys (`leadingIndex + hexFrac(tiebreak)`): the
+    * integer part orders the leading key, the fraction refines ties.
+    * Both addends are exact in double (integer < 2^53; 48-bit numerator
+    * times a power of two), and rounding a monotone real sum is
+    * monotone, so the composite is provably order-consistent.
+    */
+  def hexFrac(c: Column, digits: Int = 12): Column =
+    hexKeyProxy(c, digits) / lit(math.pow(16.0, digits.toDouble))
+
+  /** [0,1) monotone fraction of an arbitrary STRING under UTF-8
+    * lexicographic (= Spark string) order: the first `bytes` UTF-8
+    * bytes, zero-padded on the right (a strict prefix sorts before its
+    * extensions, matching byte-wise comparison), read as an integer
+    * over 2^(8·bytes). 6 bytes = 48 bits stay exact in a double.
+    * Non-strict monotone: strings sharing the `bytes`-byte prefix
+    * collapse (balance cost only — see [[hexFrac]] for why collapse
+    * never breaks bucket ordering). Built from codegen builtins
+    * (substring/hex/rpad/conv) — no lambda, no UDF.
+    */
+  def strFrac(c: Column, bytes: Int = 6): Column =
+    coalesce(
+      conv(rpad(hex(substring(c.cast("binary"), 1, bytes)), 2 * bytes, "0"),
+        16, 10).cast("double"),
+      lit(0.0)) / lit(math.pow(2.0, 8.0 * bytes))
+
+  /** Shared prep of the terasort helpers: returns `(statsSource,
+    * sorted, checkpoint)` where `sorted` carries the partition-unit
+    * column `pid` in sorted order and `statsSource` yields the same
+    * `pid` → rows mapping cheaply for the offset pass; both read ONE
+    * materialization.
+    *
+    * Two shapes:
+    *
+    * - `bucketKey == null` (legacy): range-partition on the order keys,
+    *   `spark_partition_id()` as `pid`, checkpoint the SORTED rows.
+    *   Correct for any order, but the pid window downstream pays a
+    *   planner-inserted second full exchange + re-sort:
+    *   `RangePartitioning(order)` does not satisfy
+    *   `ClusteredDistribution(pid)` (the planner cannot know pid is
+    *   constant per partition) — the r15 CumProbe finding.
+    *
+    * - `bucketKey != null` (ONE-SHUFFLE): `bucketKey` must be a
+    *   NON-NULL double-valued expression over `df`'s columns that is
+    *   monotone NON-DECREASING w.r.t. the total `order` (direction
+    *   included — negate for desc; compose ties as
+    *   `leading + fraction` with [[hexFrac]]/[[strFrac]]). Rows carry
+    *   an ORDINAL bucket id (codegen binary search against quantile
+    *   boundaries of `bucketKey` — sampled from the pre-sort
+    *   checkpoint when `bucketBoundaries` is null, so the sampling
+    *   pass reads cached blocks, not the input subtree), and
+    *   `repartitionByRange(bucket)` IS a distribution the pid window
+    *   accepts: the window and everything after it ride the terasort's
+    *   own exchange, nothing re-shuffles. Ties in `bucketKey` never
+    *   split across buckets, so heavy ties bound parallelism — refine
+    *   the proxy with a tiebreak fraction when the leading key is
+    *   tie-heavy. Offsets aggregate over the PRE-SORT checkpoint
+    *   (bucket id is a row function, not a placement), saving the
+    *   n-row sorted checkpoint the legacy shape pays.
+    */
+  private def terasortPrep(df: DataFrame, order: Seq[Column], parts: Int,
+                           bucketKey: Column, bucketBoundaries: Array[Double],
+                           pid: String): (DataFrame, DataFrame) = {
+    if (bucketKey == null) {
+      val sorted = df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn(pid, spark_partition_id())
+        .localCheckpoint()
+      (sorted, sorted)
+    } else {
+      val src0 = df.withColumn("__bk", bucketKey.cast("double")).localCheckpoint()
+      val bounds = (if (bucketBoundaries != null) bucketBoundaries
+        else {
+          // ≥4 buckets per partition so the range packer can balance
+          // multi-bucket partitions (hash placement collides ~Poisson;
+          // ordinal ranges pack evenly — the r15 q_peak_concurrency fix)
+          val m = 4 * parts
+          src0.stat.approxQuantile("__bk",
+            (1 until m).map(_.toDouble / m).toArray, 0.001)
+        }).distinct.sorted
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.BucketIndex(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("__bk")),
+            bounds))
+      val src = src0.withColumn(pid, bucket).drop("__bk")
+      val sorted = src.repartitionByRange(parts, col(pid))
+        .sortWithinPartitions(col(pid) +: order: _*)
+      (src, sorted)
+    }
+  }
+
   /** Deterministic global row-sequencing: assigns `posCol` = 1..N in the
     * total order of `order`, WITHOUT funnelling the dataset through a
     * single task (the partition-less `row_number()` window plan). Shape:
@@ -167,21 +273,22 @@ object Scale {
     * retries, and cluster sizes. `order` must be a TOTAL order (add a
     * unique tiebreak) or positions within ties are nondeterministic.
     *
-    * The sorted input is localCheckpoint'ed once so the count pass and
-    * the rank pass read the same materialization (and the range sort
-    * runs once, not twice); callers running this repeatedly can release
-    * the blocks afterwards via [[Llm.unpersistCheckpoint]].
+    * Pass `bucketKey` (a non-null double proxy monotone in `order` —
+    * see [[terasortPrep]]) to take the ONE-SHUFFLE path: without it the
+    * pid window pays a hidden second full exchange + re-sort. The
+    * checkpointed input (sorted rows legacy; pre-sort rows bucketed) is
+    * materialized once; release via [[Llm.unpersistCheckpoint]].
     */
   def globalSequence(df: DataFrame, order: Seq[Column],
-                     posCol: String, numPartitions: Int = 0): DataFrame = {
+                     posCol: String, numPartitions: Int = 0,
+                     bucketKey: Column = null,
+                     bucketBoundaries: Array[Double] = null): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__gs_pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = sorted.groupBy("__gs_pid").agg(count(lit(1)).as("n"))
+    val (statsSrc, sorted) =
+      terasortPrep(df, order, parts, bucketKey, bucketBoundaries, "__gs_pid")
+    val counts = statsSrc.groupBy("__gs_pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
@@ -219,18 +326,21 @@ object Scale {
     * the output pass read the same materialization; callers running this
     * repeatedly can release the blocks afterwards via
     * [[Llm.unpersistCheckpoint]] (same contract as [[globalSequence]]).
+    * Pass `bucketKey` (monotone double proxy of `order`, nulls
+    * disallowed — see [[terasortPrep]]) for the ONE-SHUFFLE path that
+    * elides the hidden pid exchange + re-sort.
     */
   def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
                    cumCol: String, totalCol: String = null,
-                   numPartitions: Int = 0): DataFrame = {
+                   numPartitions: Int = 0,
+                   bucketKey: Column = null,
+                   bucketBoundaries: Array[Double] = null): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__cs_pid", spark_partition_id())
-      .localCheckpoint()
-    val stats = sorted.groupBy("__cs_pid").agg(sum(value).as("__cs_sum"))
+    val (statsSrc, sorted) =
+      terasortPrep(df, order, parts, bucketKey, bucketBoundaries, "__cs_pid")
+    val stats = statsSrc.groupBy("__cs_pid").agg(sum(value).as("__cs_sum"))
     val sumType = stats.schema("__cs_sum").dataType
     val fractional = sumType match {
       case org.apache.spark.sql.types.DoubleType |
@@ -293,20 +403,21 @@ object Scale {
     * (long/decimal) expressions; offsets accumulate in BigDecimal and
     * round-trip through canonical strings, as in [[globalCumSum]].
     * Same localCheckpoint contract — release via
-    * [[Llm.unpersistCheckpoint]] when run repeatedly.
+    * [[Llm.unpersistCheckpoint]] when run repeatedly — and the same
+    * optional one-shuffle `bucketKey` path (see [[terasortPrep]]).
     */
   def globalCumSums(df: DataFrame, order: Seq[Column],
                     values: Seq[(Column, String)],
-                    numPartitions: Int = 0): DataFrame = {
+                    numPartitions: Int = 0,
+                    bucketKey: Column = null,
+                    bucketBoundaries: Array[Double] = null): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mcs_pid", spark_partition_id())
-      .localCheckpoint()
+    val (statsSrc, sorted) =
+      terasortPrep(df, order, parts, bucketKey, bucketBoundaries, "__mcs_pid")
     val sumCols = values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"__mcs_s$i") }
-    val stats = sorted.groupBy("__mcs_pid").agg(sumCols.head, sumCols.tail: _*)
+    val stats = statsSrc.groupBy("__mcs_pid").agg(sumCols.head, sumCols.tail: _*)
     val sumTypes = values.indices.map(i => stats.schema(s"__mcs_s$i").dataType)
     val perPart = stats.collect()
       .map { r =>

@@ -1365,6 +1365,144 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("one-shuffle bucketKey terasort ≡ legacy ≡ partition-less window, all proxy shapes") {
+    import spark.implicits._
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("k", md5(col("id").cast("string")))
+      .withColumn("freq", pmod(col("id"), lit(5)) + 1) // HEAVY leading-key ties
+      .withColumn("w",
+        // string tiebreak with shared long prefixes (strFrac collapse),
+        // an empty string, and a multi-byte UTF-8 string
+        when(col("id") === 1, lit(""))
+          .when(col("id") === 2, lit("züürich"))
+          .otherwise(concat(lit("shared-prefix-"), lpad(col("id").cast("string"), 4, "0"))))
+      .withColumn("dec", (pmod(col("id") * 37, lit(1000)).cast("double") / 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .repartition(7) // deliberately scrambled input partitioning
+
+    def exchanges(d: org.apache.spark.sql.DataFrame): String = {
+      d.collect(); d.queryExecution.executedPlan.toString
+    }
+
+    // (1) hex leading key (md5): self-sampled boundaries
+    val hexGot = Scale.globalSequence(df, Seq(col("k"), col("id")), "pos", 5,
+        bucketKey = Scale.hexKeyProxy(col("k")))
+    val w1 = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+    val want1 = df.withColumn("pos", row_number().over(w1).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(hexGot.select("id", "pos").as[(Long, Long)].collect().toMap == want1)
+    // the pid window must RIDE the terasort exchange: no hidden
+    // hashpartitioning(__gs_pid) re-shuffle in the executed plan
+    val hexPlan = exchanges(hexGot)
+    assert(!hexPlan.contains("hashpartitioning(__gs_pid"),
+      s"bucketed path re-shuffled on pid:\n$hexPlan")
+    val legacyPlan = exchanges(
+      Scale.globalSequence(df, Seq(col("k"), col("id")), "pos", 5))
+    assert(legacyPlan.contains("hashpartitioning(__gs_pid"),
+      "legacy path should show the planner-inserted pid exchange (CumProbe)")
+
+    // (2) adversarial EXPLICIT boundaries: duplicates, unsorted,
+    // out-of-range, an exact data value (ties stay whole) — and the
+    // degenerate empty array (single bucket, still correct)
+    val hexBounds = Array(1.0e14, 5.0e13, 5.0e13, 2.2e14, -4.0, 9.9e99)
+    val got2 = Scale.globalSequence(df, Seq(col("k"), col("id")), "pos", 5,
+        bucketKey = Scale.hexKeyProxy(col("k")), bucketBoundaries = hexBounds)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got2 == want1)
+    val got2e = Scale.globalSequence(df, Seq(col("k"), col("id")), "pos", 5,
+        bucketKey = Scale.hexKeyProxy(col("k")),
+        bucketBoundaries = Array.empty[Double])
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got2e == want1)
+
+    // (3) zipf shape: (freq DESC, string w) via -freq + strFrac(w)
+    val wz = org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("w"))
+    val wantZ = df.withColumn("r", row_number().over(wz).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val gotZ = Scale.globalSequence(df, Seq(col("freq").desc, col("w")), "r", 5,
+        bucketKey = -col("freq").cast("double") + Scale.strFrac(col("w")))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotZ == wantZ)
+
+    // (4) rfm shape: (v DESC, id) via -v + id·2⁻⁶³ (exact addends)
+    val wantR = df.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("id")))
+        .cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val gotR = Scale.globalSequence(df, Seq(col("freq").desc, col("id")), "r", 5,
+        bucketKey = -col("freq").cast("double")
+          + col("id").cast("double") * lit(math.pow(2.0, -63)))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotR == wantR)
+
+    // (5) balanced shape: few-valued STRING leading key via its ordinal
+    // in the collected sorted class list + hexFrac tiebreak
+    val lang = concat(lit("lang"), pmod(col("id"), lit(3)))
+    val dfl = df.withColumn("lang", lang)
+    val langs = dfl.select("lang").distinct.as[String].collect().sorted
+    val wantL = dfl.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lang"), col("k"), col("id")))
+        .cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val gotL = Scale.globalSequence(dfl, Seq(col("lang"), col("k"), col("id")), "r", 5,
+        bucketKey = array_position(typedLit(langs.toSeq), col("lang")).cast("double")
+          + Scale.hexFrac(col("k")))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotL == wantL)
+
+    // (6) globalCumSum bucketed, decimal DESC with grand total (abc shape)
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("dec").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wantC = df.withColumn("cum", sum(col("dec")).over(wc))
+      .crossJoin(df.agg(sum(col("dec")).as("tot")))
+      .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val gotC = Scale.globalCumSum(df, Seq(col("dec").desc, col("id")), col("dec"),
+        "cum", totalCol = "tot", numPartitions = 5, bucketKey = -col("dec"))
+      .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(gotC == wantC)
+
+    // (7) globalCumSums bucketed ≡ its own legacy path
+    val gotM = Scale.globalCumSums(df, Seq(col("dec"), col("id")),
+        Seq((col("freq"), "cf"), (col("id"), "ci")), numPartitions = 5,
+        bucketKey = col("dec"))
+      .select("id", "cf", "ci").as[(Long, Long, Long)].collect()
+      .map { case (i, a, b) => i -> ((a, b)) }.toMap
+    val wantM = Scale.globalCumSums(df, Seq(col("dec"), col("id")),
+        Seq((col("freq"), "cf"), (col("id"), "ci")), numPartitions = 5)
+      .select("id", "cf", "ci").as[(Long, Long, Long)].collect()
+      .map { case (i, a, b) => i -> ((a, b)) }.toMap
+    assert(gotM == wantM)
+  }
+
+  test("strFrac / hexKeyProxy are order-consistent with their string keys") {
+    import spark.implicits._
+    // adversarial strings: empty, prefix-of-another, shared 6-byte
+    // prefix (collapse allowed: proxy EQUAL is legal, inversion is not),
+    // multi-byte UTF-8 (ü, 汉), high-vs-low bytes after the prefix
+    val strs = Seq("", "a", "ab", "abcdef", "abcdefg", "abcdefh", "abcdeg",
+      "b", "ü", "üa", "汉字", "汉", "zz", "shared-prefix-0001", "shared-prefix-0002")
+    val rows = strs.toDF("s")
+      .withColumn("p", Scale.strFrac(col("s")))
+      .orderBy("s")
+      .select("s", "p").as[(String, Double)].collect()
+    rows.sliding(2).foreach { case Array((s1, p1), (s2, p2)) =>
+      assert(p1 <= p2, s"strFrac inverted: '$s1'→$p1 vs '$s2'→$p2")
+      assert(p1 >= 0.0 && p1 < 1.0, s"strFrac('$s1')=$p1 out of [0,1)")
+    }
+    // hexKeyProxy over md5: numeric order == lexicographic hex order
+    val hx = spark.range(1, 300).toDF("id")
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("p", Scale.hexKeyProxy(col("h")))
+      .orderBy("h")
+      .select("h", "p").as[(String, Double)].collect()
+    hx.sliding(2).foreach { case Array((h1, p1), (h2, p2)) =>
+      assert(p1 <= p2, s"hexKeyProxy inverted: $h1→$p1 vs $h2→$p2")
+    }
+  }
+
   test("globalCumSum on doubles: matches the naive running sum and survives NaN/Infinity") {
     import spark.implicits._
     // plain double path (no NaN): bit-exact vs the naive plan is not
