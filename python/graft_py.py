@@ -30,6 +30,9 @@ ENGINE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # serialized shuffle writer instead of the M-×-R-file bypass-merge
+    # path at small reduce counts (see GraftSession.configure)
+    "spark.shuffle.sort.bypassMergeThreshold": "8",
 }
 
 

@@ -95,6 +95,17 @@ object GraftSession {
     // keep scan tasks ~128 MB so a 100 TB table yields bounded task counts
     // without giant per-task memory footprints
     .config("spark.sql.files.maxPartitionBytes", String.valueOf(128L * 1024 * 1024))
+    // Below this reduce-partition count the sort-shuffle manager takes the
+    // bypass-merge path: one DiskBlockObjectWriter PER REDUCE PARTITION PER
+    // MAP TASK — an M×R file-create storm (measured r15-opt: the
+    // q_peak_concurrency 128×128 range exchange spent ~600 ms/task on file
+    // ops, 78 s of task time where the serialized writer needs 6.8 s; the
+    // whole-bench 32-core leg pays it on every exchange). The serialized
+    // (UnsafeShuffleWriter) path writes ONE data+index file per map task at
+    // any R, so it never enters that regime; bypass stays for genuinely
+    // tiny fan-outs where its no-sort write is the textbook win. Scale-
+    // neutral: at production fan-outs (R > 200) bypass never fires anyway.
+    .config("spark.shuffle.sort.bypassMergeThreshold", "8")
     // some events.parquet vintages carry TIMESTAMP(NANOS), which
     // Spark's reader rejects; read nanos as raw longs (Tables.events
     // normalizes either encoding). Set once here so table reads are

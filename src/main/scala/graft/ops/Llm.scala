@@ -269,6 +269,15 @@ object Llm {
       // 37.2 s -> 25.0 s WITH the cache — opposite preferences, so the
       // caller chooses).
       val candCk = if (shareCandidates) registerCandCache(cand.cache()) else cand
+      // Both id projections re-read `cand` — which is NOT a triple
+      // recompute even uncached: within the one action AQE's
+      // ReuseExchange dedups the (band,bsig) bucket exchange AND the
+      // dropDuplicates pair exchange across the three consumers, so the
+      // marginal cost per consumer is a pair-sized read. (r15-opt
+      // measured the "derive ids from the bucket frame before the pair
+      // step" alternative at sf10: 1.4-1.7× WORSE — it re-runs the
+      // bucket WINDOW over the full exploded rows, which exchange reuse
+      // had already made unnecessary.)
       val ids = candCk.select(col("id1").as("doc_id"))
         .union(candCk.select(col("id2").as("doc_id"))).distinct()
       val sh = docs.join(ids, Seq("doc_id"), "left_semi")
@@ -1113,13 +1122,25 @@ object Llm {
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
+    // LAZY checkpoints throughout the round loop: each round's pair-count
+    // job is a FULL aggregation over every partition of `words`, so it
+    // materializes the (lazily-marked) checkpoint as a side effect — the
+    // merge-apply pass fuses into the count pass and each round costs ONE
+    // job, not two (and at vocabulary scale, one pass over the word
+    // table, not two). The release discipline shifts by one round: a
+    // round's parent checkpoint is freed only AFTER the next full job has
+    // persisted every partition of its child (releasing earlier would cut
+    // the truncated lineage out from under unmaterialized partitions).
     var words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // the superseded checkpoint awaiting release once the NEXT full job
+    // has materialized `words` (null = nothing pending)
+    var pending: DataFrame = null
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
@@ -1132,22 +1153,27 @@ object Llm {
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the aggregate above touched every partition of `words` — its
+      // checkpoint is now fully persisted and the parent blocks are dead
+      if (pending != null) { unpersistCheckpoint(pending); pending = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, f))
-        val prev = words
+        pending = words
         words = words
           .withColumn("syms",
             graft.functions.Vec.bpeApply(col("syms"), Seq((l, r))))
-          .localCheckpoint() // eager: materialized before prev is released
-        // without this, every round's checkpoint blocks stay cached and
-        // executor storage grows linearly in numMerges (~30k at real
-        // vocabulary scale); the new checkpoint no longer reads the old one
-        unpersistCheckpoint(prev)
+          .localCheckpoint(eager = false)
       }
       round += 1
     }
+    // loop exit leaves the final round's checkpoint unmaterialized and
+    // its parent pending: force it (one full pass — exactly the eager
+    // materialization the final round skipped) before the release, so
+    // the returned table owns its blocks and storage holds ONE
+    // checkpoint, same contract as before (OpsSpec pins it)
+    if (pending != null) { words.count(); unpersistCheckpoint(pending) }
     (merges.toSeq, words)
   }
 
@@ -4159,13 +4185,23 @@ object Llm {
       // rows — pool-sized, every subsequent round reads only this)
       val pool = dt.join(broadcast(poolIds.select("doc_id")), Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var poolGains = poolIds.localCheckpoint()
+      // lazy checkpoints, bpeTrain's round-loop discipline: each round's
+      // top-pick TakeOrdered scans every poolGains partition, so it
+      // materializes the previous round's (lazily-marked) checkpoint —
+      // the gain-decrement pass fuses into the argmax job and each round
+      // costs one fewer job; the superseded checkpoint is released one
+      // round later, once its child is fully persisted
+      var poolGains = poolIds.localCheckpoint(eager = false)
+      var pendingPG: DataFrame = null
       var certified = true
       var exhausted = false
       var rank = 1
       while (rank <= k && certified && !exhausted) {
         val top = poolGains.filter(col("gain") > 0)
           .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+        // the TakeOrdered above touched every partition — the previous
+        // round's blocks are dead now
+        if (pendingPG != null) { unpersistCheckpoint(pendingPG); pendingPG = null }
         if (top.isEmpty) {
           // pool ran dry: exact iff no excluded doc could still gain
           if (t.isDefined) certified = false else exhausted = true
@@ -4189,22 +4225,21 @@ object Llm {
                 .add("bg", org.apache.spark.sql.types.StringType))
             val dec = pool.join(broadcast(deltaDf), Seq("bg"), "left_semi")
               .groupBy("doc_id").agg(count(lit(1)).as("dec"))
-            val prevGains = poolGains
+            pendingPG = poolGains
             poolGains = poolGains.join(dec, Seq("doc_id"), "left_outer")
               .select(col("doc_id"),
                 (col("gain") - coalesce(col("dec"), lit(0L))).as("gain"))
-              .localCheckpoint() // eager: materialized before prev is released
-            // without this, every round's checkpoint blocks stay pinned
-            // (k per pool attempt, pool-sized each) — same discipline as
-            // bpeTrain's round loop
-            if (rank > 1) unpersistCheckpoint(prevGains)
+              .localCheckpoint(eager = false) // next round's argmax materializes it
             rank += 1
           }
         }
       }
       pool.unpersist(blocking = false)
-      // the LAST round's poolGains checkpoint (the loop discipline frees
-      // all earlier ones) must not outlive the call
+      // the LAST round's poolGains checkpoint and its possibly-pending
+      // parent (the lazy-loop discipline frees all earlier ones) must
+      // not outlive the call; poolGains is discarded unmaterialized, so
+      // releasing both is safe
+      if (pendingPG != null) unpersistCheckpoint(pendingPG)
       unpersistCheckpoint(poolGains)
       if (certified) done = true
       else if (m >= nDocs)
